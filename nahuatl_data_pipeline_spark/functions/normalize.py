@@ -1,0 +1,188 @@
+"""Text-normalization pipeline (reference ``src/transforms/normalizers.py``).
+
+Composition order matters and mirrors the reference
+(``normalizers.py:65-110``): strip → NFC → language-specific rules →
+whitespace collapse. Every rule except NFC is a built-in Spark expression
+(``regexp_replace``/``translate``/``trim``), so the normalization of a
+100 TB corpus runs entirely inside whole-stage codegen. NFC has no JVM
+builtin; it is the one Arrow-vectorized pandas_udf in the hot path and is
+deliberately swappable (SURVEY.md §4 — a native Expression is the only
+performance escalation ever needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# --- F1: Unicode NFC (normalizers.py:43-63) --------------------------------
+
+_NFC_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def nfc_normalize(c: ColumnOrName, form: str = "NFC") -> Column:
+    """Unicode normalization; default NFC preserves macrons (ā ē ī ō ū).
+
+    Arrow-batched pandas_udf: the per-batch cost is one vectorized
+    ``Series.str.normalize`` call, not a per-row Python roundtrip.
+    """
+    if form not in _NFC_FORMS:
+        raise ValueError(f"form must be one of {_NFC_FORMS}, got {form!r}")
+
+    @F.pandas_udf(StringType())
+    def _nfc(s):  # pandas Series[str] -> Series[str]
+        return s.str.normalize(form)
+
+    return _nfc(_col(c))
+
+
+# --- F2-F4: generic cleanup (cleaning.py, normalizers.py:108) --------------
+
+
+def collapse_whitespace(c: ColumnOrName) -> Column:
+    """``\\s+`` → single space, then trim (normalizers.py:108)."""
+    return F.trim(F.regexp_replace(_col(c), r"\s+", " "))
+
+
+def remove_urls(c: ColumnOrName) -> Column:
+    """Strip ``http…`` runs (cleaning.py:18-19)."""
+    return F.regexp_replace(_col(c), r"http\S+", "")
+
+
+def remove_page_artifacts(c: ColumnOrName) -> Column:
+    """Strip ``Página N`` page markers, case-insensitive (cleaning.py:21-22)."""
+    return F.regexp_replace(_col(c), r"(?i)Página \d+", "")
+
+
+def empty_to_null(c: ColumnOrName) -> Column:
+    """Strip, then empty-string → NULL (schemas.py:144-159)."""
+    t = F.trim(_col(c))
+    return F.when(t == "", F.lit(None).cast("string")).otherwise(t)
+
+
+# --- F5-F7: Náhuatl rules (normalizers.py:136-153) -------------------------
+
+# saltillo variants U+0027 U+2019 U+0060 U+0294 → modifier letter apostrophe
+_SALTILLO_SRC = "'’`ʔ"
+_SALTILLO_DST = "ʼ" * 4
+
+
+def normalize_saltillo(c: ColumnOrName) -> Column:
+    """Unify saltillo forms (' ’ ` ʔ) to ʼ U+02BC (normalizers.py:136-145)."""
+    return F.translate(_col(c), _SALTILLO_SRC, _SALTILLO_DST)
+
+
+def clamp_vowel_runs(c: ColumnOrName) -> Column:
+    """≥3 repeated vowels → 2, case-insensitive, macron-aware
+    (normalizers.py:147-149)."""
+    return F.regexp_replace(_col(c), r"(?i)([aeiouāēīōū])\1{2,}", "$1$1")
+
+
+def fix_punctuation_spacing(c: ColumnOrName) -> Column:
+    """Remove space before , ; : . (normalizers.py:151-153)."""
+    return F.regexp_replace(_col(c), r"\s+([,;:.])", "$1")
+
+
+def normalize_nahuatl(c: ColumnOrName) -> Column:
+    """Full Náhuatl rule chain (normalizers.py:129-153)."""
+    return fix_punctuation_spacing(clamp_vowel_runs(normalize_saltillo(c)))
+
+
+# --- F8: Maya rules (normalizers.py:179-191) -------------------------------
+
+_MAYA_GLOTTAL_SRC = "ʼ’`ʔ"
+_MAYA_GLOTTAL_DST = "''''"
+
+
+def normalize_maya_glottal(c: ColumnOrName) -> Column:
+    """Maya glottals (ʼ ’ ` ʔ) → ASCII ' and re-attach ejectives
+    (``k ' → k'``) (normalizers.py:179-191)."""
+    ascii_glottal = F.translate(_col(c), _MAYA_GLOTTAL_SRC, _MAYA_GLOTTAL_DST)
+    return F.regexp_replace(ascii_glottal, r"([bchkptz])\s+'", "$1'")
+
+
+# --- F9: Spanish typography (normalizers.py:218-232) ------------------------
+
+
+def clean_spanish_typography(c: ColumnOrName) -> Column:
+    """em/en-dash & ``--`` → ``-``; «»“”‘’ → ASCII quotes; … → ``...``;
+    NBSP → space (normalizers.py:218-232)."""
+    out = F.regexp_replace(_col(c), r"[—–]|--", "-")
+    out = F.translate(out, "«»“”", '""""')
+    out = F.translate(out, "‘’", "''")
+    out = F.regexp_replace(out, "…", "...")
+    return F.regexp_replace(out, " ", " ")
+
+
+def normalize_spanish(c: ColumnOrName) -> Column:
+    return clean_spanish_typography(c)
+
+
+# --- F10: orthographic variants (processing/normalization.py:13-36) --------
+
+
+def orthographic_variant(c: ColumnOrName, variant: str = "central") -> Column:
+    """Dialect-keyed respelling: central ``'``/``’``→h, word-initial w→hu;
+    huasteca ``hu``→w."""
+    if variant == "central":
+        out = F.regexp_replace(_col(c), r"['’]", "h")
+        return F.regexp_replace(out, r"\bw", "hu")
+    if variant == "huasteca":
+        return F.regexp_replace(_col(c), r"hu", "w")
+    raise ValueError(f"unknown variant {variant!r}")
+
+
+# --- F11: dedup key (deduplicators.py:152-169) ------------------------------
+
+
+def dedup_key(*cols: ColumnOrName, sep: str = "|") -> Column:
+    """``lower(trim(c))`` per column, NULL→'' , joined with a separator.
+
+    concat_ws treats NULL as empty string, matching the reference's
+    ``(r.es or '').strip().lower()`` key building.
+    """
+    return F.concat_ws(sep, *[F.lower(F.trim(_col(c))) for c in cols])
+
+
+# --- composed pipeline (normalizers.py:65-110) ------------------------------
+
+_LANG_RULES = {
+    "nah": normalize_nahuatl,
+    "myn": normalize_maya_glottal,
+    "es": normalize_spanish,
+}
+
+
+def normalize_text(
+    c: ColumnOrName,
+    lang: str | None = None,
+    *,
+    nfc: bool = True,
+    strip_urls: bool = False,
+    strip_page_artifacts: bool = False,
+) -> Column:
+    """strip → NFC → language rules → whitespace collapse → empty→NULL.
+
+    ``nfc=False`` keeps the plan 100% JVM-side (useful when input is known
+    pre-composed, e.g. re-normalization passes).
+    """
+    out = _col(c)
+    if nfc:
+        out = nfc_normalize(out)
+    if strip_urls:
+        out = remove_urls(out)
+    if strip_page_artifacts:
+        out = remove_page_artifacts(out)
+    if lang is not None:
+        if lang not in _LANG_RULES:
+            raise ValueError(f"unknown lang {lang!r}; expected {sorted(_LANG_RULES)}")
+        out = _LANG_RULES[lang](out)
+    return empty_to_null(collapse_whitespace(out))

@@ -1,0 +1,639 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) → DataFrame callable plus a DuckDB-runnable ANSI-SQL oracle.
+
+This is the engine's correctness surface (SURVEY.md §2 inventory → driver's
+CORRECTNESS gate). Column names/aliases are kept identical between the
+Spark plan and the oracle SQL — the driver hash-compares values after
+sorting columns by name.
+
+Floating-point policy: every double aggregate is rounded (2-6 dp) in BOTH
+engines, because summation order differs between Spark partitions and the
+oracle; rounding makes the results bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.functions.hashing import (
+    minhash_signature_cols,
+    word_shingles,
+)
+from nahuatl_data_pipeline_spark.functions.langid import detect_language
+from nahuatl_data_pipeline_spark.functions.normalize import (
+    collapse_whitespace,
+    dedup_key,
+)
+from nahuatl_data_pipeline_spark.functions.text_analysis import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    document_fingerprint,
+    punct_ratio,
+    token_count,
+)
+from nahuatl_data_pipeline_spark.operators.aggregates import (
+    daily_rollup,
+    latest_per_group,
+    length_stats,
+    moving_average_trend,
+    null_stats,
+    top_k,
+    type_token_ratio,
+)
+from nahuatl_data_pipeline_spark.operators.dedup import duplicate_stats, exact_dedup
+from nahuatl_data_pipeline_spark.operators.split import seeded_split
+from nahuatl_data_pipeline_spark.schemas import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans, filters, aggregates, joins, windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped scan→filter→hash-agg (A1/A8 analogue).
+
+    Scale notes: the filter reaches the parquet scan (PushedFilters), only
+    7 of 11 columns are read (ReadSchema pruning), and the aggregate is
+    partial (map-side) before the single shuffle over 6 groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-join + A5 top-k. customer is the small side → explicit
+    broadcast so the join is shuffle-free at any orders volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "inner",
+        )
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q03_latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type, ROUND(value, 4) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q03_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 latest-row-per-group (schema.sql:171-187 view) — one window, one
+    shuffle on user_id, deterministic tiebreak on event_id."""
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_group(
+        events.withColumn("__ord", F.struct(F.col("ts"), F.col("event_id"))),
+        ["user_id"],
+        "__ord",
+    ).select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
+    "q04_event_value_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             ROUND(AVG(value), 4) AS avg_value,
+             ROUND(MIN(value), 4) AS min_value,
+             ROUND(MAX(value), 4) AS max_value,
+             ROUND(COALESCE(STDDEV(value), 0.0), 4) AS stddev_value,
+             COUNT(value) AS n_measurements
+      FROM events GROUP BY 1, 2
+    ),
+    windowed AS (
+      SELECT d, event_type, avg_value,
+             ROUND(AVG(avg_value) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma_7d,
+             ROUND(LAG(avg_value, 7) OVER (
+               PARTITION BY event_type ORDER BY d), 4) AS value_7d_ago,
+             LAG(avg_value, 7) OVER (PARTITION BY event_type ORDER BY d) AS prev_raw
+      FROM daily
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS date, event_type, avg_value, ma_7d,
+           value_7d_ago,
+           CASE
+             WHEN prev_raw IS NULL THEN '→'
+             WHEN avg_value > prev_raw * 1.05 THEN '↑'
+             WHEN avg_value < prev_raw * 0.95 THEN '↓'
+             ELSE '→'
+           END AS trend
+    FROM windowed
+    """,
+)
+def q04_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 daily rollup + W1 7-day moving average + W2 LAG trend — the
+    `quality_trends.sql` pipeline verbatim, applied to the events table."""
+    events = load_table(spark, sf_dir, "events")
+    daily = daily_rollup(events, "ts", "value", ["event_type"])
+    return moving_average_trend(daily, ["event_type"]).select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "event_type",
+        "avg_value",
+        "ma_7d",
+        "value_7d_ago",
+        "trend",
+    )
+
+
+@register(
+    "q05_order_status_monthly",
+    """
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           ROUND(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS finished_pct
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q05_order_status_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 conditional aggregation + A10 NULLIF-guarded ratio
+    (schema.sql:203-214, 222-226)."""
+    orders = load_table(spark, sf_dir, "orders")
+    fin = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    opn = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+    total = F.count(F.lit(1))
+    # dates travel as ISO strings: engines disagree on date↔pandas dtypes
+    return orders.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        total.alias("n_orders"),
+        fin.alias("n_finished"),
+        opn.alias("n_open"),
+        F.round(100.0 * fin / F.nullif(total, F.lit(0)), 2).alias("finished_pct"),
+    )
+
+
+@register(
+    "q06_max_price_order",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders)
+    """,
+)
+def q06_max_price_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 scalar-subquery pattern (schema.sql:183-187): join against a
+    1-row MAX aggregate — Catalyst broadcasts the single row."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("max_price"))
+    return (
+        orders.join(
+            F.broadcast(mx), orders.o_totalprice == mx.max_price, "inner"
+        ).select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )
+
+
+@register(
+    "q07_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 anti-join (replaces the reference's collect-ids-to-driver filter,
+    SparkDedup.scala:63-71)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q08_nations_with_customers",
+    """
+    SELECT n.n_nationkey, n.n_name
+    FROM nation n
+    WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+    """,
+)
+def q08_nations_with_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 semi-join (split-leakage / key-overlap pattern)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return nation.join(
+        customer, nation.n_nationkey == customer.c_nationkey, "left_semi"
+    ).select("n_nationkey", "n_name")
+
+
+@register(
+    "q09_revenue_by_nation_region",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q09_revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dimension join: every dim is broadcast so the fact table
+    never shuffles until the final 25-group aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup / splits / text analysis (the corpus-pipeline surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_doc_exact_dedup",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY LOWER(TRIM(text))
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q10_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 window dedup, keep-best (longest text, stable doc_id
+    tiebreak) on the normalized content key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(
+        docs,
+        [dedup_key("text")],
+        order_by=[F.desc("n_chars")],
+        tiebreak=["doc_id"],
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "q11_doc_dup_stats",
+    """
+    SELECT CAST(SUM(n) AS BIGINT) AS total_records,
+           CAST(COUNT(*) AS BIGINT) AS unique_keys,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS duplicate_records,
+           ROUND((SUM(n) - COUNT(*)) / SUM(n), 6) AS duplicate_rate,
+           CAST(MAX(n) AS BIGINT) AS max_group_size
+    FROM (
+      SELECT LOWER(TRIM(text)) AS k, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    )
+    """,
+)
+def q11_doc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 duplicate statistics (deduplicators.py:237-281)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_stats(docs, [dedup_key("text")])
+
+
+@register(
+    "q12_doc_null_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_text,
+           ROUND(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS null_rate_text,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang,
+           ROUND(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS null_rate_lang,
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_source,
+           ROUND(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS null_rate_source
+    FROM documents
+    """,
+)
+def q12_doc_null_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 null counts/rates in one aggregate pass (generate_stats.py:85-88)."""
+    return null_stats(load_table(spark, sf_dir, "documents"), ["text", "lang", "source"])
+
+
+@register(
+    "q13_doc_length_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(LENGTH(text)) AS BIGINT) AS n,
+           ROUND(AVG(LENGTH(text)), 4) AS avg_len,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len,
+           ROUND(STDDEV(LENGTH(text)), 4) AS stddev_len,
+           ROUND(QUANTILE_CONT(LENGTH(text), 0.5), 4) AS median_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q13_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 text-length stats per language (generate_stats.py:93-105),
+    exact median via percentile()."""
+    return length_stats(load_table(spark, sf_dir, "documents"), "text", group_by="lang")
+
+
+@register(
+    "q14_top_sources",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS count
+    FROM documents GROUP BY source
+    ORDER BY count DESC, source ASC LIMIT 10
+    """,
+)
+def q14_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 top-k frequency (generate_stats.py:128-147)."""
+    return top_k(load_table(spark, sf_dir, "documents"), "source", 10)
+
+
+@register(
+    "q15_doc_ttr",
+    """
+    SELECT lang,
+           CAST(COUNT(token) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+           ROUND(COUNT(DISTINCT token) / COUNT(token), 6) AS ttr
+    FROM (
+      SELECT lang, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+      FROM documents
+    ) WHERE token <> ''
+    GROUP BY lang
+    """,
+)
+def q15_doc_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 type-token ratio via explode (metrics.py:9-20)."""
+    return type_token_ratio(
+        load_table(spark, sf_dir, "documents"), "text", group_by="lang"
+    )
+
+
+@register(
+    "q16_seeded_split",
+    """
+    SELECT doc_id, split FROM (
+      SELECT doc_id,
+             CASE
+               WHEN rnk <= FLOOR(n * 0.9) THEN 'train'
+               WHEN rnk <= FLOOR(n * 0.95) THEN 'validation'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM documents
+      )
+    )
+    """,
+)
+def q16_seeded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 exact seeded 90/5/5 split (unify.py:277-316): content-hash
+    ordering + exact cutoffs; reproducible at any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return seeded_split(docs, "doc_id", seed=42).select("doc_id", "split")
+
+
+@register(
+    "q17_split_counts",
+    """
+    WITH assigned AS (
+      SELECT CASE
+               WHEN rnk <= FLOOR(n * 0.9) THEN 'train'
+               WHEN rnk <= FLOOR(n * 0.95) THEN 'validation'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM documents
+      )
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM assigned GROUP BY split
+    """,
+)
+def q17_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 split-integrity: exact per-split counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        seeded_split(docs, "doc_id", seed=42)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+@register(
+    "q18_lang_detect",
+    None,  # heuristic cascade is Spark-side; SQL oracle added in tests
+)
+def q18_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 char-heuristic LID over documents (normalizers.py:298-346)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", detect_language(F.col("text")).alias("detected_lang")
+    )
+
+
+@register(
+    "q19_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q19_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — training-data
+    pipeline primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q20_doc_fingerprint",
+    """
+    SELECT doc_id,
+           SUBSTRING(MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))), 1, 16)
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q20_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized content — portable
+    content-addressed id (manager.py:17-21 pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", document_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "q21_normalized_text",
+    """
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, 'http\\S+', '', 'g'), '\\s+', ' ', 'g'))
+             AS normalized
+    FROM documents
+    """,
+)
+def q21_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3 normalization chain (whitespace collapse + URL removal) as a
+    codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        collapse_whitespace(F.regexp_replace(F.col("text"), r"http\S+", "")).alias(
+            "normalized"
+        ),
+    )
+
+
+@register(
+    "q22_minhash_signatures",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'))) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           MIN(MD5('0:' || tok)) AS mh0,
+           MIN(MD5('1:' || tok)) AS mh1,
+           MIN(MD5('2:' || tok)) AS mh2,
+           MIN(MD5('3:' || tok)) AS mh3
+    FROM toks WHERE tok <> ''
+    GROUP BY doc_id
+    """,
+)
+def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable MinHash signatures (4 components) over
+    unigram shingles — the candidate-generation half of MinHash-LSH dedup.
+    Computed per-row (array transform), no explode/shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles("text", n=1)
+    return docs.select("doc_id", *minhash_signature_cols(sh, num_hashes=4))
+
+
+@register(
+    "q23_doc_quality",
+    None,  # composite heuristic: Spark-side; rows-only driver check
+)
+def q23_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/punct/stopword/word-length heuristics) —
+    training-data pipeline primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    from nahuatl_data_pipeline_spark.functions.text_analysis import quality_score
+
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(quality_score("text"), 2).alias("quality_score"),
+    )

@@ -1,0 +1,192 @@
+"""Explicit schemas for the engine's data model (SURVEY.md §1).
+
+The corpus record schema mirrors the reference's pydantic ``Record``
+(``src/models/schemas.py:84-137``); the metadata tables mirror
+``sql/schema.sql``. Everything is a Spark ``StructType`` so reads never
+rely on inference (inference is a full-scan at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# --- enums (reference src/models/enums.py) -------------------------------
+
+DATA_SOURCES = (
+    "huggingface",
+    "youtube",
+    "pdf",
+    "manual",
+    "synthetic",
+    "bible",
+    "unknown",
+)
+
+DATA_LAYERS = ("bronze", "silver", "diamond", "gold")
+
+# layer → priority rank used by keep-best dedup (enums.py:36-60)
+LAYER_PRIORITY = {"bronze": 0, "silver": 1, "diamond": 2, "gold": 3}
+
+# --- corpus record (schemas.py:84-137) ------------------------------------
+
+RECORD_METADATA_SCHEMA = StructType(
+    [
+        StructField("record_id", StringType(), True),
+        StructField("created_at", TimestampType(), True),
+        StructField("dialect", StringType(), True),
+        StructField("maya_variant", StringType(), True),
+        StructField("quality_score", DoubleType(), True),
+        StructField("is_validated", BooleanType(), True),
+    ]
+)
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("es", StringType(), True),
+        StructField("nah", StringType(), True),
+        StructField("myn", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("layer", StringType(), True),
+        StructField("origin_file", StringType(), True),
+        StructField("category", StringType(), True),
+        StructField("metadata", RECORD_METADATA_SCHEMA, True),
+    ]
+)
+
+# Lenient legacy input schema: superset of keys `Record.from_legacy_format`
+# coalesces (schemas.py:229-287, scripts/unify_datasets.py:25-66), including
+# the nested-dump variant with an `original` payload and `sp` Spanish alias
+# (src/pipeline/unify.py:231-245).
+LEGACY_INPUT_SCHEMA = StructType(
+    [
+        StructField("es", StringType(), True),
+        StructField("nah", StringType(), True),
+        StructField("myn", StringType(), True),
+        StructField("es_translation", StringType(), True),
+        StructField("nah_translation", StringType(), True),
+        StructField("myn_translation", StringType(), True),
+        StructField("original_es", StringType(), True),
+        StructField("prompt", StringType(), True),
+        StructField("chosen", StringType(), True),
+        StructField("original_audio_text", StringType(), True),
+        StructField("detected_language", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("source_file", StringType(), True),
+        StructField("category", StringType(), True),
+        StructField(
+            "original",
+            StructType(
+                [
+                    StructField("es", StringType(), True),
+                    StructField("sp", StringType(), True),
+                    StructField("nah", StringType(), True),
+                    StructField("myn", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        StructField("_corrupt_record", StringType(), True),
+    ]
+)
+
+# --- metadata store (sql/schema.sql) --------------------------------------
+
+PIPELINE_RUNS_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("run_id", StringType(), False),
+        StructField("pipeline_name", StringType(), False),
+        StructField("started_at", TimestampType(), False),
+        StructField("ended_at", TimestampType(), True),
+        StructField("status", StringType(), False),
+        StructField("records_input", LongType(), True),
+        StructField("records_output", LongType(), True),
+        StructField("records_filtered", LongType(), True),
+        StructField("duration_seconds", DoubleType(), True),
+        StructField("error_message", StringType(), True),
+        StructField("git_commit_hash", StringType(), True),
+        StructField("config_snapshot", StringType(), True),
+    ]
+)
+
+QUALITY_METRICS_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("run_id", StringType(), False),
+        StructField("metric_name", StringType(), False),
+        StructField("metric_value", DoubleType(), False),
+        StructField("metric_unit", StringType(), True),
+        StructField("dataset_split", StringType(), True),
+        StructField("measured_at", TimestampType(), False),
+    ]
+)
+
+DATA_LINEAGE_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("run_id", StringType(), False),
+        StructField("source_file", StringType(), False),
+        StructField("source_type", StringType(), True),
+        StructField("source_layer", StringType(), True),
+        StructField("records_ingested", LongType(), True),
+        StructField("records_valid", LongType(), True),
+        StructField("records_invalid", LongType(), True),
+        StructField("ingested_at", TimestampType(), True),
+        StructField("checksum", StringType(), True),
+    ]
+)
+
+SOURCES_REGISTRY_SCHEMA = StructType(
+    [
+        StructField("source_id", StringType(), False),
+        StructField("source_url", StringType(), True),
+        StructField("ingestion_driver", StringType(), True),
+        StructField("ingestion_status", StringType(), True),
+    ]
+)
+
+# --- driver testdata ------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one testdata table (operator S4).
+
+    Plain ``spark.read.parquet`` so Catalyst gets pushdown + pruning; never
+    infer-from-JSON here.
+
+    The ``events`` table carries TIMESTAMP(NANOS) which Spark rejects by
+    default: read nanos as long and truncate to microseconds with integer
+    division (``div`` truncates exactly like other engines' ns→us cast;
+    float division would *round* and diverge by 1µs).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
