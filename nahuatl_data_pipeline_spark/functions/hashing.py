@@ -45,21 +45,23 @@ def word_shingles(c: ColumnOrName, n: int = 3, lowercase: bool = True) -> Column
     Built with transform over a sequence of start offsets — no explode, no
     UDF; the shingle array is built per-row inside codegen.
     """
-    toks = token_set(c, lowercase=lowercase) if n == 1 else (
-        F.filter(
-            F.split(F.trim(F.lower(_col(c)) if lowercase else _col(c)), r"\s+"),
-            lambda t: t != "",
-        )
-    )
     if n == 1:
-        return toks
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), k - F.lit(1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+        return token_set(c, lowercase=lowercase)
+    toks = F.filter(
+        F.split(F.trim(F.lower(_col(c)) if lowercase else _col(c)), r"\s+"),
+        lambda t: t != "",
     )
+    # guard: sequence(0, -1) would DESCEND, not return empty — short docs
+    # (< n tokens) must yield an empty shingle array explicitly
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature_cols(

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (SURVEY.md training-data ops).
+
+Two paths:
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Broadcast the (small) query set against the corpus; cosine is a
+  sequential left-fold over the array so results are bit-reproducible
+  across engines.
+- ``lsh_topk``: BucketedRandomProjectionLSH-bucketed approximate top-k —
+  the 100 TB path (maps the reference's FAISS top-1 alignment join,
+  ``pipeline/alignment/aligner.py:15-50``). Candidates come from hash
+  buckets instead of a full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_cols(a, b) -> F.Column:
+    """cosine(a, b) computed in double precision, sequential fold order
+    (portable: any engine folding left-to-right matches bit-for-bit)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: queries × corpus → rank ≤ k.
+
+    The query side is broadcast (it is the small side by construction);
+    the corpus never shuffles — each partition scores its rows against
+    every query and the window reduces per-query. Ranking uses the
+    *rounded* cosine plus the neighbor id so near-ties break identically
+    everywhere.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_cols(F.col("__qv"), F.col("__cv")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-projection LSH buckets.
+
+    Vectors are L2-normalized first so Euclidean distance is monotone in
+    cosine (d² = 2 − 2·cos); candidates = pairs sharing any hash bucket.
+    At 100 TB this replaces the O(|Q|·|C|) cross product with a bucket
+    join; recall is tunable via num_hash_tables/bucket_length.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401  (ml runtime check)
+
+    def normed(df: DataFrame, out: str) -> DataFrame:
+        arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        nrm = _norm(arr)
+        return df.select(
+            F.col(id_col),
+            array_to_vector(F.transform(arr, lambda x: x / nrm)).alias(out),
+        )
+
+    qn = normed(queries, "features")
+    cn = normed(corpus, "features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cn)
+    # max distance 2.0 covers any cosine; bucketing does the pruning
+    joined = model.approxSimilarityJoin(qn, cn, 2.0, distCol="dist")
+    pairs = joined.select(
+        F.col(f"datasetA.{id_col}").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        # d² = 2 − 2·cos on unit vectors  ⇒  cos = 1 − d²/2
+        F.round(1 - F.pow(F.col("dist"), 2) / 2, 4).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

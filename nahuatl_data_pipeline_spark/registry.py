@@ -637,3 +637,281 @@ def q23_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(quality_score("text"), 2).alias("quality_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search & fuzzy dedup (scale-path training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(
+               CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4)
+               AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k ANN baseline over the embedding
+    column. Ranking uses the rounded score + id tiebreak so ordering is
+    engine-identical."""
+    from nahuatl_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+_PLANT_SUFFIX = " planted near duplicate suffix"
+
+_Q25_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '{_PLANT_SUFFIX}' AS text
+      FROM documents WHERE doc_id < 100
+    ),
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
+      FROM toks WHERE LEN(tk) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('0:' || s))) AS mh0,
+             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('1:' || s))) AS mh1,
+             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('2:' || s))) AS mh2,
+             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('3:' || s))) AS mh3,
+             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('4:' || s))) AS mh4,
+             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('5:' || s))) AS mh5,
+             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('6:' || s))) AS mh6,
+             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('7:' || s))) AS mh7
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles))), 6)
+             AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+
+@register("q25_near_dup_pairs", _Q25_ORACLE)
+def q25_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate detection, deterministic + oracle-checked:
+    3-gram shingles → 8 md5 minhashes → 4 bands → bucket join → exact
+    Jaccard ≥ 0.5. Planted near-dups (docs 0-99 + a suffix) guarantee the
+    candidate path is actually exercised."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import banded_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
+    )
+    base = docs.unionByName(planted)
+    return banded_minhash_pairs(
+        base, "doc_id", "text", shingle_n=3, num_hashes=8, band_size=2,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "q26_legacy_coalesce",
+    """
+    WITH legacy AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text END AS es,
+             CASE WHEN doc_id % 3 = 1 THEN text END AS es_translation,
+             CASE WHEN doc_id % 3 = 2 THEN text END AS prompt,
+             CASE WHEN doc_id % 2 = 0 THEN '  ' ELSE source END AS raw_source
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(es, es_translation, prompt) AS es,
+           NULLIF(TRIM(raw_source), '') AS source
+    FROM legacy
+    WHERE COALESCE(es, es_translation, prompt) IS NOT NULL
+    """,
+)
+def q26_legacy_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3: legacy-key coalescing projection + empty-string→NULL
+    (schemas.py:229-287, unify_datasets.py:25-66), demonstrated on a
+    synthesized legacy-shaped input."""
+    from nahuatl_data_pipeline_spark.functions.normalize import empty_to_null
+
+    docs = load_table(spark, sf_dir, "documents")
+    legacy = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text")).alias("es"),
+        F.when(F.col("doc_id") % 3 == 1, F.col("text")).alias("es_translation"),
+        F.when(F.col("doc_id") % 3 == 2, F.col("text")).alias("prompt"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("  "))
+        .otherwise(F.col("source"))
+        .alias("raw_source"),
+    )
+    es = F.coalesce("es", "es_translation", "prompt")
+    return legacy.select(
+        "doc_id",
+        es.alias("es"),
+        empty_to_null("raw_source").alias("source"),
+    ).filter(es.isNotNull())
+
+
+@register(
+    "q27_unicode_stats",
+    """
+    SELECT CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[āēīōūĀĒĪŌŪ]', '', 'g'))) AS BIGINT) AS macron_total,
+           CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[ʼ''’`ʔ]', '', 'g'))) AS BIGINT) AS saltillo_total,
+           CAST(MAX(CASE WHEN REGEXP_MATCHES(text, '[āēīōū]') THEN 1 ELSE 0 END) AS INT) AS has_macron,
+           CAST(COUNT(CASE WHEN REGEXP_MATCHES(text, '[āēīōū]') THEN 1 END) AS BIGINT) AS rows_with_macron
+    FROM documents
+    """,
+)
+def q27_unicode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: Unicode character statistics (generate_stats.py:22-70) — the
+    macron-preservation metric behind the reference's zero-tolerance
+    invariant."""
+    from nahuatl_data_pipeline_spark.operators.aggregates import unicode_char_stats
+
+    return unicode_char_stats(load_table(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "q28_watermark_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '2000-06-01'
+    """,
+)
+def q28_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/S10: CDC watermark incremental scan (oracle_connector.py:134-140)
+    — predicate pushed to the parquet scan (PushedFilters)."""
+    from nahuatl_data_pipeline_spark.operators.filters import watermark_filter
+
+    orders = load_table(spark, sf_dir, "orders")
+    return watermark_filter(
+        orders, "o_orderdate", "2000-06-01 00:00:00"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+@register(
+    "q29_stratified_split",
+    """
+    SELECT doc_id, lang,
+           CASE
+             WHEN rnk <= FLOOR(n * 0.9) THEN 'train'
+             WHEN rnk <= FLOOR(n * 0.95) THEN 'validation'
+             ELSE 'test'
+           END AS split
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    """,
+)
+def q29_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: stratified seeded split (ARCHITECTURE.md:143-150) — per-stratum
+    windows, parallel across strata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return seeded_split(docs, "doc_id", seed=42, stratify_by="lang").select(
+        "doc_id", "lang", "split"
+    )
+
+
+@register(
+    "q30_props_json",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q30_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18: JSON decode of the props payload + aggregate
+    (get_json_object; unify_v2.py:208-215 pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@register("q31_minhash_lsh_dedup", None)  # seeded pyspark.ml LSH — rows-only
+def q31_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+J3+J4+D5: pyspark.ml MinHashLSH fuzzy dedup — the scale path
+    (SparkDedup.scala:108-151 re-expression). Approximate+seeded, so
+    checked by invariants in tests rather than a SQL oracle."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    return minhash_lsh_dedup(
+        docs.unionByName(planted), "doc_id", "text", threshold=0.2, shingle_n=3
+    )
+
+
+@register("q32_simhash", None)  # xxhash64 is Spark-specific — rows-only
+def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + 16-bit bands for hamming-bucket near-dup
+    search at scale."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import simhash_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_groups(docs, "doc_id", "text")
+
+
+@register("q33_lsh_topk", None)  # random-projection LSH — rows-only
+def q33_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: BucketedRandomProjectionLSH top-k (the 100 TB
+    alternative to q24's brute force; aligner.py:15-50 analogue)."""
+    from nahuatl_data_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
