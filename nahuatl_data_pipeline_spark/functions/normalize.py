@@ -146,10 +146,13 @@ def orthographic_variant(c: ColumnOrName, variant: str = "central") -> Column:
 def dedup_key(*cols: ColumnOrName, sep: str = "|") -> Column:
     """``lower(trim(c))`` per column, NULL→'' , joined with a separator.
 
-    concat_ws treats NULL as empty string, matching the reference's
-    ``(r.es or '').strip().lower()`` key building.
+    Each part is coalesced to '' BEFORE the join — concat_ws would skip a
+    NULL part entirely, collapsing ('a', NULL) and ('a',) into the same
+    key; the reference's ``(r.es or '').strip().lower()`` keeps the empty
+    slot (deduplicators.py:152-169).
     """
-    return F.concat_ws(sep, *[F.lower(F.trim(_col(c))) for c in cols])
+    parts = [F.coalesce(F.lower(F.trim(_col(c))), F.lit("")) for c in cols]
+    return F.concat_ws(sep, *parts)
 
 
 # --- composed pipeline (normalizers.py:65-110) ------------------------------

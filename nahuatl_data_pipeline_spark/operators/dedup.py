@@ -109,8 +109,10 @@ def deduplicate(
         )
     else:
         raise ValueError(f"unknown keep policy {keep!r}")
-    # tiebreak on the full text values keeps the ordering total
-    return exact_dedup(df, [key], order_by=order, tiebreak=list(lang_cols))
+    # tiebreak on every column keeps the ordering total — identical text
+    # with different provenance must still dedup deterministically at any
+    # partition count
+    return exact_dedup(df, [key], order_by=order, tiebreak=list(df.columns))
 
 
 def duplicate_stats(

@@ -1,0 +1,146 @@
+"""Declarative data-quality checks (A11/A12, SURVEY.md §2.5).
+
+Two reference surfaces merged into one framework:
+- the Scala ``QualityCheck`` trait (``src/scala_examples/DataQuality.scala:
+  20-114``): NotNull ratio, regex-match ratio, uniqueness ratio,
+  min-row-count — each a metric + threshold;
+- the Great Expectations suite (``great_expectations/expectations/
+  corc_nah_corpus_suite.json``): 8 declarative expectations over the
+  corpus.
+
+Every check compiles to ONE aggregate expression, and a whole suite runs
+as a SINGLE ``df.agg(...)`` pass — one scan of 100 TB evaluates all
+expectations at once. Results come back as a tidy DataFrame
+(check, metric, threshold, passed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Op = Literal[">=", "<=", ">", "<", "between"]
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation: an aggregate metric compared to a threshold."""
+
+    name: str
+    metric: Column
+    op: Op
+    threshold: float
+    threshold_hi: float | None = None  # for op == "between"
+
+    def passed(self, value: Column) -> Column:
+        if self.op == ">=":
+            return value >= self.threshold
+        if self.op == "<=":
+            return value <= self.threshold
+        if self.op == ">":
+            return value > self.threshold
+        if self.op == "<":
+            return value < self.threshold
+        if self.op == "between":
+            return (value >= self.threshold) & (value <= self.threshold_hi)
+        raise ValueError(self.op)
+
+
+# --- metric builders (DataQuality.scala:39-114) ----------------------------
+
+
+def not_null_ratio(col: str) -> Column:
+    return F.count(F.col(col)) / F.count(F.lit(1))
+
+
+def regex_match_ratio(col: str, pattern: str) -> Column:
+    """Matching share among NON-NULL values (GE ``mostly`` semantics)."""
+    return F.count(F.when(F.col(col).rlike(pattern), 1)) / F.count(F.col(col))
+
+
+def unique_ratio(col: str) -> Column:
+    return F.countDistinct(F.col(col)) / F.count(F.col(col))
+
+
+def length_in_range_ratio(col: str, lo: int, hi: int) -> Column:
+    n = F.length(F.col(col))
+    return F.count(F.when(n.between(lo, hi), 1)) / F.count(F.col(col))
+
+
+def values_in_set_ratio(col: str, allowed: list[str]) -> Column:
+    return F.count(F.when(F.col(col).isin(allowed), 1)) / F.count(F.col(col))
+
+
+def row_count() -> Column:
+    return F.count(F.lit(1)).cast("double")
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate a whole suite in ONE aggregate pass.
+
+    Returns (check, metric, threshold, passed) rows; overall status is
+    ``results.agg(min(passed))`` — still no second scan of the data.
+    """
+    agg_row = df.agg(
+        *[F.round(c.metric, 6).cast("double").alias(c.name) for c in checks]
+    )
+    # pivot the 1-row aggregate into tidy rows with stack()
+    pairs = ", ".join(f"'{c.name}', `{c.name}`" for c in checks)
+    tall = agg_row.selectExpr(
+        f"stack({len(checks)}, {pairs}) as (check, metric)"
+    )
+    thresholds = F.create_map(
+        *[x for c in checks for x in (F.lit(c.name), F.lit(float(c.threshold)))]
+    )
+    tall = tall.withColumn("threshold", thresholds[F.col("check")])
+    passed = F.lit(False)
+    for c in checks:
+        passed = F.when(
+            F.col("check") == c.name, c.passed(F.col("metric"))
+        ).otherwise(passed)
+    return tall.withColumn("passed", passed)
+
+
+def corpus_expectation_suite(
+    min_rows: float = 1e5, max_rows: float = 1e7
+) -> list[Check]:
+    """The reference's 8-expectation GE suite
+    (corc_nah_corpus_suite.json) as Check specs:
+
+    1. (column-set match — structural; see ``validate_schema``)
+    2. es not-null            mostly = 1.0
+    3. nah not-null           mostly = 0.95
+    4. nah macron regex       mostly = 0.30
+    5. es unique proportion   ∈ [0.98, 1.0]
+    6. es length ∈ [5, 1000]  mostly = 0.98
+    7. source ∈ catalog set   = 1.0
+    8. row count              ∈ [min_rows, max_rows]
+    """
+    sources = [
+        "huggingface",
+        "youtube",
+        "pdf",
+        "bible.is",
+        "manual",
+        "synthetic",
+        "axolotl",
+        "flores",
+        "tatoeba",
+    ]
+    return [
+        Check("es_not_null", not_null_ratio("es"), ">=", 1.0),
+        Check("nah_not_null", not_null_ratio("nah"), ">=", 0.95),
+        Check("nah_macron_ratio", regex_match_ratio("nah", "[āēīōū]"), ">=", 0.30),
+        Check("es_unique_ratio", unique_ratio("es"), "between", 0.98, 1.0),
+        Check("es_length_ratio", length_in_range_ratio("es", 5, 1000), ">=", 0.98),
+        Check("source_in_set", values_in_set_ratio("source", sources), ">=", 1.0),
+        Check("row_count", row_count(), "between", min_rows, max_rows),
+    ]
+
+
+def validate_schema(df: DataFrame, expected_cols: set[str]) -> bool:
+    """GE expectation 1: exact column-set match (structural, no scan)."""
+    return set(df.columns) == expected_cols

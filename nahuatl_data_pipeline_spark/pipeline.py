@@ -1,0 +1,140 @@
+"""End-to-end corpus pipeline (SURVEY.md §3.1): the Spark re-expression of
+``UnifiedPipeline.run`` (``src/pipeline/unify.py:80-121``) and its v2
+run-tracked variant (``src/pipeline/unify_v2.py:102-188``).
+
+The reference executes eagerly over ``List[Record]`` in five staged loops;
+here the whole run is ONE lazy DataFrame chain
+
+    read → coalesce/filter → normalize → window-dedup → split-tag → write
+
+so Catalyst fuses the narrow stages and the only shuffles are the dedup
+window and the split ranking (§3.1 "Spark shape"). Stage counts for run
+metadata come from a single post-write aggregate, not per-stage actions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.functions.normalize import normalize_text
+from nahuatl_data_pipeline_spark.operators.dedup import deduplicate, union_layers
+from nahuatl_data_pipeline_spark.operators.filters import translation_pair_filter
+from nahuatl_data_pipeline_spark.operators.split import seeded_split
+from nahuatl_data_pipeline_spark.sources.readers import read_layer_dir
+from nahuatl_data_pipeline_spark.sources.writers import write_splits
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the reference's pydantic Settings (src/utils/config.py):
+    seed/ratios (``:72-93``), length bounds (``:96-105``), NFC form
+    (``:120-123``)."""
+
+    seed: int = 42
+    ratios: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.9, "validation": 0.05, "test": 0.05}
+    )
+    min_length: int = 3
+    max_length: int = 1000
+    nfc: bool = True
+    keep: str = "best"
+    lang_cols: tuple[str, ...] = ("es", "nah", "myn")
+
+
+def normalize_records(
+    df: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Stage 2 (`_normalize_records`, unify.py:95-103): per-language
+    normalization pipeline F1-F9 applied as column transforms."""
+    cfg = cfg or PipelineConfig()
+    out = df
+    for lang in cfg.lang_cols:
+        if lang in df.columns:
+            out = out.withColumn(
+                lang, normalize_text(F.col(lang), lang=lang, nfc=cfg.nfc)
+            )
+    return out
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    layer_dirs: dict[str, str],
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    metadata_store=None,
+) -> dict:
+    """The full Bronze→Gold unification:
+
+    1. load every layer dir (S1-S3), tagging layer + origin_file;
+    2. normalize text columns (F1-F9);
+    3. keep valid translation pairs within length bounds (P1/P4);
+    4. exact-dedup keep-best across layers (D2/D3);
+    5. exact seeded split (R1);
+    6. single partitioned write of the gold splits (S13).
+
+    Returns the run stats dict (input/output/filtered + per-split counts).
+    With a ``metadata_store``, wraps the run in start/complete/fail rows
+    (unify_v2.py transaction pattern).
+    """
+    cfg = cfg or PipelineConfig()
+    run_id = started_at = None
+    if metadata_store is not None:
+        import datetime
+
+        started_at = datetime.datetime.now()
+        run_id = metadata_store.start_run("unify", {"seed": cfg.seed})
+
+    try:
+        layers = [
+            read_layer_dir(spark, path, layer=name)
+            for name, path in layer_dirs.items()
+        ]
+        raw = union_layers(*layers)
+        n_input = raw.count()
+
+        normalized = normalize_records(raw, cfg)
+        valid = translation_pair_filter(normalized).filter(
+            F.length(F.col("es")).between(cfg.min_length, cfg.max_length)
+        )
+        deduped = deduplicate(valid, keep=cfg.keep, lang_cols=cfg.lang_cols)
+        split = seeded_split(
+            deduped,
+            key="es",
+            ratios=cfg.ratios,
+            seed=cfg.seed,
+        )
+        write_splits(split, out_dir)
+
+        # one aggregate over the written data for all output stats
+        gold = spark.read.parquet(out_dir)
+        per_split = {
+            r["split"]: r["n"]
+            for r in gold.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_output = sum(per_split.values())
+        stats = {
+            "input": n_input,
+            "output": n_output,
+            "filtered": n_input - n_output,
+            "splits": per_split,
+        }
+        if metadata_store is not None:
+            metadata_store.complete_run(run_id, "unify", started_at, stats)
+            metadata_store.log_metrics(
+                run_id,
+                {
+                    "records_input": n_input,
+                    "records_output": n_output,
+                    "duplicate_or_invalid_rate": (
+                        (n_input - n_output) / n_input if n_input else 0.0
+                    ),
+                },
+            )
+        return stats
+    except Exception as exc:
+        if metadata_store is not None:
+            metadata_store.fail_run(run_id, "unify", started_at, str(exc))
+        raise

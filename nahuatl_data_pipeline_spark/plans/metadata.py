@@ -1,0 +1,270 @@
+"""Metadata store + analytical views (``sql/schema.sql``,
+``sql/queries/quality_trends.sql``) re-expressed on Spark.
+
+The reference keeps run tracking in SQLite (8 tables, 4 views, 1 trigger).
+Here the store is parquet-backed Spark tables: appends are atomic file
+adds, and the SQLite "UPDATE status" (``src/pipeline/unify_v2.py:190-282``)
+becomes an append of a new row-version + a latest-row-per-run view — the
+lakehouse CDC idiom (no in-place mutation at 100 TB).
+
+The four views are DataFrame functions; ``quality_trends`` is the
+windowed-trend query (CTE daily → agg → 7-day MA + LAG) ported
+operator-for-operator.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.aggregates import (
+    daily_rollup,
+    latest_per_group,
+    moving_average_trend,
+)
+from nahuatl_data_pipeline_spark.schemas import (
+    PIPELINE_RUNS_SCHEMA,
+    QUALITY_METRICS_SCHEMA,
+)
+
+
+# --------------------------------------------------------------------------
+# views (schema.sql:171-231)
+# --------------------------------------------------------------------------
+
+
+def current_runs(runs: DataFrame) -> DataFrame:
+    """Latest version per run_id (replaces SQLite in-place UPDATE)."""
+    return latest_per_group(runs, ["run_id"], "started_at")
+
+
+def latest_quality_metrics(runs: DataFrame, metrics: DataFrame) -> DataFrame:
+    """View `latest_quality_metrics` (schema.sql:171-187): metrics of the
+    most recent successful run. The correlated scalar subquery becomes a
+    rank-1 window + broadcast-friendly equi-join (J1+J2+W3)."""
+    latest_success = (
+        current_runs(runs)
+        .filter(F.col("status") == "success")
+        .withColumn(
+            "__rn", F.row_number().over(Window.orderBy(F.desc("started_at")))
+        )
+        .filter(F.col("__rn") == 1)
+        .select("run_id", "pipeline_name", "started_at")
+    )
+    return metrics.join(F.broadcast(latest_success), "run_id", "inner").select(
+        "metric_name",
+        "metric_value",
+        "metric_unit",
+        "dataset_split",
+        "measured_at",
+        "pipeline_name",
+        "started_at",
+    )
+
+
+def quality_trends_view(metrics: DataFrame) -> DataFrame:
+    """View `quality_trends` (schema.sql:189-201): daily AVG/MIN/MAX per
+    metric name + split."""
+    return daily_rollup(
+        metrics, "measured_at", "metric_value", ["metric_name", "dataset_split"]
+    )
+
+
+def pipeline_performance(runs: DataFrame) -> DataFrame:
+    """View `pipeline_performance` (schema.sql:203-214): per pipeline per
+    day — run counts, success/failure conditional sums, avg duration,
+    record throughput."""
+    r = current_runs(runs)
+    ok = F.sum(F.when(F.col("status") == "success", 1).otherwise(0))
+    fail = F.sum(F.when(F.col("status") == "failed", 1).otherwise(0))
+    return r.groupBy(
+        F.to_date("started_at").alias("run_date"), "pipeline_name"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total_runs"),
+        ok.cast("long").alias("successful_runs"),
+        fail.cast("long").alias("failed_runs"),
+        F.round(F.avg("duration_seconds"), 2).alias("avg_duration_seconds"),
+        F.sum("records_output").cast("long").alias("total_records_output"),
+    )
+
+
+def data_lineage_summary(lineage: DataFrame) -> DataFrame:
+    """View `data_lineage_summary` (schema.sql:216-231): validity rate per
+    source type/layer with the NULLIF(0) division guard (A10)."""
+    return lineage.groupBy("source_type", "source_layer").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("records_ingested").cast("long").alias("records_ingested"),
+        F.sum("records_valid").cast("long").alias("records_valid"),
+        F.round(
+            100.0
+            * F.sum("records_valid")
+            / F.nullif(F.sum("records_ingested"), F.lit(0)),
+            2,
+        ).alias("validity_pct"),
+    )
+
+
+def quality_trends(
+    runs: DataFrame, metrics: DataFrame, lookback_days: int = 30
+) -> DataFrame:
+    """The full `quality_trends.sql` query: successful-run metrics from the
+    last N days → daily rollup → 7-day moving average + LAG(7) trend."""
+    cutoff = F.date_sub(F.current_date(), lookback_days)
+    joined = metrics.join(
+        F.broadcast(
+            current_runs(runs).filter(F.col("status") == "success").select("run_id")
+        ),
+        "run_id",
+        "inner",
+    ).filter(F.to_date("measured_at") >= cutoff)
+    daily = daily_rollup(
+        joined, "measured_at", "metric_value", ["metric_name", "dataset_split"]
+    )
+    return moving_average_trend(daily, ["metric_name", "dataset_split"])
+
+
+def register_metadata_views(
+    spark: SparkSession, runs: DataFrame, metrics: DataFrame, lineage: DataFrame
+) -> None:
+    """Register tables + the four views as temp views so the reference's
+    `.sql` analytics run nearly verbatim under ``spark.sql`` (§3.3)."""
+    runs.createOrReplaceTempView("pipeline_runs")
+    metrics.createOrReplaceTempView("quality_metrics")
+    lineage.createOrReplaceTempView("data_lineage")
+    latest_quality_metrics(runs, metrics).createOrReplaceTempView(
+        "latest_quality_metrics"
+    )
+    quality_trends_view(metrics).createOrReplaceTempView("quality_trends")
+    pipeline_performance(runs).createOrReplaceTempView("pipeline_performance")
+    data_lineage_summary(lineage).createOrReplaceTempView("data_lineage_summary")
+
+
+# --------------------------------------------------------------------------
+# run tracking (S14; unify_v2.py:190-282, utils/db.py:161-227)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class MetadataStore:
+    """Parquet-backed run tracker. start/complete/fail append row-versions;
+    ``runs()``/``current()`` read them back."""
+
+    spark: SparkSession
+    base_dir: str
+
+    @property
+    def _runs_path(self) -> str:
+        return f"{self.base_dir}/pipeline_runs"
+
+    @property
+    def _metrics_path(self) -> str:
+        return f"{self.base_dir}/quality_metrics"
+
+    def _append(self, rows: list[dict], schema, path: str) -> None:
+        self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
+        ).write.mode("append").parquet(path)
+
+    def start_run(self, pipeline_name: str, config: dict | None = None) -> str:
+        run_id = str(uuid.uuid4())
+        self._append(
+            [
+                {
+                    "run_id": run_id,
+                    "pipeline_name": pipeline_name,
+                    "started_at": _now(),
+                    "status": "running",
+                    "config_snapshot": json.dumps(config or {}),
+                }
+            ],
+            PIPELINE_RUNS_SCHEMA,
+            self._runs_path,
+        )
+        return run_id
+
+    def complete_run(
+        self,
+        run_id: str,
+        pipeline_name: str,
+        started_at,
+        counts: dict[str, int] | None = None,
+    ) -> None:
+        ended = _now()
+        counts = counts or {}
+        self._append(
+            [
+                {
+                    "run_id": run_id,
+                    "pipeline_name": pipeline_name,
+                    "started_at": started_at,
+                    "ended_at": ended,
+                    "status": "success",
+                    "records_input": counts.get("input"),
+                    "records_output": counts.get("output"),
+                    "records_filtered": counts.get("filtered"),
+                    # duration trigger (schema.sql:238-247) computed inline
+                    "duration_seconds": (ended - started_at).total_seconds(),
+                }
+            ],
+            PIPELINE_RUNS_SCHEMA,
+            self._runs_path,
+        )
+
+    def fail_run(self, run_id: str, pipeline_name: str, started_at, error: str) -> None:
+        ended = _now()
+        self._append(
+            [
+                {
+                    "run_id": run_id,
+                    "pipeline_name": pipeline_name,
+                    "started_at": started_at,
+                    "ended_at": ended,
+                    "status": "failed",
+                    "error_message": error[:2000],
+                    "duration_seconds": (ended - started_at).total_seconds(),
+                }
+            ],
+            PIPELINE_RUNS_SCHEMA,
+            self._runs_path,
+        )
+
+    def log_metrics(
+        self, run_id: str, metrics: dict[str, float], dataset_split: str = "all"
+    ) -> None:
+        now = _now()
+        self._append(
+            [
+                {
+                    "run_id": run_id,
+                    "metric_name": k,
+                    "metric_value": float(v),
+                    "dataset_split": dataset_split,
+                    "measured_at": now,
+                }
+                for k, v in metrics.items()
+            ],
+            QUALITY_METRICS_SCHEMA,
+            self._metrics_path,
+        )
+
+    def runs(self) -> DataFrame:
+        return self.spark.read.schema(PIPELINE_RUNS_SCHEMA).parquet(self._runs_path)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.schema(QUALITY_METRICS_SCHEMA).parquet(
+            self._metrics_path
+        )
+
+    def current(self) -> DataFrame:
+        return current_runs(self.runs())
+
+
+def _now():
+    import datetime
+
+    return datetime.datetime.fromtimestamp(time.time())

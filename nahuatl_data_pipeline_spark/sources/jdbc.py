@@ -1,0 +1,89 @@
+"""JDBC connectors: watermark-incremental scans and bulk sinks
+(S10/S11, SURVEY.md §2.1).
+
+The reference hand-rolls CDC loops per database — Oracle with PARALLEL
+and INDEX hints + bind variables (``src/connectors/oracle_connector.py:
+95-169``), Teradata with query-bands + FastLoad (``teradata_connector.py:
+148-206``), a generic driver-class registry (``generic_jdbc_connector.py:
+47-68``). On Spark all of that collapses into ``spark.read.jdbc`` options:
+partitioned parallel reads replace PARALLEL hints, ``fetchsize`` replaces
+arraysize batching, ``batchsize`` + ``df.write.jdbc`` replace executemany
+retry loops.
+
+No live databases exist in CI, so this module builds *plans and option
+dicts* (pure, testable) and only touches a JDBC URL when executed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# driver-class registry (generic_jdbc_connector.py:47-68)
+JDBC_DRIVERS = {
+    "oracle": "oracle.jdbc.OracleDriver",
+    "teradata": "com.teradata.jdbc.TeraDriver",
+    "postgresql": "org.postgresql.Driver",
+    "mysql": "com.mysql.cj.jdbc.Driver",
+    "sqlite": "org.sqlite.JDBC",
+}
+
+
+@dataclass
+class IncrementalJdbcSource:
+    """Watermark CDC source: ``SELECT … WHERE wm_col > :last_sync``
+    (oracle_connector.py:134-140) with partitioned parallel reads."""
+
+    url: str
+    table: str
+    watermark_col: str
+    dialect: str = "postgresql"
+    fetchsize: int = 10_000
+    num_partitions: int = 8
+    options: dict[str, str] = field(default_factory=dict)
+
+    def query_for(self, last_sync: str) -> str:
+        """The pushed-down dbtable subquery. ORDER BY is dropped on
+        purpose: Spark reads are unordered and the watermark bound, not
+        row order, carries resumability (SURVEY §2.7 O4)."""
+        return (
+            f"(SELECT * FROM {self.table} "
+            f"WHERE {self.watermark_col} > '{last_sync}') AS __incr"
+        )
+
+    def read_options(self, last_sync: str) -> dict[str, str]:
+        opts = {
+            "url": self.url,
+            "dbtable": self.query_for(last_sync),
+            "driver": JDBC_DRIVERS.get(self.dialect, self.dialect),
+            "fetchsize": str(self.fetchsize),
+            "numPartitions": str(self.num_partitions),
+            # partition on the watermark itself: each task reads a slice
+            "partitionColumn": self.watermark_col,
+        }
+        opts.update(self.options)
+        return opts
+
+    def load(
+        self, spark: SparkSession, last_sync: str, upper_bound: str
+    ) -> DataFrame:
+        opts = self.read_options(last_sync)
+        opts["lowerBound"] = last_sync
+        opts["upperBound"] = upper_bound
+        return spark.read.format("jdbc").options(**opts).load()
+
+
+def bulk_insert_options(
+    url: str, table: str, dialect: str = "postgresql", batchsize: int = 10_000
+) -> dict[str, str]:
+    """S11 sink options: ``df.write.format('jdbc').options(**…).mode(
+    'append').save()`` — batchsize replaces executemany batching
+    (oracle_connector.py:171-241)."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "driver": JDBC_DRIVERS.get(dialect, dialect),
+        "batchsize": str(batchsize),
+        "isolationLevel": "READ_COMMITTED",
+    }

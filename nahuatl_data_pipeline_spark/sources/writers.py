@@ -1,0 +1,62 @@
+"""Sinks (S12-S16, SURVEY.md §2.1).
+
+- JSONL: Spark's json writer omits null keys and keeps UTF-8 unescaped —
+  matching the reference's ``ensure_ascii=False`` + drop-None dict write
+  (``src/pipeline/unify.py:331-340``).
+- Parquet: overwrite-mode columnar write (``SparkDedup.scala:76-78``,
+  ``scripts/convert_to_parquet.py:5-18``).
+- Split writer: one job, ``partitionBy(split)`` — the three gold splits
+  land in one pass instead of three scans (the reference's Airflow DAG ran
+  three parallel split tasks; partitioned write subsumes them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S12: JSONL sink, UTF-8, nulls omitted per line."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S13/S15: parquet sink (works unchanged against s3a:// URIs)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_splits(
+    df: DataFrame, out_dir: str, split_col: str = "split", fmt: str = "parquet"
+) -> None:
+    """Gold-layer split writer: single pass, hive-partitioned by split.
+
+    Readers address one split via partition pruning
+    (``{out_dir}/split=train``) without scanning the others.
+    """
+    w = df.write.mode("overwrite").partitionBy(split_col)
+    if fmt == "parquet":
+        w.parquet(out_dir)
+    elif fmt == "json":
+        w.json(out_dir)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def convert_jsonl_to_parquet(
+    spark: SparkSession, src: str, dst: str
+) -> None:
+    """S16: bulk JSONL→Parquet conversion (convert_to_parquet.py:5-18) —
+    a schema-pinned scan piped straight into a columnar write."""
+    from nahuatl_data_pipeline_spark.schemas import LEGACY_INPUT_SCHEMA
+
+    spark.read.schema(LEGACY_INPUT_SCHEMA).json(src).drop(
+        "_corrupt_record"
+    ).write.mode("overwrite").parquet(dst)

@@ -1,0 +1,129 @@
+"""Normalization-function unit tests (mirrors reference
+``tests/unit/test_normalizers.py``: macron preservation, whitespace,
+saltillo, vowel runs, typography)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.functions.normalize import (
+    clamp_vowel_runs,
+    clean_spanish_typography,
+    collapse_whitespace,
+    dedup_key,
+    empty_to_null,
+    fix_punctuation_spacing,
+    nfc_normalize,
+    normalize_maya_glottal,
+    normalize_saltillo,
+    normalize_text,
+    orthographic_variant,
+    remove_page_artifacts,
+    remove_urls,
+)
+
+
+def apply_fn(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], ["t"])
+    return [r[0] for r in df.select(fn(F.col("t")).alias("o")).collect()]
+
+
+def test_collapse_whitespace(spark):
+    out = apply_fn(spark, collapse_whitespace, ["  hola \t  mundo \n", "a  b"])
+    assert out == ["hola mundo", "a b"]
+
+
+def test_empty_to_null(spark):
+    out = apply_fn(spark, empty_to_null, ["  ", "", " x "])
+    assert out == [None, None, "x"]
+
+
+def test_remove_urls_and_page_artifacts(spark):
+    out = apply_fn(spark, remove_urls, ["ver http://x.co/a aquí"])
+    assert out == ["ver  aquí"]
+    out = apply_fn(spark, remove_page_artifacts, ["texto Página 12 sigue", "PÁGINA 3"])
+    assert out == ["texto  sigue", "PÁGINA 3"]  # only 'Página N' form, any case of it
+
+
+def test_saltillo_unification(spark):
+    # ' (U+0027) ’ (U+2019) ` (U+0060) ʔ (U+0294) → ʼ (U+02BC)
+    out = apply_fn(spark, normalize_saltillo, ["tla'tolli", "tla’tolli", "tla`tolli", "tlaʔtolli"])
+    assert out == ["tlaʼtolli"] * 4
+
+
+def test_vowel_run_clamp_preserves_macrons(spark):
+    out = apply_fn(spark, clamp_vowel_runs, ["tlaaa", "tlāāā", "TLAAA", "tla"])
+    assert out == ["tlaa", "tlāā", "TLAA", "tla"]
+
+
+def test_punctuation_spacing(spark):
+    out = apply_fn(spark, fix_punctuation_spacing, ["hola , mundo ."])
+    assert out == ["hola, mundo."]
+
+
+def test_maya_glottal(spark):
+    out = apply_fn(spark, normalize_maya_glottal, ["kʼiin", "k ' iin", "ch’e’en"])
+    assert out == ["k'iin", "k' iin", "ch'e'en"]
+
+
+def test_spanish_typography(spark):
+    out = apply_fn(
+        spark,
+        clean_spanish_typography,
+        ["«Hola» — dijo… “sí” ‘no’", "a--b", "x y"],
+    )
+    assert out == ['"Hola" - dijo... "sí" \'no\'', "a-b", "x y"]
+
+
+def test_orthographic_variants(spark):
+    assert apply_fn(spark, lambda c: orthographic_variant(c, "central"), ["witz ta'tolli"]) == [
+        "huitz tahtolli"
+    ]
+    assert apply_fn(spark, lambda c: orthographic_variant(c, "huasteca"), ["huitz"]) == ["witz"]
+
+
+def test_nfc_normalize_composes(spark):
+    # a + combining macron (U+0304) must compose to ā (U+0101)
+    decomposed = "ā"
+    out = apply_fn(spark, nfc_normalize, [decomposed, "ā"])
+    assert out == ["ā", "ā"]
+
+
+def test_nfc_rejects_bad_form():
+    with pytest.raises(ValueError):
+        nfc_normalize(F.col("x"), form="NFX")
+
+
+def test_normalize_text_composed_pipeline(spark):
+    # strip → NFC → nah rules → whitespace collapse → empty→NULL
+    out = apply_fn(
+        spark,
+        lambda c: normalize_text(c, lang="nah"),
+        ["  tla’tolli   aaa \t", "   ", None],
+    )
+    assert out == ["tlaʼtolli aa", None, None]
+
+
+def test_zero_tolerance_unicode_preservation(spark):
+    """Reference invariant (test_parity_with_legacy.py:201-245): macrons,
+    saltillo, ejectives survive the full normalization chain."""
+    samples = [
+        "Tlazohcāmati huēyi",
+        "niknekiʼ nitlahtoa",
+        "k'iin ch'e'en ts'ib",
+        "¿Cómo está? ¡Bien!",
+    ]
+    out = apply_fn(spark, lambda c: normalize_text(c), samples)
+    for o, s in zip(out, samples):
+        for ch in "āēīōūʼñ¿¡":
+            assert (ch in s) == (ch in o), f"{ch!r} lost in {s!r}→{o!r}"
+
+
+def test_dedup_key_null_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hola ", "MUNDO", None), ("hola", " mundo", None)],
+        "a string, b string, c string",
+    )
+    keys = [r[0] for r in df.select(dedup_key("a", "b", "c").alias("k")).collect()]
+    assert keys[0] == keys[1] == "hola|mundo|"

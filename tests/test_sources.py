@@ -1,0 +1,190 @@
+"""Reader/sink tests (mirrors reference legacy-format + shadow-mode
+fixtures: ``tests/integration/test_shadow_mode.py:49-75``,
+``test_schemas.py`` legacy mapping). Covers every variant in FIXTURES.md §2
+including malformed lines."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.sources.readers import (
+    read_corpus_jsonl,
+    read_json_dump,
+    read_layer_dir,
+)
+from nahuatl_data_pipeline_spark.sources.registry import (
+    load_source_registry,
+    mark_sources_done,
+    pending_source_rows,
+)
+from nahuatl_data_pipeline_spark.sources.writers import (
+    convert_jsonl_to_parquet,
+    write_jsonl,
+    write_splits,
+)
+
+
+@pytest.fixture
+def legacy_jsonl(tmp_path):
+    lines = [
+        {"es": "hola", "nah": "niltze", "source": "manual"},
+        {"es_translation": "adiós", "nah_translation": "timotaj", "source_file": "f1"},
+        {"original_es": "agua", "myn_translation": "ha'"},
+        {"prompt": "fuego", "chosen": "tletl"},  # DPO format
+        {"original_audio_text": "tepetl", "detected_language": "nah", "es": "cerro"},
+        {"original_audio_text": "ja'", "detected_language": "myn", "es": "agua2"},
+        {"es": "solo español"},  # fails translation-pair filter
+        {"nah": "solo nahuatl"},  # fails filter (no es)
+        {"es": "  ", "nah": "x"},  # empty es → NULL → fails filter
+    ]
+    p = tmp_path / "legacy.jsonl"
+    with open(p, "w", encoding="utf-8") as f:
+        for row in lines:
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+        f.write("{this is not json\n")  # malformed → must be skipped
+        f.write("[1,2,3]\n")  # wrong shape → skipped
+    return str(p)
+
+
+def test_jsonl_legacy_coalescing(spark, legacy_jsonl):
+    df = read_corpus_jsonl(spark, legacy_jsonl, layer="silver")
+    rows = {r["es"]: r for r in df.collect()}
+    assert set(rows) == {"hola", "adiós", "agua", "fuego", "cerro", "agua2"}
+    assert rows["hola"]["nah"] == "niltze"
+    assert rows["adiós"]["nah"] == "timotaj"
+    assert rows["adiós"]["origin_file"] == "f1"
+    assert rows["agua"]["myn"] == "ha'"
+    assert rows["fuego"]["nah"] == "tletl"
+    assert rows["cerro"]["nah"] == "tepetl"  # ASR detected nah
+    assert rows["agua2"]["myn"] == "ja'"  # ASR detected myn
+    assert all(r["layer"] == "silver" for r in rows.values())
+
+
+def test_jsonl_malformed_lines_skipped_not_fatal(spark, legacy_jsonl):
+    # 11 physical lines, 2 malformed, 3 filtered → 6 records
+    df = read_corpus_jsonl(spark, legacy_jsonl, layer="silver")
+    assert df.count() == 6
+
+
+def test_json_dump_root_list(spark, tmp_path):
+    p = tmp_path / "dump.json"
+    p.write_text(
+        json.dumps(
+            [
+                {"es": "uno", "nah": "ce"},
+                {"es": "dos", "nah": "ome"},
+            ],
+            ensure_ascii=False,
+        ),
+        encoding="utf-8",
+    )
+    df = read_json_dump(spark, str(p), layer="bronze")
+    assert {r["es"] for r in df.collect()} == {"uno", "dos"}
+
+
+def test_json_dump_items_with_nested_original_and_sp_alias(spark, tmp_path):
+    p = tmp_path / "dump2.json"
+    p.write_text(
+        json.dumps(
+            {
+                "items": [
+                    {"original": {"sp": "tres", "nah": "yei"}},
+                    {"original": {"es": "cuatro", "nah": "nahui"}},
+                ]
+            },
+            ensure_ascii=False,
+        ),
+        encoding="utf-8",
+    )
+    df = read_json_dump(spark, str(p), layer="bronze")
+    rows = {r["es"]: r["nah"] for r in df.collect()}
+    assert rows == {"tres": "yei", "cuatro": "nahui"}
+
+
+def test_layer_dir_glob_and_lineage(spark, tmp_path):
+    d = tmp_path / "silver"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"es": "uno", "nah": "ce"}\n', encoding="utf-8"
+    )
+    (d / "b.json").write_text(
+        json.dumps([{"es": "dos", "nah": "ome"}]), encoding="utf-8"
+    )
+    df = read_layer_dir(spark, str(d), layer="silver")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r["layer"] == "silver" for r in rows)
+    by_es = {r["es"]: r["origin_file"] for r in rows}
+    assert by_es["uno"].endswith("a.jsonl")
+    assert by_es["dos"].endswith("b.json")
+
+
+def test_layer_dir_empty(spark, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    df = read_layer_dir(spark, str(d), layer="gold")
+    assert df.count() == 0 and "layer" in df.columns
+
+
+def test_write_jsonl_utf8_nulls_omitted(spark, tmp_path):
+    df = spark.createDataFrame([("tlazohcāmati", None)], "nah string, myn string")
+    out = str(tmp_path / "out")
+    write_jsonl(df, out)
+    text = "".join(
+        p.read_text(encoding="utf-8")
+        for p in (tmp_path / "out").glob("part-*.json")
+    )
+    assert "tlazohcāmati" in text  # not \u-escaped
+    assert "myn" not in text  # null key omitted
+
+
+def test_write_splits_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "train"), ("b", "test")], ["es", "split"]
+    )
+    out = str(tmp_path / "gold")
+    write_splits(df, out)
+    assert (tmp_path / "gold" / "split=train").exists()
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("split") == "train").count() == 1
+
+
+def test_convert_jsonl_to_parquet(spark, tmp_path, legacy_jsonl):
+    dst = str(tmp_path / "pq")
+    convert_jsonl_to_parquet(spark, legacy_jsonl, dst)
+    assert spark.read.parquet(dst).count() == 11  # raw conversion, no filter
+
+
+def test_source_registry_roundtrip(spark, tmp_path):
+    p = tmp_path / "sources.csv"
+    p.write_text(
+        "source_id,source_url,ingestion_driver,ingestion_status\n"
+        "s1,http://a,driver_hf_dataset,Pending\n"
+        "s2,http://b,driver_pdf_plumber,Done\n"
+        "s3,http://c,driver_pyelotl,Pending\n"
+    )
+    reg = load_source_registry(spark, str(p))
+    assert pending_source_rows(reg).count() == 2
+    updated = mark_sources_done(reg, ["s1"])
+    statuses = {r["source_id"]: r["ingestion_status"] for r in updated.collect()}
+    assert statuses == {"s1": "Done", "s2": "Done", "s3": "Pending"}
+
+
+def test_jdbc_option_construction():
+    from nahuatl_data_pipeline_spark.sources.jdbc import (
+        IncrementalJdbcSource,
+        bulk_insert_options,
+    )
+
+    src = IncrementalJdbcSource(
+        url="jdbc:postgresql://h/db", table="t", watermark_col="updated_at"
+    )
+    opts = src.read_options("2024-01-01 00:00:00")
+    assert "updated_at > '2024-01-01 00:00:00'" in opts["dbtable"]
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["partitionColumn"] == "updated_at"
+    sink = bulk_insert_options("jdbc:x", "t", dialect="oracle")
+    assert sink["driver"] == "oracle.jdbc.OracleDriver"
