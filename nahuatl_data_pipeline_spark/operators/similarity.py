@@ -75,6 +75,36 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ t).
+
+    The dedup variant of ``cosine_topk`` — a threshold filter instead of a
+    rank window, so no shuffle at all: the broadcast query side streams
+    through each corpus partition. ``id_a < id_b`` removes self-pairs and
+    symmetric twins (the reference's theta filter, SparkDedup.scala:148).
+    """
+    q = queries.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__cv"))
+    return (
+        c.join(F.broadcast(q), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_cols(F.col("__qv"), F.col("__cv")), round_to).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -51,7 +51,12 @@ def latest_quality_metrics(runs: DataFrame, metrics: DataFrame) -> DataFrame:
         current_runs(runs)
         .filter(F.col("status") == "success")
         .withColumn(
-            "__rn", F.row_number().over(Window.orderBy(F.desc("started_at")))
+            "__rn",
+            # run_id tiebreak: two runs can share a started_at — the pick
+            # must not depend on partition order
+            F.row_number().over(
+                Window.orderBy(F.desc("started_at"), F.asc("run_id"))
+            ),
         )
         .filter(F.col("__rn") == 1)
         .select("run_id", "pipeline_name", "started_at")

@@ -915,3 +915,7 @@ def q33_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# extension queries (q34+) register themselves on import
+from nahuatl_data_pipeline_spark import registry_ext  # noqa: E402,F401

@@ -1,0 +1,381 @@
+"""Registry extension: quality suite, metadata analytics views, remaining
+near-dup strategies, segmentation/chunking (SURVEY.md §2.5 A11/A12, §1.3
+views, §2.4 D5 variants, §2.9 F13/F14).
+
+Metadata tables don't exist in the driver's testdata, so the metadata-view
+queries SYNTHESIZE deterministic runs/metrics/lineage tables from orders and
+lineitem (same projection on both engines) and then apply the real view
+operators — the view logic is what's under test, not the synthesis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.quality import (
+    Check,
+    length_in_range_ratio,
+    not_null_ratio,
+    regex_match_ratio,
+    row_count,
+    run_checks,
+    unique_ratio,
+)
+from nahuatl_data_pipeline_spark.plans.metadata import (
+    data_lineage_summary,
+    latest_quality_metrics,
+    pipeline_performance,
+)
+from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.schemas import load_table
+
+
+# ---------------------------------------------------------------------------
+# A11/A12: declarative quality suite in ONE aggregate pass
+# ---------------------------------------------------------------------------
+
+_DOC_CHECKS = [
+    ("text_not_null", ">=", 1.0),
+    ("doc_id_unique", ">=", 1.0),
+    ("text_len_20_5000", ">=", 0.95),
+    ("text_has_alpha", ">=", 0.99),
+    ("row_count", "between", 1000.0),
+]
+
+
+@register(
+    "q34_quality_suite",
+    """
+    WITH m AS (
+      SELECT ROUND(COUNT(text) * 1.0 / COUNT(*), 6) AS text_not_null,
+             ROUND(COUNT(DISTINCT doc_id) * 1.0 / COUNT(doc_id), 6) AS doc_id_unique,
+             ROUND(COUNT(CASE WHEN LENGTH(text) BETWEEN 20 AND 5000 THEN 1 END)
+                   * 1.0 / COUNT(text), 6) AS text_len_20_5000,
+             ROUND(COUNT(CASE WHEN REGEXP_MATCHES(text, '[a-z]') THEN 1 END)
+                   * 1.0 / COUNT(text), 6) AS text_has_alpha,
+             ROUND(COUNT(*) * 1.0, 6) AS row_count
+      FROM documents
+    )
+    SELECT 'text_not_null' AS "check", text_not_null AS metric,
+           1.0 AS threshold, text_not_null >= 1.0 AS passed FROM m
+    UNION ALL SELECT 'doc_id_unique', doc_id_unique, 1.0, doc_id_unique >= 1.0 FROM m
+    UNION ALL SELECT 'text_len_20_5000', text_len_20_5000, 0.95,
+              text_len_20_5000 >= 0.95 FROM m
+    UNION ALL SELECT 'text_has_alpha', text_has_alpha, 0.99,
+              text_has_alpha >= 0.99 FROM m
+    UNION ALL SELECT 'row_count', row_count, 1000.0,
+              row_count >= 1000.0 AND row_count <= 100000000.0 FROM m
+    """,
+)
+def q34_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11+A12: GE-style expectation suite compiled to a single agg pass
+    (DataQuality.scala:39-114, corc_nah_corpus_suite.json) — one scan
+    evaluates every expectation."""
+    docs = load_table(spark, sf_dir, "documents")
+    checks = [
+        Check("text_not_null", not_null_ratio("text"), ">=", 1.0),
+        Check("doc_id_unique", unique_ratio("doc_id"), ">=", 1.0),
+        Check(
+            "text_len_20_5000", length_in_range_ratio("text", 20, 5000), ">=", 0.95
+        ),
+        Check("text_has_alpha", regex_match_ratio("text", "[a-z]"), ">=", 0.99),
+        Check("row_count", row_count(), "between", 1000.0, 1e8),
+    ]
+    return run_checks(docs, checks)
+
+
+# ---------------------------------------------------------------------------
+# Metadata analytics views (schema.sql:171-231) on synthesized run tables
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = """
+      SELECT o_orderkey AS run_id,
+             o_orderpriority AS pipeline_name,
+             o_orderdate AS started_at,
+             CASE o_orderstatus WHEN 'F' THEN 'success'
+                                WHEN 'O' THEN 'failed'
+                                ELSE 'running' END AS status,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS duration_seconds,
+             o_custkey AS records_output
+      FROM orders
+"""
+
+
+def _runs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("run_id"),
+        F.col("o_orderpriority").alias("pipeline_name"),
+        F.col("o_orderdate").alias("started_at"),
+        F.when(F.col("o_orderstatus") == "F", "success")
+        .when(F.col("o_orderstatus") == "O", "failed")
+        .otherwise("running")
+        .alias("status"),
+        # integer-valued so Σ is exact → avg/round bit-identical everywhere
+        F.floor("o_totalprice").cast("long").alias("duration_seconds"),
+        F.col("o_custkey").alias("records_output"),
+    )
+
+
+@register(
+    "q35_pipeline_performance",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    cur AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY run_id ORDER BY started_at DESC) AS rn
+        FROM runs
+      ) WHERE rn = 1
+    )
+    SELECT STRFTIME(CAST(started_at AS DATE), '%Y-%m-%d') AS run_date,
+           pipeline_name,
+           CAST(COUNT(*) AS BIGINT) AS total_runs,
+           CAST(SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END) AS BIGINT)
+             AS successful_runs,
+           CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS failed_runs,
+           ROUND(AVG(duration_seconds), 2) AS avg_duration_seconds,
+           CAST(SUM(records_output) AS BIGINT) AS total_records_output
+    FROM cur GROUP BY 1, 2
+    """,
+)
+def q35_pipeline_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View `pipeline_performance` (schema.sql:203-214): A9 conditional
+    sums per pipeline per day, over the latest version of each run."""
+    out = pipeline_performance(_runs_df(spark, sf_dir))
+    return out.withColumn(
+        "run_date", F.date_format("run_date", "yyyy-MM-dd")
+    )
+
+
+@register(
+    "q36_lineage_summary",
+    """
+    WITH lineage AS (
+      SELECT l_returnflag AS source_type,
+             l_linestatus AS source_layer,
+             CAST(l_quantity AS BIGINT) AS records_ingested,
+             CAST(FLOOR(l_quantity * (1 - l_discount)) AS BIGINT) AS records_valid
+      FROM lineitem
+    )
+    SELECT source_type, source_layer,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(records_ingested) AS BIGINT) AS records_ingested,
+           CAST(SUM(records_valid) AS BIGINT) AS records_valid,
+           ROUND(100.0 * SUM(records_valid) / NULLIF(SUM(records_ingested), 0), 2)
+             AS validity_pct
+    FROM lineage GROUP BY 1, 2
+    """,
+)
+def q36_lineage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View `data_lineage_summary` (schema.sql:216-231): A10 NULLIF-guarded
+    validity percentage per source type/layer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lineage = li.select(
+        F.col("l_returnflag").alias("source_type"),
+        F.col("l_linestatus").alias("source_layer"),
+        F.col("l_quantity").cast("long").alias("records_ingested"),
+        F.floor(F.col("l_quantity") * (1 - F.col("l_discount")))
+        .cast("long")
+        .alias("records_valid"),
+    )
+    return data_lineage_summary(lineage)
+
+
+@register(
+    "q37_latest_quality_metrics",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    cur AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY run_id ORDER BY started_at DESC) AS rn
+        FROM runs
+      ) WHERE rn = 1
+    ),
+    latest AS (
+      SELECT run_id, pipeline_name, started_at FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          ORDER BY started_at DESC, run_id ASC) AS rn2
+        FROM cur WHERE status = 'success'
+      ) WHERE rn2 = 1
+    ),
+    metrics AS (
+      SELECT l_orderkey AS run_id,
+             l_returnflag AS metric_name,
+             l_extendedprice AS metric_value,
+             'usd' AS metric_unit,
+             l_linestatus AS dataset_split,
+             l_shipdate AS measured_at
+      FROM lineitem
+    )
+    SELECT m.metric_name,
+           ROUND(m.metric_value, 2) AS metric_value,
+           m.metric_unit, m.dataset_split,
+           STRFTIME(m.measured_at, '%Y-%m-%d %H:%M:%S') AS measured_at,
+           l.pipeline_name,
+           STRFTIME(l.started_at, '%Y-%m-%d %H:%M:%S') AS started_at
+    FROM metrics m JOIN latest l ON m.run_id = l.run_id
+    """,
+)
+def q37_latest_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View `latest_quality_metrics` (schema.sql:171-187): the correlated
+    scalar subquery as rank-1 window + broadcast join (J1+J2+W3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    metrics = li.select(
+        F.col("l_orderkey").alias("run_id"),
+        F.col("l_returnflag").alias("metric_name"),
+        F.col("l_extendedprice").alias("metric_value"),
+        F.lit("usd").alias("metric_unit"),
+        F.col("l_linestatus").alias("dataset_split"),
+        F.col("l_shipdate").alias("measured_at"),
+    )
+    out = latest_quality_metrics(_runs_df(spark, sf_dir), metrics)
+    return out.select(
+        "metric_name",
+        F.round("metric_value", 2).alias("metric_value"),
+        "metric_unit",
+        "dataset_split",
+        F.date_format("measured_at", "yyyy-MM-dd HH:mm:ss").alias("measured_at"),
+        "pipeline_name",
+        F.date_format("started_at", "yyyy-MM-dd HH:mm:ss").alias("started_at"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining near-dup strategies: exact n-gram Jaccard + embedding cosine
+# ---------------------------------------------------------------------------
+
+_TAIL = " tail token alpha beta"
+
+
+@register(
+    "q38_ngram_jaccard_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 2000
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '{_TAIL}' AS text
+      FROM documents WHERE doc_id < 100
+    ),
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
+      FROM toks WHERE LEN(tk) >= 3
+    ),
+    keyed AS (SELECT doc_id, shingles, LIST_MIN(shingles) AS k FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6)
+             AS jaccard
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def q38_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with rarest-shingle bucketing
+    (no minhash, no n²) — planted near-dups exercise the match path."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 2000)
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+    )
+    return ngram_jaccard_pairs(
+        base.unionByName(planted), "doc_id", "text", shingle_n=3,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "q39_embedding_neardup",
+    """
+    WITH planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+               AS embedding
+      FROM embeddings WHERE vec_id < 20
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM planted
+    ),
+    q AS (SELECT vec_id, embedding FROM corpus
+          WHERE vec_id < 20 OR vec_id >= 1000000)
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(q.embedding, c.embedding), 4) AS cosine
+    FROM q JOIN corpus c ON q.vec_id < c.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(q.embedding, c.embedding), 4) >= 0.95
+    """,
+)
+def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: planted scaled copies
+    (cosine invariant under scaling → exact 1.0 hits) over the broadcast
+    query side; threshold filter, no shuffle."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        )
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    queries = corpus.filter((F.col("vec_id") < 20) | (F.col("vec_id") >= 1000000))
+    return cosine_neardup_pairs(queries, corpus, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# F13/F14: sentence segmentation + chunk packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q40_sentences",
+    """
+    SELECT doc_id, TRIM(s) AS sentence
+    FROM (
+      SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(text, '[^.!?]+[.!?]*')) AS s
+      FROM documents WHERE doc_id < 1000
+    )
+    WHERE TRIM(s) <> ''
+    """,
+)
+def q40_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 sentence segmentation as a codegen'd regex projection (the
+    pattern is lookaround-free so RE2 oracles split identically)."""
+    from nahuatl_data_pipeline_spark.functions.segmentation import split_sentences
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return split_sentences(docs, "doc_id", "text").select("doc_id", "sentence")
+
+
+@register("q41_chunked_docs", None)  # greedy fold — Arrow pandas_udf path
+def q41_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 chunk packing (gemini_distiller.py:38-55): greedy ≤200-char
+    sentence packing per document via Arrow-batched pandas_udf + posexplode.
+    Sequential-fold semantics → no SQL oracle; invariants tested in
+    tests/test_segmentation.py."""
+    from nahuatl_data_pipeline_spark.functions.segmentation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return chunk_documents(docs, "doc_id", "text", max_chars=200)
