@@ -369,6 +369,63 @@ def q40_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(docs, "doc_id", "text").select("doc_id", "sentence")
 
 
+@register(
+    "q43_windowed_event_counts",
+    """
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q43_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed aggregation (streaming/incremental.py
+    ``windowed_event_counts``) applied to batch input — identical
+    transformation object in both modes; tests/test_streaming.py asserts
+    stream-vs-batch equality on the same files."""
+    from nahuatl_data_pipeline_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(events, "1 hour", "2 hours")
+    return out.withColumn(
+        "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+@register("q42_media_features", None)  # binary plumbing — rows-only check
+def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end: text → binary payload →
+    typed metadata struct (sha256 content id) → mapInPandas feature
+    extraction (deterministic fake codec) → frame sampling join.
+    The binary/metadata/Arrow-batch contract is the real 100 TB path; only
+    the codec is a stand-in (no image libs in this container)."""
+    from nahuatl_data_pipeline_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = attach_media_metadata(
+        docs.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        ),
+        modality="image",
+        mime="application/octet-stream",
+    )
+    feats = extract_features(media)
+    frames = sample_frames(media, every_n_bytes=128, frame_bytes=32, max_frames=4)
+    n_frames = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return feats.join(n_frames, "media_id", "left").select(
+        "media_id", "modality", "n_bytes", "n_frames", "feature"
+    )
+
+
 @register("q41_chunked_docs", None)  # greedy fold — Arrow pandas_udf path
 def q41_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14 chunk packing (gemini_distiller.py:38-55): greedy ≤200-char

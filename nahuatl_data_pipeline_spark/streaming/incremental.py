@@ -1,0 +1,131 @@
+"""Structured Streaming extension (SURVEY.md §2.11).
+
+The reference is batch-only — "real-time ingestion / Spark Streaming" is
+declared future work (``ARCHITECTURE.md:395-398``). Its nearest analogues
+map 1:1 onto Structured Streaming:
+
+- the CDC watermark incremental load (S10, ``oracle_connector.py:95-169``)
+  → a file/parquet ``readStream`` (or a triggered incremental batch that
+  persists its own watermark);
+- the stateful one-pass LSH dedup (D5, ``processing/deduplication.py:
+  4-33``: "have I seen this doc?") → ``dropDuplicatesWithinWatermark``;
+- the daily quality rollup (A8) → event-time windowed aggregation with a
+  lateness watermark.
+
+Every transformation here is defined once against a DataFrame and works
+unchanged for batch and streaming input — that is the Structured
+Streaming contract, and the tests assert stream-vs-batch equality on the
+same files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str = EVENT_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events directory. Explicit schema —
+    streaming sources never infer. ``maxFilesPerTrigger`` bounds per-batch
+    work so one giant backlog can't OOM an executor."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed counts + value stats with late-data tolerance.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and evicted, so state size is O(active
+    windows), not O(stream length) — the only way a windowed agg survives
+    an unbounded stream.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """D5 as a stream: keep the first occurrence of each key, with state
+    bounded by the watermark (the reference's in-memory datasketch index,
+    ``deduplication.py:19-33``, grows forever — this doesn't).
+
+    On a batch DataFrame this degrades to plain dropDuplicates(keys):
+    batch has no state to bound, and the semantics (keep one row per key)
+    are identical.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def incremental_batch(
+    spark: SparkSession,
+    path: str,
+    watermark_col: str,
+    last_sync: str | None,
+    schema: StructType | str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """S10 triggered-incremental CDC scan (oracle_connector.py:95-169):
+    read only rows past the persisted watermark. The predicate pushes to
+    the scan (PushedFilters), so at 100 TB a date-partitioned layout turns
+    this into partition pruning, not a full read. The caller persists
+    ``max(watermark_col)`` of what it processed as the next ``last_sync``
+    (the reference keeps it in SQLite; any KV/table works)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    if last_sync is not None:
+        df = df.filter(F.col(watermark_col) > F.lit(last_sync).cast("timestamp"))
+    return df
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a stream into an in-memory table with availableNow (test/CI
+    helper: processes the whole backlog, then stops)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
