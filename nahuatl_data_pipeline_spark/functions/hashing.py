@@ -13,8 +13,11 @@ generation oracle-checkable, unlike seeded ``pyspark.ml`` MinHashLSH
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 ColumnOrName = Column | str
 
@@ -40,44 +43,92 @@ def token_set(c: ColumnOrName, lowercase: bool = True) -> Column:
 
 
 def word_shingles(c: ColumnOrName, n: int = 3, lowercase: bool = True) -> Column:
-    """n-gram word shingles as array<string> (distinct).
+    """n-gram word shingles as array<string> (distinct, first-occurrence
+    order; order is irrelevant downstream — min/intersect/union only).
 
-    Built with transform over a sequence of start offsets — no explode, no
-    UDF; the shingle array is built per-row inside codegen.
+    n > 1 runs as an Arrow-batched pandas_udf: the pure-expression
+    formulation (transform over a sequence of offsets + slice + concat_ws)
+    is a nested higher-order function, which Spark evaluates INTERPRETED —
+    measured ~1.7 ms/doc vs ~0.1 ms/doc through Arrow. Python's
+    str.split() ≡ splitting on ``\\s+`` after trim, so SQL oracles
+    (REGEXP_SPLIT_TO_ARRAY + LIST_TRANSFORM slices) produce the identical
+    shingle *set*.
     """
     if n == 1:
         return token_set(c, lowercase=lowercase)
-    toks = F.filter(
-        F.split(F.trim(F.lower(_col(c)) if lowercase else _col(c)), r"\s+"),
-        lambda t: t != "",
-    )
-    # guard: sequence(0, -1) would DESCEND, not return empty — short docs
-    # (< n tokens) must yield an empty shingle array explicitly
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _shingle(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            tk = (t.lower() if lowercase else t).split()
+            if len(tk) < n:
+                return []
+            return list(
+                dict.fromkeys(
+                    " ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)
+                )
             )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+        return s.map(one)
+
+    return _shingle(_col(c))
+
+
+# Mersenne prime 2^31 − 1: (A·h + B) mod P stays under 2^62, so every
+# intermediate fits an int64 exactly — the arithmetic is bit-identical in
+# any engine with 64-bit integers.
+MINHASH_P = 2147483647
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (A_i, B_i), A_i ≠ 0."""
+    return [
+        ((i * 2654435761 + 1) % MINHASH_P, (i * 40503 + 17) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def hash64(c: ColumnOrName) -> Column:
+    """Portable 31-bit hash of a string: first 15 hex chars of md5 parsed
+    as int64, reduced mod P. md5 + hex-parse + mod are exact and identical
+    in every engine (DuckDB: CAST('0x'||SUBSTRING(MD5(s),1,15) AS BIGINT))."""
+    return (
+        F.conv(F.substring(F.md5(_col(c)), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
 
 
 def minhash_signature_cols(
     shingles: Column, num_hashes: int = 8, prefix: str = "mh"
 ) -> list[Column]:
-    """num_hashes MinHash components over a shingle array.
+    """num_hashes MinHash components over a shingle array, as int64s.
 
-    Component i = min(md5(i || ':' || shingle)) as a hex string; string MIN
-    is lexicographic in every engine, so signatures are portable. Returns a
-    list of aliased Columns ``mh0..mh{k-1}``.
+    The shingle is hashed ONCE (md5 → int64); component i is
+    min((A_i·h + B_i) mod P) over the doc's shingle hashes — k affine
+    permutations of one hash instead of k independent md5 passes (k×
+    cheaper, the standard universal-hashing MinHash construction).
+    Everything is exact integer arithmetic → portable to any SQL oracle.
+    Returns aliased Columns ``mh0..mh{k-1}``.
     """
-    # NB: the per-element lambda must take exactly ONE parameter — a second
+    # NB: per-element lambdas must take exactly ONE parameter — a second
     # parameter would be bound by Spark to the array index, not the closure.
+    hashes = F.transform(shingles, lambda s: hash64(s))
+    return minhash_from_hashes(hashes, num_hashes, prefix)
+
+
+def minhash_from_hashes(
+    hashes: Column, num_hashes: int = 8, prefix: str = "mh"
+) -> list[Column]:
+    """MinHash components over an already-hashed int64 array. Materialize
+    the hash array as a real column first (withColumn) so the md5 pass
+    runs once, not once per component."""
+    consts = minhash_constants(num_hashes)
+
     def component(i: int) -> Column:
+        a, b = consts[i]
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s)))
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
         ).alias(f"{prefix}{i}")
 
     return [component(i) for i in range(num_hashes)]

@@ -138,16 +138,25 @@ def banded_minhash_pairs(
         .persist()
     )
 
-    # Signatures from EXPLODED shingles: one pass over tokens, min() is
-    # insensitive to duplicate shingles, so this matches the per-row
-    # array_min formulation exactly while staying in codegen.
-    tok = shd.select("__id", F.explode("__sh").alias("__s"))
+    # Signatures from EXPLODED shingles: md5+hex-parse runs ONCE per token
+    # inside whole-stage codegen (nested array lambdas are interpreted and
+    # ~10× slower), and the k components are k cheap integer mins in the
+    # same hash aggregate — partial (map-side) agg shrinks the shuffle to
+    # one row per doc. min() is insensitive to duplicate shingles, so this
+    # equals the per-row array_min formulation exactly.
+    from nahuatl_data_pipeline_spark.functions.hashing import (
+        MINHASH_P,
+        hash64,
+        minhash_constants,
+    )
+
+    tok = shd.select("__id", F.explode("__sh").alias("__s")).withColumn(
+        "__hv", hash64(F.col("__s"))
+    )
     sigs = tok.groupBy("__id").agg(
         *[
-            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("__s")))).alias(
-                f"mh{i}"
-            )
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("__hv") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_constants(num_hashes))
         ]
     )
 
@@ -205,18 +214,34 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs with a rarest-shingle bucket
-    join (each doc is bucketed by its lexicographically-smallest shingle —
-    any pair with Jaccard ≥ ~0.5 almost surely shares it). Exact verify,
-    approximate candidate generation, no n² blowup."""
+    """Exact n-gram Jaccard near-dup pairs with a min-hash-shingle bucket
+    join: each doc is bucketed by the minimum *hashed* shingle (1-band
+    MinHash LSH) — a pair with Jaccard J shares the bucket with
+    probability J, and the hash spreads buckets uniformly (bucketing on
+    the lexicographic min concentrates everything starting with 'a' into
+    one giant bucket → quadratic blowup). Exact Jaccard verify on the
+    candidates; no n²."""
+    from nahuatl_data_pipeline_spark.functions.hashing import hash64
+
     sh = word_shingles(text_col, n=shingle_n)
-    docs = df.select(
-        F.col(id_col).alias("__id"), sh.alias("__sh"), F.array_min(sh).alias("__key")
-    ).filter(F.size("__sh") > 0)
-    a = docs.select(
+    # shingling is the expensive projection — compute it ONCE, cache, and
+    # let both join legs reuse it (without the persist each leg would
+    # re-shingle the whole input)
+    docs = (
+        df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    # bucket key via explode: md5 in codegen, min in a partial-agg groupBy
+    keys = (
+        docs.select("__id", F.explode("__sh").alias("__s"))
+        .groupBy("__id")
+        .agg(F.min(hash64(F.col("__s"))).alias("__key"))
+    )
+    keyed = docs.join(keys, "__id").persist()
+    a = keyed.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "__key"
     )
-    b = docs.select(
+    b = keyed.select(
         F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "__key"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -243,14 +268,52 @@ def simhash_groups(
 ) -> DataFrame:
     """64-bit SimHash per document; identical hashes ⇒ near-identical docs.
     Band the hash into 4×16-bit keys for hamming-distance-≤3 candidate
-    search at scale."""
+    search at scale.
+
+    Computed via explode + 64 conditional sums in ONE hash aggregate —
+    xxhash64 and the bit votes all run in whole-stage codegen with partial
+    (map-side) aggregation, vs the per-row array-aggregate formulation
+    (functions/hashing.simhash64) which evaluates 64 interpreted lambda
+    folds per document (~25× slower measured).
+    """
     sh = word_shingles(text_col, n=shingle_n)
-    h = simhash64(sh)
-    return df.select(
-        F.col(id_col),
-        h.alias("simhash"),
+    tok = df.select(F.col(id_col), F.explode(sh).alias("__s")).withColumn(
+        "__h", F.xxhash64("__s")
+    )
+
+    def mask(b: int) -> int:
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    votes = tok.groupBy(id_col).agg(
         *[
-            F.shiftrightunsigned(h, 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band{i}")
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(mask(b))).otherwise(F.lit(0)).cast(
+                "long"
+            )
+        )
+    out = votes.select(F.col(id_col), sim.alias("simhash"))
+    # docs with no tokens fall out of the groupBy: rejoin with simhash 0
+    # (the empty-fold value of the per-row formulation)
+    out = (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .withColumn("simhash", F.coalesce("simhash", F.lit(0).cast("long")))
+    )
+    return out.select(
+        F.col(id_col),
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"band{i}")
             for i in range(4)
         ],
     )

@@ -114,6 +114,7 @@ def lsh_topk(
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
     seed: int = 42,
+    max_distance: float = 1.2,
 ) -> DataFrame:
     """Approximate cosine top-k via random-projection LSH buckets.
 
@@ -121,6 +122,11 @@ def lsh_topk(
     cosine (d² = 2 − 2·cos); candidates = pairs sharing any hash bucket.
     At 100 TB this replaces the O(|Q|·|C|) cross product with a bucket
     join; recall is tunable via num_hash_tables/bucket_length.
+
+    ``max_distance`` bounds the similarity join radius (1.2 ⇒ cosine ≥
+    0.28): this is where the approximation trades recall for pruning —
+    radius 2.0 would admit EVERY pair and silently degenerate to a cross
+    product.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -144,8 +150,7 @@ def lsh_topk(
         seed=seed,
     )
     model = lsh.fit(cn)
-    # max distance 2.0 covers any cosine; bucketing does the pruning
-    joined = model.approxSimilarityJoin(qn, cn, 2.0, distCol="dist")
+    joined = model.approxSimilarityJoin(qn, cn, max_distance, distCol="dist")
     pairs = joined.select(
         F.col(f"datasetA.{id_col}").alias("query_id"),
         F.col(f"datasetB.{id_col}").alias("neighbor_id"),

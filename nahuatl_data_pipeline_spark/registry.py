@@ -597,26 +597,41 @@ def q21_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_sql_exprs(num_hashes: int) -> list[str]:
+    """DuckDB expressions mirroring minhash_from_hashes over column hv."""
+    from nahuatl_data_pipeline_spark.functions.hashing import (
+        MINHASH_P,
+        minhash_constants,
+    )
+
+    return [
+        f"MIN(({a} * hv + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_constants(num_hashes))
+    ]
+
+
+_HV_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5(tok), 1, 15)) AS BIGINT) % 2147483647"
+)
+
+
 @register(
     "q22_minhash_signatures",
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'))) AS tok
       FROM documents
-    )
-    SELECT doc_id,
-           MIN(MD5('0:' || tok)) AS mh0,
-           MIN(MD5('1:' || tok)) AS mh1,
-           MIN(MD5('2:' || tok)) AS mh2,
-           MIN(MD5('3:' || tok)) AS mh3
-    FROM toks WHERE tok <> ''
-    GROUP BY doc_id
+    ),
+    h AS (SELECT doc_id, {_HV_SQL} AS hv FROM toks WHERE tok <> '')
+    SELECT doc_id, {", ".join(_mh_sql_exprs(4))}
+    FROM h GROUP BY doc_id
     """,
 )
 def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic engine-portable MinHash signatures (4 components) over
-    unigram shingles — the candidate-generation half of MinHash-LSH dedup.
-    Computed per-row (array transform), no explode/shuffle."""
+    unigram shingles: one md5 per shingle → int64 → affine permutations
+    (exact integer arithmetic, portable). Computed per-row (array
+    transform), no explode/shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles("text", n=1)
     return docs.select("doc_id", *minhash_signature_cols(sh, num_hashes=4))
@@ -677,6 +692,20 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLANT_SUFFIX = " planted near duplicate suffix"
 
+
+def _mh_list_sql_exprs(num_hashes: int) -> list[str]:
+    """DuckDB per-row MinHash components over the hashed-shingle list hv."""
+    from nahuatl_data_pipeline_spark.functions.hashing import (
+        MINHASH_P,
+        minhash_constants,
+    )
+
+    return [
+        f"LIST_MIN(LIST_TRANSFORM(hv, h -> ({a} * h + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_constants(num_hashes))
+    ]
+
+
 _Q25_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, text FROM documents
@@ -696,23 +725,23 @@ _Q25_ORACLE = f"""
                            i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
       FROM toks WHERE LEN(tk) >= 3
     ),
-    sig AS (
+    hashed AS (
       SELECT doc_id, shingles,
-             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('0:' || s))) AS mh0,
-             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('1:' || s))) AS mh1,
-             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('2:' || s))) AS mh2,
-             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('3:' || s))) AS mh3,
-             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('4:' || s))) AS mh4,
-             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('5:' || s))) AS mh5,
-             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('6:' || s))) AS mh6,
-             LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('7:' || s))) AS mh7
+             LIST_TRANSFORM(shingles,
+               s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
+                    % 2147483647) AS hv
       FROM sh
     ),
+    sig AS (
+      SELECT doc_id, shingles, {", ".join(_mh_list_sql_exprs(8))}
+      FROM hashed
+    ),
     bands AS (
-      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
-      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+      SELECT doc_id, 0 AS band_id,
+             CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR) FROM sig
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

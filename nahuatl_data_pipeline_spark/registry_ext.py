@@ -255,7 +255,7 @@ _TAIL = " tail token alpha beta"
     "q38_ngram_jaccard_pairs",
     f"""
     WITH base AS (
-      SELECT doc_id, text FROM documents WHERE doc_id < 2000
+      SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text || '{_TAIL}' AS text
       FROM documents WHERE doc_id < 100
@@ -272,7 +272,13 @@ _TAIL = " tail token alpha beta"
                            i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
       FROM toks WHERE LEN(tk) >= 3
     ),
-    keyed AS (SELECT doc_id, shingles, LIST_MIN(shingles) AS k FROM sh)
+    keyed AS (
+      SELECT doc_id, shingles,
+             LIST_MIN(LIST_TRANSFORM(shingles,
+               s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
+                    % 2147483647)) AS k
+      FROM sh
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
                  / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6)
@@ -290,13 +296,12 @@ def q38_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") < 2000)
     planted = docs.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
     )
     return ngram_jaccard_pairs(
-        base.unionByName(planted), "doc_id", "text", shingle_n=3,
+        docs.unionByName(planted), "doc_id", "text", shingle_n=3,
         jaccard_threshold=0.5,
     )
 

@@ -1,0 +1,97 @@
+"""Fuzzy-dedup invariants (approximate ops are property-tested, not
+hash-matched — SURVEY.md §7 risk notes; mirrors SparkDedupSpec.scala:31-60):
+exact duplicates are always caught, planted near-duplicates are found at
+threshold, distinct docs survive, results are deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+    banded_minhash_pairs,
+    minhash_lsh_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+
+BASE = [
+    (1, "in the beginning the corpus was empty and the engine was fast"),
+    (2, "a completely different sentence about nahuatl morphology and verbs"),
+    (3, "numbers and letters mixed in a third document for good measure"),
+    # 4 = near-duplicate of 1 (one word changed)
+    (4, "in the beginning the corpus was empty and the engine was quick"),
+    # 5 = exact duplicate of 2
+    (5, "a completely different sentence about nahuatl morphology and verbs"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(BASE, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=2
+        ).collect()
+    }
+    assert (2, 5) in pairs  # exact duplicate: distance 0, always caught
+    assert (1, 4) in pairs  # near-duplicate at high overlap
+
+
+def test_minhash_lsh_dedup_removes_higher_id(docs):
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_lsh_dedup(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=2
+        ).collect()
+    )
+    assert 5 not in kept and 2 in kept  # loser = higher id of the pair
+    assert 3 in kept  # distinct doc untouched
+
+
+def test_banded_minhash_exact_dup_certain(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in banded_minhash_pairs(
+            docs, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    # identical shingle sets → identical signatures → must share every band
+    assert pairs[(2, 5)] == 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] >= 0.5
+
+
+def test_ngram_jaccard_threshold_respected(docs):
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=2, jaccard_threshold=0.5
+    )
+    rows = out.collect()
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+    assert {(r["id_a"], r["id_b"]) for r in rows} >= {(2, 5)}
+
+
+def test_simhash_identical_docs_same_hash(docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash_groups(docs, "doc_id", "text").collect()}
+    assert h[2] == h[5]
+    assert h[1] != h[2]
+    # near-dup docs land within small hamming distance
+    assert bin(h[1] ^ h[4]).count("1") <= 16
+
+
+def test_fuzzy_results_stable_across_partitioning(docs):
+    a = sorted(map(tuple, banded_minhash_pairs(docs, "doc_id", "text", shingle_n=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            banded_minhash_pairs(
+                docs.repartition(7), "doc_id", "text", shingle_n=2
+            ).collect(),
+        )
+    )
+    assert a == b
