@@ -85,7 +85,9 @@ def run_corpus_pipeline(
         import datetime
 
         started_at = datetime.datetime.now()
-        run_id = metadata_store.start_run("unify", {"seed": cfg.seed})
+        run_id = metadata_store.start_run(
+            "unify", {"seed": cfg.seed}, started_at=started_at
+        )
 
     try:
         layers = [

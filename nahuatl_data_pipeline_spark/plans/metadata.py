@@ -39,8 +39,21 @@ from nahuatl_data_pipeline_spark.schemas import (
 
 
 def current_runs(runs: DataFrame) -> DataFrame:
-    """Latest version per run_id (replaces SQLite in-place UPDATE)."""
-    return latest_per_group(runs, ["run_id"], "started_at")
+    """Latest version per run_id (replaces SQLite in-place UPDATE).
+
+    The start row and its terminal (success/failed) row share a
+    started_at, so version order is (started_at, has-ended, ended_at):
+    a terminal row always supersedes the 'running' row it completes.
+    """
+    versioned = runs.withColumn(
+        "__ver",
+        F.struct(
+            F.col("started_at"),
+            F.col("ended_at").isNotNull().cast("int").alias("__done"),
+            F.col("ended_at"),
+        ),
+    )
+    return latest_per_group(versioned, ["run_id"], "__ver").drop("__ver")
 
 
 def latest_quality_metrics(runs: DataFrame, metrics: DataFrame) -> DataFrame:
@@ -175,14 +188,19 @@ class MetadataStore:
             [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
         ).write.mode("append").parquet(path)
 
-    def start_run(self, pipeline_name: str, config: dict | None = None) -> str:
+    def start_run(
+        self, pipeline_name: str, config: dict | None = None, started_at=None
+    ) -> str:
+        """``started_at`` must be the same timestamp later passed to
+        complete_run/fail_run — row-versions of one run share it so the
+        (started_at, has-ended) version order resolves correctly."""
         run_id = str(uuid.uuid4())
         self._append(
             [
                 {
                     "run_id": run_id,
                     "pipeline_name": pipeline_name,
-                    "started_at": _now(),
+                    "started_at": started_at or _now(),
                     "status": "running",
                     "config_snapshot": json.dumps(config or {}),
                 }

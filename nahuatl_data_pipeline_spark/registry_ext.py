@@ -108,6 +108,7 @@ def _runs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("run_id"),
         F.col("o_orderpriority").alias("pipeline_name"),
         F.col("o_orderdate").alias("started_at"),
+        F.lit(None).cast("timestamp").alias("ended_at"),
         F.when(F.col("o_orderstatus") == "F", "success")
         .when(F.col("o_orderstatus") == "O", "failed")
         .otherwise("running")

@@ -1,0 +1,99 @@
+"""End-to-end corpus pipeline integration test (SURVEY.md §3.1): JSONL
+layers → normalize → dedup → split → partitioned gold write, with the
+MetadataStore run-tracking transaction around it (unify_v2 pattern) and
+the analytical views reading back what the run logged."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.pipeline import PipelineConfig, run_corpus_pipeline
+from nahuatl_data_pipeline_spark.plans.metadata import (
+    MetadataStore,
+    pipeline_performance,
+)
+
+SILVER = [
+    {"es": "hola mundo", "nah": "niltze cemanahuatl", "source": "manual"},
+    {"es": "buenos días", "nah": "cualli tonalli", "source": "manual"},
+    {"es": "  hola   mundo ", "nah": "niltze cemanahuatl", "source": "hf"},  # dup
+    {"es": "gracias", "nah": "tlazohcāmati", "source": "manual"},
+    {"es": "no", "nah": None, "source": "manual"},  # no pair → filtered
+] + [
+    {"es": f"frase número {i} del corpus", "nah": f"tlahtolli {i}", "source": "synthetic"}
+    for i in range(40)
+]
+
+DIAMOND = [
+    # same dedup key as the silver dup, higher layer → must win keep-best
+    {"es": "hola mundo", "nah": "niltze cemanahuatl", "source": "curated"},
+]
+
+
+@pytest.fixture()
+def layer_dirs(tmp_path):
+    silver = tmp_path / "silver"
+    diamond = tmp_path / "diamond"
+    silver.mkdir()
+    diamond.mkdir()
+    with open(silver / "a.jsonl", "w", encoding="utf-8") as f:
+        for r in SILVER:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    with open(diamond / "b.jsonl", "w", encoding="utf-8") as f:
+        for r in DIAMOND:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    return {"silver": str(silver), "diamond": str(diamond)}
+
+
+def test_full_pipeline(spark, layer_dirs, tmp_path):
+    out = str(tmp_path / "gold")
+    store = MetadataStore(spark, str(tmp_path / "meta"))
+    cfg = PipelineConfig(min_length=2)
+    stats = run_corpus_pipeline(spark, layer_dirs, out, cfg, metadata_store=store)
+
+    # 45 valid records reach the pipeline ({"es":"no"} has no indigenous
+    # pair and is dropped at ingest, unify.py:197 semantics); the
+    # triplicated key (2 silver + 1 diamond) collapses to one winner
+    assert stats["input"] == 45
+    assert stats["output"] == 43
+    assert stats["filtered"] == stats["input"] - stats["output"]
+    assert set(stats["splits"]) <= {"train", "validation", "test"}
+    assert sum(stats["splits"].values()) == stats["output"]
+
+    gold = spark.read.parquet(out)
+    # diamond record won keep-best for the duplicated key
+    winner = gold.filter(F.col("es") == "hola mundo").collect()
+    assert len(winner) == 1 and winner[0]["layer"] == "diamond"
+    # macrons survive the normalization chain end-to-end
+    assert gold.filter(F.col("nah").contains("tlazohcāmati")).count() == 1
+    # split column written partitioned
+    assert (tmp_path / "gold" / "split=train").exists()
+
+    # metadata: one run row-version pair (running + success)
+    runs = store.runs().collect()
+    assert {r["status"] for r in runs} == {"running", "success"}
+    cur = store.current().collect()
+    assert len(cur) == 1 and cur[0]["status"] == "success"
+    assert cur[0]["records_input"] == 45
+    # logged quality metrics are queryable through the views
+    m = {r["metric_name"]: r["metric_value"] for r in store.metrics().collect()}
+    assert m["records_output"] == stats["output"]
+    perf = pipeline_performance(store.runs()).collect()
+    assert len(perf) == 1 and perf[0]["successful_runs"] == 1
+
+
+def test_pipeline_failure_records_failed_run(spark, tmp_path):
+    store = MetadataStore(spark, str(tmp_path / "meta"))
+    with pytest.raises(Exception):
+        run_corpus_pipeline(
+            spark,
+            {"silver": "/nonexistent/path/zzz"},
+            str(tmp_path / "gold"),
+            metadata_store=store,
+        )
+    cur = store.current().collect()
+    assert len(cur) == 1 and cur[0]["status"] == "failed"
+    assert cur[0]["error_message"]

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests (SURVEY.md §4): the properties that make
+these queries survive a 100× scale-up must not silently regress —
+pushdown reaching the scan, column pruning, dimension broadcasts, and
+single-shuffle aggregation/dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from nahuatl_data_pipeline_spark import registry
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        registry.queries()[name](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan reads only the 7 needed columns of 11 (ReadSchema pruning)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    assert "l_quantity" in scan and "l_shipdate" in scan
+
+
+def test_q02_dimension_broadcast(spark):
+    plan = plan_of(spark, "q02_top_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # orders must not shuffle for the join
+
+
+def test_q09_all_dims_broadcast_fact_never_shuffles_before_agg(spark):
+    plan = plan_of(spark, "q09_revenue_by_nation_region")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # the only hash exchange is the final 25-group aggregate
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Broadcast" not in l
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_q28_watermark_pushdown(spark):
+    plan = plan_of(spark, "q28_watermark_scan")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate" in plan
+
+
+def test_q10_dedup_single_shuffle(spark):
+    plan = plan_of(spark, "q10_doc_exact_dedup")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q34_quality_suite_single_scan(spark):
+    """The whole expectation suite must read the table once."""
+    plan = plan_of(spark, "q34_quality_suite")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q06_scalar_subquery_broadcast(spark):
+    plan = plan_of(spark, "q06_max_price_order")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
