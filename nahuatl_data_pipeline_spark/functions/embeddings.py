@@ -1,0 +1,73 @@
+"""Sentence-embedding stage (SURVEY.md §2.10 M2; reference
+``pipeline/alignment/aligner.py:15-24`` — LaBSE ``SentenceTransformer
+.encode(normalize_embeddings=True)``).
+
+The embedding model is PLUGGABLE: production passes ``encode_fn`` (a
+batch-callable over a list of strings, e.g. a broadcast sentence-transformer)
+and the stage runs it inside an Arrow-batched pandas_udf — one model call
+per Arrow batch, never per row. The default is a deterministic
+hashed-bag-of-tokens embedding (feature hashing): token t votes ±1/√d on
+bucket md5(t) mod d, L2-normalized — portable, model-free, and good enough
+to make cosine meaningful for tests (identical texts → cosine 1, disjoint
+token sets → ~0).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hashed_embedding(text: str | None, dim: int = 64) -> list[float] | None:
+    """Deterministic feature-hashing embedding of one document."""
+    if text is None:
+        return None
+    v = np.zeros(dim, dtype=np.float64)
+    for t in text.lower().split():
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        bucket = int.from_bytes(d[:4], "big") % dim
+        sign = 1.0 if d[4] & 1 else -1.0
+        v[bucket] += sign
+    n = np.linalg.norm(v)
+    if n == 0:
+        return [0.0] * dim
+    return list(np.round(v / n, 6))
+
+
+def embed_text(
+    c: ColumnOrName,
+    dim: int = 64,
+    encode_fn: Callable[[list[str]], "np.ndarray"] | None = None,
+) -> Column:
+    """array<double> embedding column.
+
+    ``encode_fn`` receives the batch's non-null texts as a list and must
+    return a (len, dim) array — the broadcast-model hook (M2). Default:
+    deterministic hashed embedding, no model needed.
+    """
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _embed(s: pd.Series) -> pd.Series:
+        if encode_fn is None:
+            return s.map(lambda t: hashed_embedding(t, dim))
+        mask = s.notna()
+        out = pd.Series([None] * len(s), index=s.index, dtype=object)
+        if mask.any():
+            vecs = encode_fn(list(s[mask]))
+            out[mask] = [list(map(float, v)) for v in vecs]
+        return out
+
+    return _embed(_col(c))

@@ -44,6 +44,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_to: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: queries × corpus → rank ≤ k.
 
@@ -51,7 +52,8 @@ def cosine_topk(
     the corpus never shuffles — each partition scores its rows against
     every query and the window reduces per-query. Ranking uses the
     *rounded* cosine plus the neighbor id so near-ties break identically
-    everywhere.
+    everywhere. ``exclude_self=False`` for cross-corpus search where ids
+    on the two sides are unrelated.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -59,7 +61,10 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    cond = (
+        F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
+    )
+    pairs = c.join(F.broadcast(q), cond)
     scored = pairs.select(
         "query_id",
         "neighbor_id",

@@ -1,0 +1,84 @@
+"""Skew-mitigation utilities for hot-key joins and aggregations.
+
+At 100 TB a handful of hot keys (empty strings, 'unknown' sources, viral
+user_ids) can put one shuffle partition hours behind the rest. Two layers
+of defense:
+
+1. AQE skew-join splitting is ON in the session factory
+   (``spark.sql.adaptive.skewJoin.enabled`` — runtime re-plan, zero code);
+2. ``salted_join`` / ``salted_agg`` below for the cases AQE can't fix —
+   e.g. a shuffled hash aggregate on a hot group key, or a join where the
+   build side is too big to broadcast but small enough to replicate
+   num_salts times.
+
+Salting is deterministic (hash of the row's other columns, not rand()):
+results are reproducible at any partition count, same as every other
+operator in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+    salt_by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join where ``large`` has skewed join keys and ``small`` is too
+    big to broadcast: salt the large side into ``num_salts`` sub-keys
+    (deterministic hash of its other columns) and replicate the small side
+    once per salt — the hot key's rows spread over num_salts reducers.
+
+    Cost model: small side shuffles num_salts× its size; worth it when
+    the hot key's partition would otherwise dominate the stage.
+    """
+    salt_cols = salt_by or [c for c in large.columns if c != on]
+    salt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
+    l = large.withColumn(_SALT, salt.cast("int"))
+    s = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return l.join(s, [on, _SALT], how).drop(_SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    num_salts: int = 8,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: aggregate on
+    (key, salt) first — hot keys spread over num_salts reducers — then
+    combine the partials. Supports decomposable aggs: sum, count, min,
+    max (avg = sum/count at the call site).
+
+    Spark's hash aggregate already does map-side partial aggregation; this
+    helps when the DISTINCT value count per hot key is large enough that
+    partials still funnel into one reducer.
+    """
+    allowed = {"sum", "count", "min", "max"}
+    bad = {v for v in aggs.values()} - allowed
+    if bad:
+        raise ValueError(f"non-decomposable agg(s): {sorted(bad)}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    stage1 = df.withColumn(_SALT, salt).groupBy(*group_cols, _SALT).agg(
+        *[
+            getattr(F, fn)(col).alias(f"__p_{col}")
+            for col, fn in aggs.items()
+        ]
+    )
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    return stage1.groupBy(*group_cols).agg(
+        *[
+            recombine[fn](f"__p_{col}").alias(f"{fn}_{col}")
+            for col, fn in aggs.items()
+        ]
+    )

@@ -527,12 +527,35 @@ def q17_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cnt_sql(pat: str, n: int) -> str:
+    """DuckDB occurrence count of a fixed literal via the length-diff trick."""
+    return (
+        f"(LENGTH(low) - LENGTH(REGEXP_REPLACE(low, '{pat}', '', 'g'))) / {n}.0"
+    )
+
+
 @register(
     "q18_lang_detect",
-    None,  # heuristic cascade is Spark-side; SQL oracle added in tests
+    f"""
+    WITH lowered AS (SELECT doc_id, text, LOWER(text) AS low FROM documents)
+    SELECT doc_id,
+           CASE
+             WHEN text IS NULL THEN NULL
+             WHEN REGEXP_MATCHES(low, '[āēīōū]') THEN 'nah'
+             WHEN {_cnt_sql("tl", 2)} + {_cnt_sql("tz", 2)}
+                + {_cnt_sql("kw", 2)} + {_cnt_sql("ku", 2)} >= 1 THEN 'nah'
+             WHEN {_cnt_sql("k''", 2)} + {_cnt_sql("ch''", 3)}
+                + {_cnt_sql("t''", 2)} + {_cnt_sql("p''", 2)}
+                + {_cnt_sql("ts''", 3)} + {_cnt_sql("ʔ", 1)} >= 1 THEN 'myn'
+             WHEN REGEXP_MATCHES(low, '[¿¡ñ]') THEN 'es'
+             ELSE NULL
+           END AS detected_lang
+    FROM lowered
+    """,
 )
 def q18_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12 char-heuristic LID over documents (normalizers.py:298-346)."""
+    """F12 char-heuristic LID over documents (normalizers.py:298-346) —
+    a pure expression cascade, oracle-checked signal by signal."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", detect_language(F.col("text")).alias("detected_lang")
@@ -637,13 +660,50 @@ def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *minhash_signature_cols(sh, num_hashes=4))
 
 
-@register(
-    "q23_doc_quality",
-    None,  # composite heuristic: Spark-side; rows-only driver check
-)
+def _q23_oracle() -> str:
+    from nahuatl_data_pipeline_spark.functions.text_analysis import _STOPWORDS
+
+    sw_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             LENGTH(text) AS n,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]¿¡«»…]', '', 'g'))
+               AS n_punct,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE) / n ELSE 0.0 END AS pr,
+             CASE WHEN LEN(toks) > 0
+                  THEN CAST(LEN(LIST_FILTER(toks, t -> t IN ({sw_list}))) AS DOUBLE)
+                       / LEN(toks)
+                  ELSE 0.0 END AS sw,
+             CASE WHEN LEN(toks) > 0
+                  THEN CAST(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS DOUBLE)
+                       / LEN(toks)
+                  ELSE 0.0 END AS mwl
+      FROM base
+    )
+    SELECT doc_id,
+           ROUND(pr, 6) AS punct_ratio,
+           CASE WHEN text IS NULL THEN NULL ELSE ROUND((
+             CAST(n BETWEEN 3 AND 1000 AS INT)
+             + CAST(pr < 0.3 AS INT)
+             + CAST(sw BETWEEN 0.05 AND 0.7 AS INT)
+             + CAST(mwl BETWEEN 2.0 AND 14.0 AS INT)
+           ) / 4.0, 2) END AS quality_score
+    FROM m
+    """
+
+
+@register("q23_doc_quality", _q23_oracle())
 def q23_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length/punct/stopword/word-length heuristics) —
-    training-data pipeline primitive."""
+    training-data pipeline primitive, fully oracle-checked (the composite
+    is four booleans over exact ratios → quarter-valued scores)."""
     docs = load_table(spark, sf_dir, "documents")
     from nahuatl_data_pipeline_spark.functions.text_analysis import quality_score
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nahuatl_data_pipeline_spark.functions.normalize import collapse_whitespace
 from nahuatl_data_pipeline_spark.operators.quality import (
     Check,
     length_in_range_ratio,
@@ -430,6 +431,34 @@ def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(n_frames, "media_id", "left").select(
         "media_id", "modality", "n_bytes", "n_frames", "feature"
     )
+
+
+@register("q44_alignment_join", None)  # model-backed top-1 join — rows-only
+def q44_alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 embedding-alignment join (aligner.py:15-50): embed both sides
+    (pluggable encoder; deterministic hashed embedding here), broadcast
+    top-1 cosine, threshold 0.85. Planted identical texts guarantee
+    matches; invariants in tests/test_alignment_eval.py."""
+    from nahuatl_data_pipeline_spark.operators.alignment import align_sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") < 50).select(F.col("text").alias("nah"))
+    right = docs.filter(F.col("doc_id") < 500).select(F.col("text").alias("es"))
+    return align_sentences(left, right, "nah", "es", min_score=0.85)
+
+
+@register("q45_corpus_eval", None)  # driver-side final combine — rows-only
+def q45_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 corpus chrF/BLEU (measure_chrf.py:113-118) as sum-decomposable
+    distributed aggregates; hyp = whitespace-normalized text vs ref =
+    original text."""
+    from nahuatl_data_pipeline_spark.operators.evaluation import evaluation_report
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = docs.select(
+        collapse_whitespace(F.col("text")).alias("hyp"), F.col("text").alias("ref")
+    )
+    return evaluation_report(pairs, "hyp", "ref")
 
 
 @register("q41_chunked_docs", None)  # greedy fold — Arrow pandas_udf path

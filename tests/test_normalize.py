@@ -127,3 +127,18 @@ def test_dedup_key_null_and_case(spark):
     )
     keys = [r[0] for r in df.select(dedup_key("a", "b", "c").alias("k")).collect()]
     assert keys[0] == keys[1] == "hola|mundo|"
+
+
+def test_strip_html(spark):
+    from nahuatl_data_pipeline_spark.functions.normalize import strip_html
+
+    html = (
+        "<html><head><style>p{color:red}</style></head>"
+        "<body><p>Hola &amp; adiós</p><script>var x=1;</script>"
+        "<b>mundo</b>&nbsp;fin</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], ["t"])
+    out = df.select(
+        F.trim(F.regexp_replace(strip_html("t"), r"\s+", " ")).alias("s")
+    ).collect()[0]["s"]
+    assert out == "Hola & adiós mundo fin"

@@ -1,0 +1,80 @@
+"""Salted join/agg must produce exactly the plain-operator results while
+spreading hot keys across salt sub-keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.skew import salted_agg, salted_join
+
+
+def _skewed(spark):
+    # 900 rows on one hot key + 100 spread over 10 keys
+    rows = [("hot", i, float(i)) for i in range(900)] + [
+        (f"k{i % 10}", i, float(i)) for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "k string, v long, x double")
+
+
+def _dim(spark):
+    rows = [("hot", "HOT")] + [(f"k{i}", f"K{i}") for i in range(10)]
+    return spark.createDataFrame(rows, "k string, label string")
+
+
+def test_salted_join_equals_plain_join(spark):
+    big, dim = _skewed(spark), _dim(spark)
+    plain = sorted(map(tuple, big.join(dim, "k").select("k", "v", "label").collect()))
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(big, dim, "k", num_salts=4)
+            .select("k", "v", "label")
+            .collect(),
+        )
+    )
+    assert salted == plain and len(plain) == 1000
+
+
+def test_salted_join_left_outer(spark):
+    big = _skewed(spark)
+    dim = _dim(spark).filter(F.col("k") != "hot")  # hot key unmatched
+    out = salted_join(big, dim, "k", num_salts=4, how="left")
+    assert out.count() == 1000
+    assert out.filter(F.col("k") == "hot").filter(F.col("label").isNull()).count() == 900
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"]): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("x").alias("s"),
+            F.count("v").alias("n"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["sum_x"], r["count_v"], r["min_x"], r["max_x"])
+        for r in salted_agg(
+            df, ["k"], {"x": "sum", "v": "count"}, num_salts=4
+        )
+        .join(
+            salted_agg(df, ["k"], {"x": "min"}, num_salts=4), "k"
+        )
+        .join(salted_agg(df, ["k"], {"x": "max"}, num_salts=4), "k")
+        .withColumnRenamed("min_x", "min_x")
+        .collect()
+    }
+    for k, (s, n, mn, mx) in plain.items():
+        ss, sn, smn, smx = salted[k]
+        assert abs(ss - s) < 1e-6 and sn == n and smn == mn and smx == mx
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(_skewed(spark), ["k"], {"x": "avg"})
