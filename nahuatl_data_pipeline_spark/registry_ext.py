@@ -433,6 +433,45 @@ def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q46_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM marked
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def q46_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1 h gap), batch form of the
+    applyInPandasWithState streaming operator — lag + cumulative-sum
+    session ids; stream-vs-batch agreement in tests/test_sessionize.py."""
+    from nahuatl_data_pipeline_spark.streaming.sessionize import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    out = sessionize_batch(events.select("user_id", "ts"), gap="1 hours")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 @register("q44_alignment_join", None)  # model-backed top-1 join — rows-only
 def q44_alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 embedding-alignment join (aligner.py:15-50): embed both sides
