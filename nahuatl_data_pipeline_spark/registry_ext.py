@@ -472,6 +472,54 @@ def q46_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q47_corpus_stats",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(text) AS BIGINT) AS n_texts,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           ROUND(AVG(LENGTH(text)), 4) AS avg_chars,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[āēīōūĀĒĪŌŪ]', '', 'g'))) AS BIGINT)
+             AS macron_total,
+           CAST(COUNT(CASE WHEN REGEXP_MATCHES(text, '[āēīōū]') THEN 1 END) AS BIGINT)
+             AS rows_with_macron,
+           CAST(SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q47_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generate_stats.py full corpus report (A1-A6) as ONE aggregate
+    pass per source: volume, null, length, Unicode/macron, token totals —
+    one scan regardless of how many statistics are requested."""
+    from nahuatl_data_pipeline_spark.functions.text_analysis import (
+        macron_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("text").alias("n_texts"),
+        F.sum(n).alias("total_chars"),
+        F.round(F.avg(n), 4).alias("avg_chars"),
+        F.min(n).cast("long").alias("min_chars"),
+        F.max(n).cast("long").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(macron_count("text")).alias("macron_total"),
+        F.count(F.when(F.col("text").rlike("[āēīōū]"), 1)).alias(
+            "rows_with_macron"
+        ),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
 @register("q44_alignment_join", None)  # model-backed top-1 join — rows-only
 def q44_alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 embedding-alignment join (aligner.py:15-50): embed both sides

@@ -1,0 +1,69 @@
+"""Property-based invariants (hypothesis): normalization idempotence,
+dedup idempotence/partition-independence, split totality — batched into
+one Spark DataFrame per example to keep runtime sane."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.functions.normalize import normalize_text
+from nahuatl_data_pipeline_spark.operators.dedup import deduplicate
+from nahuatl_data_pipeline_spark.operators.split import seeded_split
+
+# text with the alphabets that matter: ascii, macrons, saltillo variants,
+# Maya ejectives, Spanish punctuation, whitespace runs
+TEXT = st.text(
+    alphabet=st.sampled_from(list("abctlzk xyz āēīōū ʼ'’`ʔ ñ¿¡ ,.; \t\n")),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=12))
+def test_normalize_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for every language chain."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    for lang in (None, "nah", "myn", "es"):
+        once = df.select(normalize_text(F.col("t"), lang=lang).alias("o"))
+        twice = once.select(normalize_text(F.col("o"), lang=lang).alias("o"))
+        assert [r["o"] for r in once.collect()] == [
+            r["o"] for r in twice.collect()
+        ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(TEXT, TEXT, st.sampled_from(["silver", "diamond"])),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_dedup_idempotent_and_partition_stable(spark, rows):
+    df = spark.createDataFrame(
+        [(es, nah, None, "s", layer) for es, nah, layer in rows],
+        "es string, nah string, myn string, source string, layer string",
+    )
+    once = deduplicate(df, keep="best")
+    # idempotent: dedup of deduped output changes nothing
+    assert sorted(map(tuple, deduplicate(once, keep="best").collect())) == sorted(
+        map(tuple, once.collect())
+    )
+    # partition-independent
+    assert sorted(map(tuple, deduplicate(df.repartition(5), keep="best").collect())) == sorted(
+        map(tuple, once.collect())
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=1, max_value=200))
+def test_split_exact_and_total(spark, n):
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = seeded_split(df, "doc_id", seed=42)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # total: every row assigned exactly once
+    assert counts.get("train", 0) == int(n * 0.9)  # exact floor cutoffs
+    train_plus_val = int(n * 0.95)
+    assert counts.get("train", 0) + counts.get("validation", 0) == train_plus_val
