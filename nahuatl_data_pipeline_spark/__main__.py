@@ -1,0 +1,3 @@
+from nahuatl_data_pipeline_spark.cli import main
+
+raise SystemExit(main())

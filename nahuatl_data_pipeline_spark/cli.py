@@ -1,0 +1,127 @@
+"""Command-line entry points (reference ``src/pipeline/cli.py``:
+``python -m src.pipeline.cli run`` → here ``python -m
+nahuatl_data_pipeline_spark <cmd>``).
+
+Commands:
+- ``run``     — full corpus pipeline over layer dirs → gold splits
+- ``stats``   — one-pass corpus report on a parquet/jsonl table
+- ``quality`` — expectation suite; exit code 1 on failed checks
+              (run_quality_check.py:343-449 exit-code contract)
+- ``query``   — execute one registered engine query by name
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nahuatl_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="full corpus pipeline → gold splits")
+    run.add_argument("--layer", action="append", required=True,
+                     metavar="NAME=DIR", help="layer dir, e.g. silver=/data/s")
+    run.add_argument("--out", required=True)
+    run.add_argument("--seed", type=int, default=42)
+    run.add_argument("--keep", default="best",
+                     choices=["first", "last", "best", "longest-target"])
+    run.add_argument("--metadata-dir", default=None)
+
+    stats = sub.add_parser("stats", help="one-pass corpus stats report")
+    stats.add_argument("--input", required=True, help="parquet path")
+    stats.add_argument("--text-col", default="text")
+    stats.add_argument("--group-by", default=None)
+
+    quality = sub.add_parser("quality", help="expectation suite gate")
+    quality.add_argument("--input", required=True, help="parquet path")
+    quality.add_argument("--min-rows", type=float, default=1.0)
+
+    query = sub.add_parser("query", help="run a registered engine query")
+    query.add_argument("name")
+    query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    query.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from nahuatl_data_pipeline_spark.session import get_spark
+
+    args = _build_parser().parse_args(argv)
+    spark = get_spark(app_name=f"nahuatl-cli-{args.cmd}")
+
+    if args.cmd == "run":
+        from nahuatl_data_pipeline_spark.pipeline import (
+            PipelineConfig,
+            run_corpus_pipeline,
+        )
+        from nahuatl_data_pipeline_spark.plans.metadata import MetadataStore
+
+        layer_dirs = dict(kv.split("=", 1) for kv in args.layer)
+        store = (
+            MetadataStore(spark, args.metadata_dir) if args.metadata_dir else None
+        )
+        stats = run_corpus_pipeline(
+            spark,
+            layer_dirs,
+            args.out,
+            PipelineConfig(seed=args.seed, keep=args.keep),
+            metadata_store=store,
+        )
+        print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "stats":
+        from pyspark.sql import functions as F
+
+        from nahuatl_data_pipeline_spark.operators.aggregates import length_stats
+
+        df = spark.read.parquet(args.input)
+        out = length_stats(df, args.text_col, group_by=args.group_by)
+        for row in out.collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "quality":
+        from pyspark.sql import functions as F
+
+        from nahuatl_data_pipeline_spark.operators.quality import (
+            Check,
+            not_null_ratio,
+            row_count,
+            run_checks,
+        )
+
+        df = spark.read.parquet(args.input)
+        checks = [
+            Check("rows", row_count(), ">=", args.min_rows),
+            *[
+                Check(f"{c}_not_null", not_null_ratio(c), ">", 0.0)
+                for c in df.columns
+            ],
+        ]
+        results = run_checks(df, checks).collect()
+        for r in results:
+            print(json.dumps(r.asDict()))
+        return 0 if all(r["passed"] for r in results) else 1
+
+    if args.cmd == "query":
+        from nahuatl_data_pipeline_spark import registry
+
+        qs = registry.queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; available: {sorted(qs)}",
+                  file=sys.stderr)
+            return 2
+        df = qs[args.name](spark, args.sf_dir)
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
