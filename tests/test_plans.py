@@ -68,3 +68,22 @@ def test_q06_scalar_subquery_broadcast(spark):
     plan = plan_of(spark, "q06_max_price_order")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_gold_partition_pruning(spark, tmp_path):
+    """A split=... filter on the partitioned gold layout must prune at the
+    file-index level (PartitionFilters), reading zero non-train files."""
+    from nahuatl_data_pipeline_spark.sources.writers import write_splits
+
+    df = spark.createDataFrame(
+        [(f"es{i}", "train" if i % 10 else "test") for i in range(100)],
+        "es string, split string",
+    )
+    out = str(tmp_path / "gold")
+    write_splits(df, out)
+    import pyspark.sql.functions as F
+
+    scan = spark.read.parquet(out).filter(F.col("split") == "train")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan and "split" in plan
+    assert scan.count() == 90

@@ -188,3 +188,42 @@ def test_jdbc_option_construction():
     assert opts["partitionColumn"] == "updated_at"
     sink = bulk_insert_options("jdbc:x", "t", dialect="oracle")
     assert sink["driver"] == "oracle.jdbc.OracleDriver"
+
+
+def test_driver_registry_dispatch(spark):
+    from nahuatl_data_pipeline_spark.sources.drivers import (
+        DRIVER_REGISTRY,
+        ingest_source,
+    )
+
+    assert {"synthetic", "hf_generic", "http_verse"} <= set(DRIVER_REGISTRY)
+    df = ingest_source(spark, "synthetic", "seed://vocab", source_id="s1")
+    rows = df.collect()
+    assert len(rows) == 6  # 3 vocab × 2 templates
+    assert all(r["layer"] == "bronze" and r["origin_file"] == "seed://vocab" for r in rows)
+    assert any("xochitl" in (r["nah"] or "") for r in rows)
+
+
+def test_ingest_pending_isolates_failures(spark, tmp_path):
+    from nahuatl_data_pipeline_spark.sources.drivers import ingest_pending
+
+    registry = spark.createDataFrame(
+        [
+            ("s1", "seed://vocab", "synthetic", "Pending"),
+            ("s2", "hf://no-such-lib", "hf_generic", "Pending"),
+            ("s3", "seed://vocab", "synthetic", "Done"),
+        ],
+        "source_id string, source_url string, ingestion_driver string, ingestion_status string",
+    )
+    out, done, failed = ingest_pending(spark, registry)
+    assert done == ["s1"] and failed == ["s2"]  # s3 not Pending → skipped
+    assert out.count() == 6
+
+
+def test_unknown_driver_raises(spark):
+    import pytest
+
+    from nahuatl_data_pipeline_spark.sources.drivers import ingest_source
+
+    with pytest.raises(KeyError, match="unknown driver"):
+        ingest_source(spark, "nope", "x://y")
