@@ -34,5 +34,21 @@ from nahuatl_data_pipeline_spark.functions.text_analysis import (  # noqa: F401
 )
 from nahuatl_data_pipeline_spark.functions.hashing import (  # noqa: F401
     content_id,
+    hash64,
+    minhash_from_hashes,
     minhash_signature_cols,
+    simhash64,
+    token_set,
+    word_shingles,
+)
+from nahuatl_data_pipeline_spark.functions.normalize import strip_html  # noqa: F401
+from nahuatl_data_pipeline_spark.functions.segmentation import (  # noqa: F401
+    chunk_documents,
+    chunk_text,
+    sentences,
+    split_sentences,
+)
+from nahuatl_data_pipeline_spark.functions.embeddings import (  # noqa: F401
+    embed_text,
+    hashed_embedding,
 )

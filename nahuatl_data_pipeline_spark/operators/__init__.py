@@ -28,3 +28,38 @@ from nahuatl_data_pipeline_spark.operators.aggregates import (  # noqa: F401
     top_k,
     type_token_ratio,
 )
+from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (  # noqa: F401
+    banded_minhash_pairs,
+    minhash_lsh_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from nahuatl_data_pipeline_spark.operators.similarity import (  # noqa: F401
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_topk,
+)
+from nahuatl_data_pipeline_spark.operators.quality import (  # noqa: F401
+    Check,
+    corpus_expectation_suite,
+    run_checks,
+)
+from nahuatl_data_pipeline_spark.operators.alignment import (  # noqa: F401
+    align_sentences,
+)
+from nahuatl_data_pipeline_spark.operators.evaluation import (  # noqa: F401
+    corpus_bleu,
+    corpus_chrf,
+    evaluation_report,
+)
+from nahuatl_data_pipeline_spark.operators.skew import (  # noqa: F401
+    salted_agg,
+    salted_join,
+)
+from nahuatl_data_pipeline_spark.operators.multimodal import (  # noqa: F401
+    attach_media_metadata,
+    extract_features,
+    resize_images,
+    sample_frames,
+)

@@ -403,13 +403,29 @@ def q43_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q42_media_features", None)  # binary plumbing — rows-only check
+@register(
+    "q42_media_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           'image' AS modality,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN NULL
+                ELSE LEAST(CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 128.0) AS BIGINT), 4)
+           END AS n_frames,
+           ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 8), i ->
+             CAST(('0x' || SUBSTRING(SHA256(text), 4*i+3, 2)
+                        || SUBSTRING(SHA256(text), 4*i+1, 2)) AS BIGINT)), ',')
+             AS feature_sig
+    FROM documents WHERE doc_id < 500
+    """,
+)
 def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing end-to-end: text → binary payload →
     typed metadata struct (sha256 content id) → mapInPandas feature
-    extraction (deterministic fake codec) → frame sampling join.
-    The binary/metadata/Arrow-batch contract is the real 100 TB path; only
-    the codec is a stand-in (no image libs in this container)."""
+    extraction (deterministic digest-derived codec) → frame sampling
+    join. Oracle-checked: the fake codec's features are sha256-uint16s
+    that DuckDB reproduces exactly (emitted as an integer signature
+    string so float formatting can't drift)."""
     from nahuatl_data_pipeline_spark.operators.multimodal import (
         attach_media_metadata,
         extract_features,
@@ -429,7 +445,16 @@ def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(media, every_n_bytes=128, frame_bytes=32, max_frames=4)
     n_frames = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
     return feats.join(n_frames, "media_id", "left").select(
-        "media_id", "modality", "n_bytes", "n_frames", "feature"
+        "media_id",
+        "modality",
+        "n_bytes",
+        "n_frames",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature", lambda x: F.round(x * 65536).cast("long")
+            ),
+        ).alias("feature_sig"),
     )
 
 
