@@ -128,10 +128,51 @@ def corpus_bleu(df: DataFrame, hyp_col: str, ref_col: str) -> float:
 
 def evaluation_report(df: DataFrame, hyp_col: str, ref_col: str) -> DataFrame:
     """(metric, value) DataFrame — the shape the reference writes to
-    ``benchmark_metrics_*.json``."""
+    ``benchmark_metrics_*.json``.
+
+    ONE scan: both metrics' row statistics are computed in the same
+    projection and summed in the same aggregate; the final F-score /
+    geo-mean runs on the driver over ~30 numbers.
+    """
+    import math
+
     spark = df.sparkSession
-    rows = [
-        ("chrf", round(corpus_chrf(df, hyp_col, ref_col), 4)),
-        ("bleu", round(corpus_bleu(df, hyp_col, ref_col), 4)),
-    ]
+    chrf_w, bleu_w = 3 * CHRF_MAX_N, 2 * BLEU_MAX_N + 2
+    stats = df.select(
+        _chrf_stats_udf(F.col(hyp_col), F.col(ref_col)).alias("c"),
+        _bleu_stats_udf(F.col(hyp_col), F.col(ref_col)).alias("b"),
+    ).filter(F.col("c").isNotNull() & F.col("b").isNotNull())
+    sums = stats.agg(
+        *[F.sum(F.element_at("c", i + 1)).alias(f"c{i}") for i in range(chrf_w)],
+        *[F.sum(F.element_at("b", i + 1)).alias(f"b{i}") for i in range(bleu_w)],
+    ).collect()[0]
+
+    if sums[0] is None:  # empty corpus
+        rows = [("chrf", 0.0), ("bleu", 0.0)]
+        return spark.createDataFrame(rows, "metric string, value double")
+
+    beta = 2.0
+    f_scores = []
+    for n in range(CHRF_MAX_N):
+        match, hyp_n, ref_n = sums[3 * n], sums[3 * n + 1], sums[3 * n + 2]
+        if not hyp_n and not ref_n:
+            continue
+        p = match / hyp_n if hyp_n else 0.0
+        r = match / ref_n if ref_n else 0.0
+        denom = beta * beta * p + r
+        f_scores.append((1 + beta * beta) * p * r / denom if denom else 0.0)
+    chrf = 100.0 * sum(f_scores) / len(f_scores) if f_scores else 0.0
+
+    log_p, bleu = 0.0, 0.0
+    for n in range(BLEU_MAX_N):
+        match, total = sums[chrf_w + 2 * n], sums[chrf_w + 2 * n + 1]
+        if not total or not match:
+            break
+        log_p += math.log(match / total)
+    else:
+        hyp_len, ref_len = sums[chrf_w + bleu_w - 2], sums[chrf_w + bleu_w - 1]
+        bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+        bleu = 100.0 * bp * math.exp(log_p / BLEU_MAX_N)
+
+    rows = [("chrf", round(chrf, 4)), ("bleu", round(bleu, 4))]
     return spark.createDataFrame(rows, "metric string, value double")

@@ -52,26 +52,36 @@ class Check:
 # --- metric builders (DataQuality.scala:39-114) ----------------------------
 
 
+# try_divide everywhere: under ANSI mode (Spark 4 default) 0/0 on an empty
+# or all-null input would ABORT the whole suite; an undefined ratio is
+# NULL → its check reports passed = false, which is the right verdict for
+# "no data arrived".
+
+
 def not_null_ratio(col: str) -> Column:
-    return F.count(F.col(col)) / F.count(F.lit(1))
+    return F.try_divide(F.count(F.col(col)), F.count(F.lit(1)))
 
 
 def regex_match_ratio(col: str, pattern: str) -> Column:
     """Matching share among NON-NULL values (GE ``mostly`` semantics)."""
-    return F.count(F.when(F.col(col).rlike(pattern), 1)) / F.count(F.col(col))
+    return F.try_divide(
+        F.count(F.when(F.col(col).rlike(pattern), 1)), F.count(F.col(col))
+    )
 
 
 def unique_ratio(col: str) -> Column:
-    return F.countDistinct(F.col(col)) / F.count(F.col(col))
+    return F.try_divide(F.countDistinct(F.col(col)), F.count(F.col(col)))
 
 
 def length_in_range_ratio(col: str, lo: int, hi: int) -> Column:
     n = F.length(F.col(col))
-    return F.count(F.when(n.between(lo, hi), 1)) / F.count(F.col(col))
+    return F.try_divide(F.count(F.when(n.between(lo, hi), 1)), F.count(F.col(col)))
 
 
 def values_in_set_ratio(col: str, allowed: list[str]) -> Column:
-    return F.count(F.when(F.col(col).isin(allowed), 1)) / F.count(F.col(col))
+    return F.try_divide(
+        F.count(F.when(F.col(col).isin(allowed), 1)), F.count(F.col(col))
+    )
 
 
 def row_count() -> Column:
@@ -101,7 +111,8 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         passed = F.when(
             F.col("check") == c.name, c.passed(F.col("metric"))
         ).otherwise(passed)
-    return tall.withColumn("passed", passed)
+    # NULL metric (empty input) → failed, not NULL verdict
+    return tall.withColumn("passed", F.coalesce(passed, F.lit(False)))
 
 
 def corpus_expectation_suite(

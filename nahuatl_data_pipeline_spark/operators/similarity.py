@@ -147,6 +147,12 @@ def lsh_topk(
 
     qn = normed(queries, "features")
     cn = normed(corpus, "features")
+    # fit on an empty corpus throws; an empty result is the right answer
+    # (a date-filtered corpus partition can legitimately be empty)
+    if cn.isEmpty():
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
