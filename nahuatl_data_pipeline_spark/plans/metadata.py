@@ -28,8 +28,13 @@ from nahuatl_data_pipeline_spark.operators.aggregates import (
     moving_average_trend,
 )
 from nahuatl_data_pipeline_spark.schemas import (
+    CONFIG_AUDIT_SCHEMA,
+    DATASET_SNAPSHOTS_SCHEMA,
+    DEDUPLICATION_LOG_SCHEMA,
     PIPELINE_RUNS_SCHEMA,
     QUALITY_METRICS_SCHEMA,
+    UNICODE_STATS_SCHEMA,
+    VALIDATION_ERRORS_SCHEMA,
 )
 
 
@@ -273,6 +278,121 @@ class MetadataStore:
             ],
             QUALITY_METRICS_SCHEMA,
             self._metrics_path,
+        )
+
+    # --- remaining schema.sql tables (unicode_stats :73-86,
+    # validation_errors :92-106, deduplication_log :112-124,
+    # dataset_snapshots :130-146, config_audit :152-162) ---------------
+
+    def log_unicode_stats(self, run_id: str, df: DataFrame, column: str) -> None:
+        """Compute + persist the A6 unicode statistics of one text column
+        (one aggregate pass over df)."""
+        from nahuatl_data_pipeline_spark.operators.aggregates import (
+            unicode_char_stats,
+        )
+
+        row = unicode_char_stats(df, column).collect()[0]
+        self._append(
+            [
+                {
+                    "run_id": run_id,
+                    "column_name": column,
+                    "macron_total": row["macron_total"],
+                    "saltillo_total": row["saltillo_total"],
+                    "rows_with_macron": row["rows_with_macron"],
+                    "measured_at": _now(),
+                }
+            ],
+            UNICODE_STATS_SCHEMA,
+            f"{self.base_dir}/unicode_stats",
+        )
+
+    def log_validation_errors(self, run_id: str, errors: list[dict]) -> None:
+        """errors: [{error_type, error_message, record_context(JSON str)}]"""
+        now = _now()
+        self._append(
+            [{**e, "run_id": run_id, "occurred_at": now} for e in errors],
+            VALIDATION_ERRORS_SCHEMA,
+            f"{self.base_dir}/validation_errors",
+        )
+
+    def log_dedup(
+        self, run_id: str, strategy: str, before: int, after: int
+    ) -> None:
+        self._append(
+            [
+                {
+                    "run_id": run_id,
+                    "strategy": strategy,
+                    "records_before": before,
+                    "records_after": after,
+                    "duplicates_removed": before - after,
+                    "duplicate_rate": (before - after) / before if before else 0.0,
+                    "logged_at": _now(),
+                }
+            ],
+            DEDUPLICATION_LOG_SCHEMA,
+            f"{self.base_dir}/deduplication_log",
+        )
+
+    def snapshot_dataset(
+        self, run_id: str, name: str, df: DataFrame, layer: str | None = None
+    ) -> None:
+        """Record count + content checksum of a dataset version (the
+        checksum is an order-insensitive xor-free aggregate: sum of row
+        hashes mod 2^63 — cheap, distributed, stable)."""
+        agg = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs(F.xxhash64(*df.columns)) % (2**31)).alias("h"),
+        ).collect()[0]
+        self._append(
+            [
+                {
+                    "run_id": run_id,
+                    "dataset_name": name,
+                    "layer": layer,
+                    "record_count": agg["n"],
+                    "checksum": str(agg["h"]),
+                    "snapshot_at": _now(),
+                }
+            ],
+            DATASET_SNAPSHOTS_SCHEMA,
+            f"{self.base_dir}/dataset_snapshots",
+        )
+
+    def audit_config(
+        self, run_id: str, changes: dict[str, tuple[str | None, str | None]]
+    ) -> None:
+        """changes: {key: (old, new)}"""
+        now = _now()
+        self._append(
+            [
+                {
+                    "run_id": run_id,
+                    "config_key": k,
+                    "old_value": old,
+                    "new_value": new,
+                    "changed_at": now,
+                }
+                for k, (old, new) in changes.items()
+            ],
+            CONFIG_AUDIT_SCHEMA,
+            f"{self.base_dir}/config_audit",
+        )
+
+    def table(self, name: str) -> DataFrame:
+        """Read back any metadata table by its schema.sql name."""
+        schemas = {
+            "pipeline_runs": PIPELINE_RUNS_SCHEMA,
+            "quality_metrics": QUALITY_METRICS_SCHEMA,
+            "unicode_stats": UNICODE_STATS_SCHEMA,
+            "validation_errors": VALIDATION_ERRORS_SCHEMA,
+            "deduplication_log": DEDUPLICATION_LOG_SCHEMA,
+            "dataset_snapshots": DATASET_SNAPSHOTS_SCHEMA,
+            "config_audit": CONFIG_AUDIT_SCHEMA,
+        }
+        return self.spark.read.schema(schemas[name]).parquet(
+            f"{self.base_dir}/{name}"
         )
 
     def runs(self) -> DataFrame:

@@ -145,6 +145,67 @@ DATA_LINEAGE_SCHEMA = StructType(
     ]
 )
 
+UNICODE_STATS_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("run_id", StringType(), False),
+        StructField("column_name", StringType(), False),
+        StructField("macron_total", LongType(), True),
+        StructField("saltillo_total", LongType(), True),
+        StructField("rows_with_macron", LongType(), True),
+        StructField("distinct_chars", LongType(), True),
+        StructField("measured_at", TimestampType(), True),
+    ]
+)
+
+VALIDATION_ERRORS_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("run_id", StringType(), False),
+        StructField("error_type", StringType(), False),
+        StructField("error_message", StringType(), True),
+        StructField("record_context", StringType(), True),  # JSON payload
+        StructField("occurred_at", TimestampType(), True),
+    ]
+)
+
+DEDUPLICATION_LOG_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("run_id", StringType(), False),
+        StructField("strategy", StringType(), False),
+        StructField("records_before", LongType(), True),
+        StructField("records_after", LongType(), True),
+        StructField("duplicates_removed", LongType(), True),
+        StructField("duplicate_rate", DoubleType(), True),
+        StructField("logged_at", TimestampType(), True),
+    ]
+)
+
+DATASET_SNAPSHOTS_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("run_id", StringType(), False),
+        StructField("dataset_name", StringType(), False),
+        StructField("layer", StringType(), True),
+        StructField("record_count", LongType(), True),
+        StructField("size_bytes", LongType(), True),
+        StructField("checksum", StringType(), True),
+        StructField("snapshot_at", TimestampType(), True),
+    ]
+)
+
+CONFIG_AUDIT_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("run_id", StringType(), False),
+        StructField("config_key", StringType(), False),
+        StructField("old_value", StringType(), True),
+        StructField("new_value", StringType(), True),
+        StructField("changed_at", TimestampType(), True),
+    ]
+)
+
 SOURCES_REGISTRY_SCHEMA = StructType(
     [
         StructField("source_id", StringType(), False),

@@ -76,3 +76,37 @@ def test_metrics_tracker(spark, tmp_path):
         if r["metric_name"].startswith("boom")
     }
     assert m2["boom_failed"] == 1.0
+
+
+def test_metadata_store_full_table_surface(spark, tmp_path):
+    """All eight schema.sql tables are writable/readable through the store."""
+    store = MetadataStore(spark, str(tmp_path / "meta"))
+    run_id = store.start_run("full")
+    docs = spark.createDataFrame(
+        [("tlazohcāmati ʼ",), ("sin macron",)], ["text"]
+    )
+    store.log_unicode_stats(run_id, docs, "text")
+    store.log_validation_errors(
+        run_id,
+        [{"error_type": "schema", "error_message": "bad row", "record_context": "{}"}],
+    )
+    store.log_dedup(run_id, "keep-best", before=100, after=90)
+    store.snapshot_dataset(run_id, "gold", docs, layer="gold")
+    store.audit_config(run_id, {"seed": ("41", "42")})
+
+    u = store.table("unicode_stats").collect()[0]
+    assert u["macron_total"] == 1 and u["rows_with_macron"] == 1
+    assert u["saltillo_total"] == 1
+    v = store.table("validation_errors").collect()[0]
+    assert v["error_type"] == "schema"
+    d = store.table("deduplication_log").collect()[0]
+    assert d["duplicates_removed"] == 10 and abs(d["duplicate_rate"] - 0.1) < 1e-9
+    s = store.table("dataset_snapshots").collect()[0]
+    assert s["record_count"] == 2 and s["checksum"] is not None
+    c = store.table("config_audit").collect()[0]
+    assert (c["config_key"], c["old_value"], c["new_value"]) == ("seed", "41", "42")
+
+    # snapshot checksum is content-determined, not order/partitioning-determined
+    store.snapshot_dataset(run_id, "gold2", docs.repartition(7), layer="gold")
+    snaps = {r["dataset_name"]: r["checksum"] for r in store.table("dataset_snapshots").collect()}
+    assert snaps["gold"] == snaps["gold2"]
