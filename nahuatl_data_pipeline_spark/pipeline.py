@@ -65,6 +65,7 @@ def run_corpus_pipeline(
     out_dir: str,
     cfg: PipelineConfig | None = None,
     metadata_store=None,
+    track_details: bool = False,
 ) -> dict:
     """The full Bronze→Gold unification:
 
@@ -135,6 +136,26 @@ def run_corpus_pipeline(
                     ),
                 },
             )
+            if track_details:
+                # v2's full audit trail (unify_v2.py) — extra actions, so
+                # opt-in: dedup log, unicode preservation stats on the
+                # written gold data, and a content-checksummed snapshot
+                metadata_store.log_dedup(
+                    run_id, cfg.keep, before=n_input, after=n_output
+                )
+                for lang in cfg.lang_cols:
+                    if lang in gold.columns:
+                        metadata_store.log_unicode_stats(run_id, gold, lang)
+                metadata_store.snapshot_dataset(
+                    run_id, "gold", gold, layer="gold"
+                )
+                metadata_store.audit_config(
+                    run_id,
+                    {
+                        "seed": (None, str(cfg.seed)),
+                        "keep": (None, cfg.keep),
+                    },
+                )
         return stats
     except Exception as exc:
         if metadata_store is not None:

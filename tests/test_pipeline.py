@@ -85,6 +85,27 @@ def test_full_pipeline(spark, layer_dirs, tmp_path):
     assert len(perf) == 1 and perf[0]["successful_runs"] == 1
 
 
+def test_pipeline_track_details_audit_trail(spark, layer_dirs, tmp_path):
+    store = MetadataStore(spark, str(tmp_path / "meta"))
+    stats = run_corpus_pipeline(
+        spark,
+        layer_dirs,
+        str(tmp_path / "gold"),
+        PipelineConfig(min_length=2),
+        metadata_store=store,
+        track_details=True,
+    )
+    d = store.table("deduplication_log").collect()[0]
+    assert d["records_before"] == stats["input"]
+    assert d["records_after"] == stats["output"]
+    u = {r["column_name"]: r for r in store.table("unicode_stats").collect()}
+    assert u["nah"]["macron_total"] >= 1  # tlazohcāmati survived
+    s = store.table("dataset_snapshots").collect()[0]
+    assert s["record_count"] == stats["output"]
+    audit = {r["config_key"]: r["new_value"] for r in store.table("config_audit").collect()}
+    assert audit["seed"] == "42" and audit["keep"] == "best"
+
+
 def test_pipeline_failure_records_failed_run(spark, tmp_path):
     store = MetadataStore(spark, str(tmp_path / "meta"))
     with pytest.raises(Exception):
