@@ -95,3 +95,36 @@ def test_fuzzy_results_stable_across_partitioning(docs):
         )
     )
     assert a == b
+
+
+def test_macron_variant_pair_found_at_high_threshold(spark):
+    """SparkDedupSpec.scala:41-57: sentences differing only in one macron
+    must be caught as near-duplicates at threshold 0.9 (jaccard sim) —
+    the macron variant changes exactly one token of the sentence."""
+    df = spark.createDataFrame(
+        [
+            (1, "tlazohcamati huel miac ipampa in tlahtolli in cualli"),
+            (2, "tlazohcāmati huel miac ipampa in tlahtolli in cualli"),
+            (3, "completely unrelated content about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    # token sets: 7 distinct each, 6 shared → J = 6/8 = 0.75 exactly;
+    # approxSimilarityJoin keeps distance < threshold (strict), so 0.3
+    # admits the 0.25-distance pair; doc 3 shares nothing
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.3, shingle_n=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # and the deterministic exact-Jaccard path agrees on the value
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_n=1, jaccard_threshold=0.7
+        ).collect()
+    }
+    assert exact.get((1, 2)) == 0.75
