@@ -190,13 +190,16 @@ def banded_minhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Jaccard verify only on the (few) candidates: join the cached shingle
-    # arrays back by id.
+    # arrays back by id. The candidate set is broadcast — near-dup pairs
+    # are sparse by construction — so the (wide) shingle arrays never
+    # shuffle; each partition of shd probes the candidate hash table.
     sh_a = shd.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = shd.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cands.join(sh_a, "id_a")
+        F.broadcast(cands)
+        .join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
             "id_a",
