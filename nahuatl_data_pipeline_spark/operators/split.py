@@ -11,10 +11,23 @@ sizes and depends on partition layout, so instead we rank rows by a
 
 Properties: exact counts, independent of partitioning/cluster size,
 reproducible across engines (md5 is md5 everywhere — the same assignment
-is computable in any SQL oracle). One global sort — at 100 TB prefer the
-stratified variant, which sorts within strata (parallel windows), or a
-hash-mod assignment (``hash_split``) which needs no sort at all at the
-cost of approximate sizes.
+is computable in any SQL oracle).
+
+The global rank is computed *distributed*, never through one task: the
+hash is uniform and hex-lexicographic order equals numeric order, so a
+fixed-width hash **prefix** is a monotone bucket id. Rows are ranked
+within buckets by parallel windows, and each bucket's starting offset
+comes from a tiny per-bucket count table (≤ 16^bucket_hex rows however
+big the input is) that is broadcast-joined back:
+
+    bucket  = int(hash[:4], 16)                  -- monotone in hash
+    row     = row_number() OVER (PARTITION BY bucket ORDER BY hash, key)
+    offset  = cumulative count of earlier buckets (tiny side table)
+    rank    = offset + row                        -- identical semantics
+
+No action, no cache, no single-partition exchange on the data path; the
+only serial step is a window over the ≤65k-row counts table. For
+approximate-size splits with zero shuffle at all, ``hash_split``.
 """
 
 from __future__ import annotations
@@ -24,6 +37,11 @@ from pyspark.sql import functions as F
 
 _RANK = "__split_rank"
 _N = "__split_n"
+_H = "__split_h"
+_B = "__split_b"
+_ROW = "__split_row"
+_OFF = "__split_off"
+_C = "__split_c"
 
 
 def _shuffle_hash(key_col, seed: int):
@@ -37,12 +55,18 @@ def seeded_split(
     seed: int = 42,
     stratify_by: str | None = None,
     split_col: str = "split",
+    bucket_hex: int = 4,
 ) -> DataFrame:
     """R1/R2: exact-count seeded split; optional stratification.
 
     ``ratios`` must sum to 1 (config.py:72-93 validates the same); default
     90/5/5. Cutoffs per stratum are ``floor(n*c1)``, ``floor(n*c2)`` on the
     cumulative ratios — identical to the reference's ``int(n*0.9)`` slicing.
+
+    ``bucket_hex`` controls rank-parallelism: 16^bucket_hex buckets (4 →
+    65,536). The broadcast offset table holds at most that many rows per
+    stratum; raise it only for trillion-row inputs, lower it if strata are
+    themselves very numerous.
     """
     ratios = ratios or {"train": 0.9, "validation": 0.05, "test": 0.05}
     if abs(sum(ratios.values()) - 1.0) > 1e-9:
@@ -54,16 +78,38 @@ def seeded_split(
         acc += ratios[name]
         cum.append((name, acc))
 
-    order = [_shuffle_hash(F.col(key), seed), F.col(key)]
-    if stratify_by:
-        w = Window.partitionBy(stratify_by).orderBy(*order)
-        wn = Window.partitionBy(stratify_by)
-    else:
-        w = Window.orderBy(*order)
-        wn = Window.partitionBy()
-    out = df.withColumn(_RANK, F.row_number().over(w)).withColumn(
-        _N, F.count(F.lit(1)).over(wn)
+    strat = [stratify_by] if stratify_by else []
+    # Bucket = numeric value of a fixed-width hash prefix. md5 hex is
+    # fixed-width lowercase, so lexicographic order == numeric prefix order
+    # and (bucket, hash, key) sorts identically to (hash, key).
+    tmp = df.withColumn(_H, _shuffle_hash(F.col(key), seed)).withColumn(
+        _B, F.conv(F.substring(F.col(_H), 1, bucket_hex), 16, 10).cast("long")
     )
+    w_in = Window.partitionBy(*strat, _B).orderBy(_H, key)
+    ranked = tmp.withColumn(_ROW, F.row_number().over(w_in))
+
+    counts = tmp.groupBy(*strat, _B).agg(F.count(F.lit(1)).alias(_C))
+    w_cum = (
+        Window.partitionBy(*strat)
+        .orderBy(_B)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*strat)
+    offsets = counts.select(
+        *strat,
+        _B,
+        F.coalesce(F.sum(_C).over(w_cum), F.lit(0)).alias(_OFF),
+        F.sum(_C).over(w_tot).alias(_N),
+    )
+
+    r, o = ranked.alias("__sl"), F.broadcast(offsets).alias("__sr")
+    cond = F.col(f"__sl.{_B}") == F.col(f"__sr.{_B}")
+    for c in strat:
+        cond = cond & F.col(f"__sl.{c}").eqNullSafe(F.col(f"__sr.{c}"))
+    out = r.join(o, cond).select(
+        "__sl.*", F.col(f"__sr.{_OFF}").alias(_OFF), F.col(f"__sr.{_N}").alias(_N)
+    )
+    out = out.withColumn(_RANK, F.col(_OFF) + F.col(_ROW))
     # CASE built outside-in: the earliest (smallest) cutoff must win, so it
     # is applied last and ends up as the outermost WHEN.
     expr = F.lit(names[-1])
@@ -71,7 +117,7 @@ def seeded_split(
         expr = F.when(
             F.col(_RANK) <= F.floor(F.col(_N) * F.lit(c)), F.lit(name)
         ).otherwise(expr)
-    return out.withColumn(split_col, expr).drop(_RANK, _N)
+    return out.withColumn(split_col, expr).drop(_RANK, _N, _H, _B, _ROW, _OFF)
 
 
 def hash_split(

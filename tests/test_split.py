@@ -71,6 +71,54 @@ def test_custom_ratios_validation():
         seeded_split(None, "key", ratios={"a": 0.5, "b": 0.6})
 
 
+def test_matches_global_md5_sort_semantics(spark):
+    """The distributed bucketed rank must equal the plain global
+    ``row_number() OVER (ORDER BY md5(seed:key), key)`` semantics the
+    oracle SQL uses — verified against a driver-side md5 sort."""
+    import hashlib
+
+    keys = [f"k{i:04d}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {r["key"]: r["split"] for r in seeded_split(df, "key", seed=7).collect()}
+    order = sorted(keys, key=lambda k: (hashlib.md5(f"7:{k}".encode()).hexdigest(), k))
+    expected = {}
+    for rank, k in enumerate(order, start=1):
+        if rank <= int(200 * 0.9):
+            expected[k] = "train"
+        elif rank <= int(200 * 0.95):
+            expected[k] = "validation"
+        else:
+            expected[k] = "test"
+    assert got == expected
+
+
+def test_split_rank_is_distributed(spark):
+    """Regression for the round-1 scale-killer: the old implementation's
+    global ``Window.orderBy`` funneled every row through ONE task, leaving
+    the output in a single partition. The bucketed rank must not."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # else AQE coalesces tiny shuffles to 1
+    try:
+        out = seeded_split(ids(spark, 2000).repartition(8), "key", seed=42)
+        assert out.rdd.getNumPartitions() > 1
+        # the row_number window over the full input is partitioned by bucket
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "row_number()" in plan and "windowspecdefinition(__split_b" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_null_stratum_rows_survive(spark):
+    df = spark.createDataFrame(
+        [(str(i), None if i % 3 == 0 else "s") for i in range(60)],
+        "key string, stratum string",
+    )
+    out = seeded_split(df, "key", seed=42, stratify_by="stratum")
+    assert out.count() == 60
+    per = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert per[None] == 20 and per["s"] == 40
+
+
 def test_hash_split_approximate_and_stable(spark):
     df = hash_split(ids(spark, 5000), "key", seed=42).cache()
     counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
