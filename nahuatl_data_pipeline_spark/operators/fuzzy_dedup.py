@@ -20,6 +20,8 @@ Three interchangeable strategies, all shuffle-on-bucket (never O(n²)):
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,16 @@ from nahuatl_data_pipeline_spark.functions.hashing import (
     simhash64,
     word_shingles,
 )
+
+
+def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie cached intermediates' lifetime to the *result* DataFrame: when
+    the caller drops the result, the persisted deps unpersist. Keeps
+    repeated calls in a long-lived session from leaking executor storage
+    without forcing an eager action or a cleanup API on callers."""
+    for dep in cached:
+        weakref.finalize(result, dep.unpersist)
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -114,6 +126,7 @@ def banded_minhash_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     jaccard_threshold: float = 0.8,
+    broadcast_max_candidates: int = 2_000_000,
 ) -> DataFrame:
     """Candidate pairs via band-equality buckets, verified with exact
     shingle Jaccard.
@@ -122,6 +135,14 @@ def banded_minhash_pairs(
     n_bands) → self-join on (band_id, band_key) → distinct pairs →
     exact Jaccard on the two shingle arrays → threshold filter. The join
     key is the band bucket, so cost is Σ bucket² not n².
+
+    The candidate set is counted (it is persisted, so the count also
+    pre-materializes what the verify join reuses): at or under
+    ``broadcast_max_candidates`` it is broadcast, so the wide shingle
+    arrays never shuffle; above it — a dirty corpus where near-dup pairs
+    are NOT sparse (crawl dumps can exceed 30% duplicates) — the verify
+    falls back to an ordinary shuffle join instead of overflowing the
+    driver/executor broadcast limit.
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
@@ -188,18 +209,21 @@ def banded_minhash_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
     )
-    # Jaccard verify only on the (few) candidates: join the cached shingle
-    # arrays back by id. The candidate set is broadcast — near-dup pairs
-    # are sparse by construction — so the (wide) shingle arrays never
-    # shuffle; each partition of shd probes the candidate hash table.
+    # Size-gate the broadcast: sparse candidate sets (the normal case)
+    # broadcast so the wide shingle arrays never shuffle; dense ones
+    # (dirty corpus) take a shuffle join rather than blowing the limit.
+    n_cands = cands.count()
+    cand_side = F.broadcast(cands) if n_cands <= broadcast_max_candidates else cands
+    # Jaccard verify only on the candidates: join the cached shingle
+    # arrays back by id.
     sh_a = shd.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = shd.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        F.broadcast(cands)
-        .join(sh_a, "id_a")
+    out = (
+        cand_side.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
             "id_a",
@@ -208,6 +232,7 @@ def banded_minhash_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    return _unpersist_on_gc(out, shd, cands)
 
 
 def ngram_jaccard_pairs(
@@ -249,7 +274,7 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         a.join(b, "__key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -259,6 +284,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    return _unpersist_on_gc(out, keyed)
 
 
 # --------------------------------------------------------------------------

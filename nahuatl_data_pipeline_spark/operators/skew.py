@@ -39,7 +39,18 @@ def salted_join(
 
     Cost model: small side shuffles num_salts× its size; worth it when
     the hot key's partition would otherwise dominate the stage.
+
+    Only join types that preserve the large side are allowed: a right or
+    full join would emit each unmatched small-side row num_salts times
+    (it exists once per salt replica).
     """
+    allowed_how = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed_how:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed_how)}; {how!r} would "
+            "duplicate unmatched small-side rows once per salt"
+        )
     salt_cols = salt_by or [c for c in large.columns if c != on]
     salt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
     l = large.withColumn(_SALT, salt.cast("int"))

@@ -46,10 +46,17 @@ class IncrementalJdbcSource:
     def query_for(self, last_sync: str) -> str:
         """The pushed-down dbtable subquery. ORDER BY is dropped on
         purpose: Spark reads are unordered and the watermark bound, not
-        row order, carries resumability (SURVEY §2.7 O4)."""
+        row order, carries resumability (SURVEY §2.7 O4).
+
+        ``last_sync`` is embedded as a SQL literal (Spark's dbtable has no
+        bind variables, unlike oracle_connector.py:134-140), so single
+        quotes are doubled per the SQL standard to keep a quote in the
+        value from breaking or injecting into the pushed query.
+        """
+        lit = last_sync.replace("'", "''")
         return (
             f"(SELECT * FROM {self.table} "
-            f"WHERE {self.watermark_col} > '{last_sync}') AS __incr"
+            f"WHERE {self.watermark_col} > '{lit}') AS __incr"
         )
 
     def read_options(self, last_sync: str) -> dict[str, str]:

@@ -97,6 +97,42 @@ def test_fuzzy_results_stable_across_partitioning(docs):
     assert a == b
 
 
+def test_dense_candidate_set_falls_back_to_shuffle_join(spark):
+    """A dirty corpus (>50% duplicates → candidate pairs NOT sparse) must
+    take the shuffle-join verify path when the candidate count exceeds the
+    broadcast gate, and produce exactly the same pairs as the broadcast
+    path."""
+    # 40 docs in 4 near-identical families of 10 → C(10,2)*4 = 180
+    # candidate pairs from 40 docs: dense by construction
+    rows = []
+    fam = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "nahuatl corpus processing with spark is fast and deterministic",
+        "a third family of sentences about rivers mountains and valleys",
+        "completely separate fourth family text on astronomy and stars",
+    ]
+    for f, base in enumerate(fam):
+        for i in range(10):
+            rows.append((f * 10 + i, base + f" variant{i % 2}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(shingle_n=2, num_hashes=8, band_size=2, jaccard_threshold=0.5)
+    broad = sorted(
+        map(tuple, banded_minhash_pairs(df, "doc_id", "text", **kw).collect())
+    )
+    # gate of 1 forces every candidate set over the limit → shuffle join
+    shuf = sorted(
+        map(
+            tuple,
+            banded_minhash_pairs(
+                df, "doc_id", "text", broadcast_max_candidates=1, **kw
+            ).collect(),
+        )
+    )
+    assert shuf == broad
+    assert len(broad) >= 100  # genuinely dense: most intra-family pairs kept
+
+
 def test_macron_variant_pair_found_at_high_threshold(spark):
     """SparkDedupSpec.scala:41-57: sentences differing only in one macron
     must be caught as near-duplicates at threshold 0.9 (jaccard sim) —

@@ -78,3 +78,12 @@ def test_salted_agg_rejects_non_decomposable(spark):
 
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(_skewed(spark), ["k"], {"x": "avg"})
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    import pytest
+
+    big, dim = _skewed(spark), _dim(spark)
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="duplicate unmatched small-side"):
+            salted_join(big, dim, "k", num_salts=4, how=how)

@@ -190,6 +190,18 @@ def test_jdbc_option_construction():
     assert sink["driver"] == "oracle.jdbc.OracleDriver"
 
 
+def test_jdbc_watermark_literal_escapes_quotes():
+    from nahuatl_data_pipeline_spark.sources.jdbc import IncrementalJdbcSource
+
+    src = IncrementalJdbcSource(
+        url="jdbc:postgresql://h/db", table="t", watermark_col="updated_at"
+    )
+    q = src.query_for("2024-01-01' OR '1'='1")
+    # quotes doubled per the SQL standard: the literal stays one literal
+    assert "'2024-01-01'' OR ''1''=''1'" in q
+    assert "OR '1'='1'" not in q.replace("''", "")  # no bare injected clause
+
+
 def test_driver_registry_dispatch(spark):
     from nahuatl_data_pipeline_spark.sources.drivers import (
         DRIVER_REGISTRY,
