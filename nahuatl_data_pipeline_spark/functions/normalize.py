@@ -98,8 +98,12 @@ def normalize_saltillo(c: ColumnOrName) -> Column:
 
 def clamp_vowel_runs(c: ColumnOrName) -> Column:
     """≥3 repeated vowels → 2, case-insensitive, macron-aware
-    (normalizers.py:147-149)."""
-    return F.regexp_replace(_col(c), r"(?i)([aeiouāēīōū])\1{2,}", "$1$1")
+    (normalizers.py:147-149).
+
+    ``(?iu)`` not ``(?i)``: Java's CASE_INSENSITIVE alone is ASCII-only,
+    so uppercase macron runs (ĀĀĀ) need UNICODE_CASE to fold like
+    Python's ``re.IGNORECASE``."""
+    return F.regexp_replace(_col(c), r"(?iu)([aeiouāēīōū])\1{2,}", "$1$1")
 
 
 def fix_punctuation_spacing(c: ColumnOrName) -> Column:

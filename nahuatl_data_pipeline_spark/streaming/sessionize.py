@@ -69,7 +69,10 @@ def _session_fn(gap_us: int):
                 if cur is None:
                     cur = (t, t, 1)
                 elif t - cur[1] < gap_us:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                    # min() on start: a late cross-microbatch event (still
+                    # inside the watermark) may precede the open session's
+                    # first event; batch semantics take min(ts) per session
+                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
                 else:
                     closed.append((user_id, cur[0], cur[1], cur[2]))
                     cur = (t, t, 1)

@@ -77,3 +77,47 @@ def test_stream_emits_closed_sessions(spark, event_dir):
     must_emit = [s for s in batch if s != last_per_user[s[0]]]
     assert [s for s in got if s in must_emit] == must_emit
     assert set(got) <= set(batch)  # nothing invented
+
+
+class _StubState:
+    """Minimal GroupState double for unit-testing the session fn."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = tuple(v), True
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _feed(fn, state, ts_list):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime([t * 1_000_000 for t in ts_list], unit="us")})
+    return list(fn((100,), iter([pdf]), state))
+
+
+def test_late_in_gap_event_moves_session_start_back():
+    """A late cross-microbatch event inside the gap but EARLIER than the
+    open session's start must pull session_start back (batch = min(ts)),
+    not just bump n_events."""
+    from nahuatl_data_pipeline_spark.streaming.sessionize import _session_fn
+
+    fn = _session_fn(gap_us=1800 * 1_000_000)  # 30 min
+    state = _StubState()
+    _feed(fn, state, [36000, 36600])  # 10:00, 10:10 (seconds of day)
+    assert state.get == (36000 * 1_000_000, 36600 * 1_000_000, 2)
+    # microbatch 2: 09:55 arrives late, within gap of the open session
+    _feed(fn, state, [35700])
+    assert state.get == (35700 * 1_000_000, 36600 * 1_000_000, 3)
