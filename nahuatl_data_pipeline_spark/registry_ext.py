@@ -583,3 +583,74 @@ def q41_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return chunk_documents(docs, "doc_id", "text", max_chars=200)
+
+
+# ---------------------------------------------------------------------------
+# M4/M5: LLM external-call stages with the deterministic mock client — the
+# mock's reply is a pure function of the prompt payload, so the ENTIRE
+# mapInPandas path (batching, prompt build, fence-strip JSON parse, per-row
+# zip, error column) is SQL-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q48_llm_distill",
+    """
+    SELECT doc_id,
+           text AS es,
+           'nah:' || text AS nah,
+           'myn:' || text AS myn,
+           CAST(NULL AS VARCHAR) AS llm_error
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q48_llm_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 distillation stage (gemini_distiller.py:122-195): batched
+    prompts, retry/rotation harness, JSON-array parse — mock endpoint
+    echoes es and prefixes nah:/myn:."""
+    from nahuatl_data_pipeline_spark.operators.llm_stage import (
+        MockLlmClient,
+        distill_stage,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    return distill_stage(
+        docs, "text", MockLlmClient, keep_cols=["doc_id"], batch_size=5,
+        sleep_fn=lambda s: None,
+    )
+
+
+@register(
+    "q50_llm_judge",
+    """
+    SELECT doc_id,
+           (LENGTH(text) % 5) + 1 AS score,
+           CAST(NULL AS VARCHAR) AS llm_error
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q50_llm_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 LLM-judge scoring (benchmark_phd_v1.py:52-88): rubric prompt
+    over (source, reference, hyp), batched; mock scores len(hyp)%5+1 so
+    the whole path is oracle-checkable."""
+    from nahuatl_data_pipeline_spark.operators.llm_stage import (
+        MockLlmClient,
+        judge_stage,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.col("text").alias("src"),
+                F.col("text").alias("ref"), F.col("text").alias("hyp"))
+    )
+    return judge_stage(
+        docs, "src", "ref", "hyp", MockLlmClient,
+        keep_cols=["doc_id"], batch_size=5, sleep_fn=lambda s: None,
+    )
