@@ -114,6 +114,29 @@ def driver_synthetic(source_url: str) -> Iterable[dict]:
             }
 
 
+def _fetch_url(url: str, timeout: int = 30) -> str | None:
+    """The ONLY network touchpoint for HTTP drivers; returns None on any
+    failure (driver_bible.py:33-66 continues to the next source)."""
+    try:  # pragma: no cover - no network in this environment
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return r.read().decode("utf-8", "replace")
+    except Exception:
+        return None
+
+
+def _load_hf_dataset(source_url: str, config: str) -> dict:
+    """Gated HF fetch: materialize load_dataset output into the plain
+    {split: [item, ...]} mapping the pure mappers consume."""
+    try:
+        from datasets import load_dataset  # type: ignore
+    except ImportError as exc:  # pragma: no cover - env without datasets
+        raise RuntimeError("hf datasets library not installed") from exc
+    ds = load_dataset(source_url, config)  # pragma: no cover
+    return {s: [dict(r) for r in ds[s]] for s in ds.keys()}  # pragma: no cover
+
+
 @register_driver("hf_generic")
 def driver_hf_generic(source_url: str) -> Iterable[dict]:
     """S6 HuggingFace driver (driver_hf_*.py): requires the datasets
@@ -128,20 +151,101 @@ def driver_hf_generic(source_url: str) -> Iterable[dict]:
         yield dict(r)
 
 
+@register_driver("hf_tatoeba")
+def driver_hf_tatoeba(source_url: str) -> Iterable[dict]:
+    """S6 Tatoeba pairs (driver_hf_tatoeba.py:9-79): config fallback
+    nah-es → nah-spa → nah_Latn-spa_Latn, translation-key detection.
+    Fetch gated; parse/mapping logic lives network-free in parsers.py."""
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        TATOEBA_CONFIGS,
+        load_first_config,
+        map_tatoeba_item,
+        to_legacy_row,
+    )
+
+    rows = load_first_config(
+        lambda cfg: _load_hf_dataset(source_url, cfg),
+        TATOEBA_CONFIGS,
+        map_tatoeba_item,
+    )
+    if not rows:
+        raise RuntimeError(f"no tatoeba config loaded for {source_url}")
+    return [to_legacy_row(r) for r in rows]
+
+
+@register_driver("hf_unimorph")
+def driver_hf_unimorph(source_url: str) -> Iterable[dict]:
+    """S6 UniMorph morphology (driver_hf_unimorph.py:9-41)."""
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        map_unimorph_item,
+        rows_from_dataset,
+        to_legacy_row,
+    )
+
+    ds = _load_hf_dataset(source_url, "default")
+    return [to_legacy_row(r) for r in rows_from_dataset(ds, map_unimorph_item)]
+
+
+@register_driver("hf_flores")
+def driver_hf_flores(source_url: str) -> Iterable[dict]:
+    """S6 FLORES-200 (driver_hf_flores.py:9-40): dev/devtest splits only."""
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        FLORES_CONFIGS,
+        load_first_config,
+        map_flores_item,
+        to_legacy_row,
+    )
+
+    rows = load_first_config(
+        lambda cfg: _load_hf_dataset(source_url, cfg),
+        FLORES_CONFIGS,
+        map_flores_item,
+        splits=("dev", "devtest"),
+    )
+    if not rows:
+        raise RuntimeError(f"no flores config loaded for {source_url}")
+    return [to_legacy_row(r) for r in rows]
+
+
+@register_driver("hf_americasnlp")
+def driver_hf_americasnlp(source_url: str) -> Iterable[dict]:
+    """S6 AmericasNLP (driver_hf_americasnlp.py:9-70): config fallback
+    nahuatl → nah → all, text|source field fallback."""
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        AMERICASNLP_CONFIGS,
+        load_first_config,
+        map_americasnlp_item,
+        to_legacy_row,
+    )
+
+    rows = load_first_config(
+        lambda cfg: _load_hf_dataset(source_url, cfg),
+        AMERICASNLP_CONFIGS,
+        map_americasnlp_item,
+    )
+    if not rows:
+        raise RuntimeError(f"no americasnlp config loaded for {source_url}")
+    return [to_legacy_row(r) for r in rows]
+
+
+# priority-ordered public bible mirrors (driver_bible.py:23-27)
+BIBLE_SOURCE_URLS: tuple[str, ...] = (
+    "https://raw.githubusercontent.com/BibleNLP/ebible/main/corpus/nah-x-bible.txt",
+    "https://raw.githubusercontent.com/christos-c/bible-corpus/master/bibles/Nahuatl.xml",
+)
+
+
 @register_driver("http_verse")
 def driver_http_verse(source_url: str) -> Iterable[dict]:
-    """S7 HTTP/Bible driver (driver_bible.py:10-80): fetch + regex-parse
-    <verse> elements; min-length filter. Network-gated."""
-    try:
-        import urllib.request
+    """S7 HTTP/Bible driver (driver_bible.py:10-80): try each mirror in
+    order, parse txt-lines or <verse> XML (parsers.py), fall back to the
+    reference's sample verses when nothing is reachable — the driver
+    always yields rows, like the reference."""
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        bible_rows,
+        to_legacy_row,
+    )
 
-        with urllib.request.urlopen(source_url, timeout=10) as r:  # pragma: no cover
-            body = r.read().decode("utf-8", "replace")
-    except Exception as exc:
-        raise RuntimeError(f"fetch failed: {source_url}") from exc
-    import re  # pragma: no cover
-
-    for m in re.finditer(r"<verse[^>]*>(.*?)</verse>", body, re.S):  # pragma: no cover
-        text = m.group(1).strip()
-        if len(text) > 10:
-            yield {"nah": text, "source": "bible"}
+    urls = (source_url,) if source_url.startswith("http") else BIBLE_SOURCE_URLS
+    fetched = ((u, _fetch_url(u)) for u in urls)
+    return [to_legacy_row(r) for r in bible_rows(fetched)]

@@ -1,0 +1,215 @@
+"""Pure ingestion parsers: bytes/items → reference-shaped rows (S6/S7,
+SURVEY.md §2.1).
+
+Every function here is NETWORK-FREE — the reference interleaves fetching
+and parsing inside each driver (``pipeline/ingestion/drivers/*.py``);
+splitting the parse stage out makes the per-dataset mapping logic
+testable on local fixtures while the fetch stays gated in
+``sources/drivers.py``. Row shapes mirror the reference's driver outputs
+exactly; :func:`to_legacy_row` adapts any of them to the engine's
+``LEGACY_INPUT_SCHEMA`` keys for ``legacy_coalesce``.
+
+Parity map:
+- bible txt/xml parse + min-length + fallback sample —
+  ``driver_bible.py:10-80``
+- tatoeba translation-key detection + config fallback order —
+  ``driver_hf_tatoeba.py:9-79``
+- unimorph lemma/form/tags — ``driver_hf_unimorph.py:9-41``
+- flores sentence/sentence_es on dev/devtest — ``driver_hf_flores.py:9-40``
+- americasnlp text/source/target + task default —
+  ``driver_hf_americasnlp.py:9-40``
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterable, Mapping, Sequence
+
+# --------------------------------------------------------------------------
+# S7: bible corpus (driver_bible.py)
+# --------------------------------------------------------------------------
+
+# offline fallback when no source is reachable (driver_bible.py:69-75)
+BIBLE_FALLBACK_SAMPLE: list[dict] = [
+    {
+        "text": "In ipan pehuallotl, Dios quichiuh ilhuicatl ihuan tlaltipactli.",
+        "source": "bible_example",
+        "verse_id": 1,
+    },
+    {
+        "text": "Ihuan Dios quitoh: Machihua tlanextli.",
+        "source": "bible_example",
+        "verse_id": 2,
+    },
+]
+
+_MIN_VERSE_LEN = 10  # driver_bible.py:44,57 — filter empty/short lines
+
+_VERSE_RE = re.compile(r"<verse[^>]*>(.*?)</verse>", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def parse_bible_txt(content: str) -> list[dict]:
+    """Plain-text bible: one verse per line, keep lines > 10 chars;
+    verse_id = ORIGINAL line number, not the kept-row index
+    (driver_bible.py:39-49 enumerates before filtering)."""
+    out = []
+    for i, line in enumerate(content.split("\n")):
+        line = line.strip()
+        if line and len(line) > _MIN_VERSE_LEN:
+            out.append({"text": line, "source": "bible", "verse_id": i})
+    return out
+
+
+def parse_bible_xml(content: str) -> list[dict]:
+    """XML bible: <verse> elements (DOTALL — verses span lines), inner
+    tags stripped, same min-length filter; verse_id = match index
+    (driver_bible.py:52-62)."""
+    out = []
+    for i, verse in enumerate(_VERSE_RE.findall(content)):
+        clean = _TAG_RE.sub("", verse).strip()
+        if clean and len(clean) > _MIN_VERSE_LEN:
+            out.append({"text": clean, "source": "bible", "verse_id": i})
+    return out
+
+
+def parse_bible(content: str, url: str) -> list[dict]:
+    """Dispatch on source format like driver_bible.py:37/51 (suffix)."""
+    if url.endswith(".xml"):
+        return parse_bible_xml(content)
+    return parse_bible_txt(content)
+
+
+def bible_rows(
+    fetched: Iterable[tuple[str, str | None]]
+) -> list[dict]:
+    """Reference control flow (driver_bible.py:31-75): first source whose
+    fetch succeeded AND parsed to rows wins; if none, the fallback
+    sample. ``fetched`` = (url, content-or-None) pairs in priority
+    order."""
+    for url, content in fetched:
+        if content is None:
+            continue
+        rows = parse_bible(content, url)
+        if rows:
+            return rows
+    return list(BIBLE_FALLBACK_SAMPLE)
+
+
+# --------------------------------------------------------------------------
+# S6: HF dataset row mappers. A "dataset" here is the already-materialized
+# mapping {split_name: [item, ...]} — exactly what load_dataset yields once
+# iterated; mappers never touch the network.
+# --------------------------------------------------------------------------
+
+# config fallback order tried after the primary fails
+# (driver_hf_tatoeba.py:44, driver_hf_americasnlp.py:44)
+TATOEBA_CONFIGS: tuple[str, ...] = ("nah-es", "nah-spa", "nah_Latn-spa_Latn")
+AMERICASNLP_CONFIGS: tuple[str, ...] = ("nahuatl", "nah", "all")
+FLORES_CONFIGS: tuple[str, ...] = ("nah_Latn", "all")
+
+
+def map_tatoeba_item(item: Mapping, split: str) -> dict | None:
+    """Translation-pair detection across config variants
+    (driver_hf_tatoeba.py:28-35,55-67): nah may arrive as ``nah`` or
+    ``nah_Latn``, Spanish as ``es``/``spa``/``spa_Latn``; rows without a
+    Nahuatl side are dropped."""
+    trans = item.get("translation") or {}
+    nah = trans.get("nah") or trans.get("nah_Latn") or ""
+    es = trans.get("es") or trans.get("spa") or trans.get("spa_Latn") or ""
+    if not nah:
+        return None
+    return {"nahuatl": nah, "spanish": es, "split": split}
+
+
+def map_unimorph_item(item: Mapping, split: str) -> dict:
+    """lemma / inflected form / morph tags (driver_hf_unimorph.py:27-35)."""
+    return {
+        "lemma": item.get("lemma", ""),
+        "form": item.get("form", ""),
+        "tags": item.get("tags", ""),
+        "split": split,
+    }
+
+
+def map_flores_item(item: Mapping, split: str) -> dict:
+    """FLORES sentence rows; only dev/devtest splits exist
+    (driver_hf_flores.py:27-37)."""
+    return {
+        "nahuatl": item.get("sentence", ""),
+        "spanish": item.get("sentence_es", ""),
+        "split": split,
+        "id": item.get("id", ""),
+    }
+
+
+def map_americasnlp_item(item: Mapping, split: str) -> dict:
+    """text|source field fallback, target translation, task defaulting to
+    'translation' (driver_hf_americasnlp.py:27-35)."""
+    return {
+        "nahuatl": item.get("text") or item.get("source") or "",
+        "spanish": item.get("target", ""),
+        "split": split,
+        "task": item.get("task", "translation"),
+    }
+
+
+def rows_from_dataset(
+    dataset: Mapping[str, Iterable[Mapping]],
+    mapper: Callable[[Mapping, str], dict | None],
+    splits: Sequence[str] | None = None,
+) -> list[dict]:
+    """Iterate {split: items} through a mapper, dropping None rows
+    (the per-driver ``for split in dataset.keys()`` loops)."""
+    out = []
+    for split in (splits if splits is not None else dataset.keys()):
+        if split not in dataset:
+            continue
+        for item in dataset[split]:
+            row = mapper(item, split)
+            if row is not None:
+                out.append(row)
+    return out
+
+
+def load_first_config(
+    load_fn: Callable[[str], Mapping[str, Iterable[Mapping]]],
+    configs: Sequence[str],
+    mapper: Callable[[Mapping, str], dict | None],
+    splits: Sequence[str] | None = None,
+) -> list[dict]:
+    """Config-fallback control flow (driver_hf_tatoeba.py:41-75): try each
+    dataset config in order; first one that loads AND maps to non-empty
+    rows wins; empty list when all fail."""
+    for cfg in configs:
+        try:
+            rows = rows_from_dataset(load_fn(cfg), mapper, splits)
+        except Exception:
+            continue
+        if rows:
+            return rows
+    return []
+
+
+# --------------------------------------------------------------------------
+# Adapter: reference-shaped rows → engine LEGACY_INPUT_SCHEMA keys
+# --------------------------------------------------------------------------
+
+def to_legacy_row(row: Mapping) -> dict:
+    """Map any parser output onto the legacy-coalescible keys consumed by
+    ``legacy_coalesce`` (nah/es/source/category). Morphology rows carry
+    lemma+tags in category; split survives in category for pair rows."""
+    if "form" in row:  # unimorph morphology row
+        return {
+            "nah": row["form"],
+            "es": row.get("lemma") or None,
+            "source": "unimorph",
+            "category": f"morphology:{row.get('tags', '')}",
+        }
+    nah = row.get("nahuatl") or row.get("text") or None
+    return {
+        "nah": nah,
+        "es": row.get("spanish") or None,
+        "source": row.get("source") or None,
+        "category": row.get("split") or None,
+    }
