@@ -38,6 +38,9 @@ def _build_parser() -> argparse.ArgumentParser:
     quality = sub.add_parser("quality", help="expectation suite gate")
     quality.add_argument("--input", required=True, help="parquet path")
     quality.add_argument("--min-rows", type=float, default=1.0)
+    quality.add_argument("--report", default=None,
+                         help="write per-expectation JSON report here")
+    quality.add_argument("--suite-name", default="corpus_suite")
 
     query = sub.add_parser("query", help="run a registered engine query")
     query.add_argument("name")
@@ -85,27 +88,46 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "quality":
-        from pyspark.sql import functions as F
-
+        # exit-code contract of run_quality_check.py:343-449:
+        # 0 = all expectations pass, 1 = some fail, 2 = couldn't run
         from nahuatl_data_pipeline_spark.operators.quality import (
             Check,
             not_null_ratio,
             row_count,
             run_checks,
+            write_validation_report,
         )
 
-        df = spark.read.parquet(args.input)
-        checks = [
-            Check("rows", row_count(), ">=", args.min_rows),
-            *[
-                Check(f"{c}_not_null", not_null_ratio(c), ">", 0.0)
-                for c in df.columns
-            ],
-        ]
-        results = run_checks(df, checks).collect()
+        try:
+            df = spark.read.parquet(args.input)
+            checks = [
+                Check("rows", row_count(), ">=", args.min_rows),
+                *[
+                    Check(f"{c}_not_null", not_null_ratio(c), ">", 0.0)
+                    for c in df.columns
+                ],
+            ]
+            results = run_checks(df, checks).collect()
+        except Exception as exc:
+            print(f"quality check could not run: {exc}", file=sys.stderr)
+            if args.report:
+                with open(args.report, "w", encoding="utf-8") as f:
+                    json.dump(
+                        {"suite": args.suite_name, "success": False,
+                         "exception_info": str(exc), "results": []}, f,
+                    )
+            return 2
         for r in results:
             print(json.dumps(r.asDict()))
-        return 0 if all(r["passed"] for r in results) else 1
+        if args.report:
+            report = write_validation_report(args.report, results, args.suite_name)
+        else:
+            from nahuatl_data_pipeline_spark.operators.quality import (
+                validation_report,
+            )
+
+            report = validation_report(results, args.suite_name)
+        return 0 if report["success"] else 1
 
     if args.cmd == "query":
         from nahuatl_data_pipeline_spark import registry

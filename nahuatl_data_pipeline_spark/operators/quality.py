@@ -155,3 +155,54 @@ def corpus_expectation_suite(
 def validate_schema(df: DataFrame, expected_cols: set[str]) -> bool:
     """GE expectation 1: exact column-set match (structural, no scan)."""
     return set(df.columns) == expected_cols
+
+
+# --- persisted validation report (run_quality_check.py:262-313,343-449) ----
+
+
+def validation_report(
+    results: DataFrame | list, suite_name: str = "corpus_suite"
+) -> dict:
+    """Shape ``run_checks`` output like a GE ``to_json_dict()`` validation
+    result: overall success, statistics block, per-expectation results
+    with observed values — the artifact a CI gate archives.
+
+    ``results`` = the (check, metric, threshold, passed) DataFrame from
+    :func:`run_checks` or its collected rows; only the tiny per-check
+    rows ever reach the driver."""
+    rows = results.collect() if isinstance(results, DataFrame) else results
+    per_check = [
+        {
+            "check": r["check"],
+            "success": bool(r["passed"]),
+            "observed_value": r["metric"],
+            "threshold": r["threshold"],
+        }
+        for r in rows
+    ]
+    n = len(per_check)
+    ok = sum(1 for r in per_check if r["success"])
+    return {
+        "suite": suite_name,
+        "success": ok == n and n > 0,
+        "statistics": {
+            "evaluated_expectations": n,
+            "successful_expectations": ok,
+            "unsuccessful_expectations": n - ok,
+            "success_percent": round(100.0 * ok / n, 1) if n else 0.0,
+        },
+        "results": per_check,
+    }
+
+
+def write_validation_report(
+    path: str, results: DataFrame | list, suite_name: str = "corpus_suite"
+) -> dict:
+    """Persist the report JSON (driver-side — it is O(#checks) bytes) and
+    return it. The CLI quality gate writes this before exiting 0/1."""
+    import json
+
+    report = validation_report(results, suite_name)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(report, f, ensure_ascii=False, indent=2)
+    return report

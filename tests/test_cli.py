@@ -51,6 +51,45 @@ def test_cli_quality_gate_exit_codes(spark, tmp_path, capsys):
     assert main(["quality", "--input", p_bad]) == 1  # all-null column fails
 
 
+def test_cli_quality_report_artifact(spark, tmp_path):
+    """run_quality_check.py:343-449 contract: per-expectation JSON report
+    persisted, exit 0/1/2."""
+    ok = spark.createDataFrame([("a", 1), ("b", 2)], ["t", "v"])
+    p_ok = str(tmp_path / "okr")
+    ok.write.parquet(p_ok)
+    rpt = str(tmp_path / "report_ok.json")
+    assert main(["quality", "--input", p_ok, "--report", rpt,
+                 "--suite-name", "smoke"]) == 0
+    report = json.loads(open(rpt).read())
+    assert report["suite"] == "smoke" and report["success"] is True
+    stats = report["statistics"]
+    assert stats["evaluated_expectations"] == 3  # rows + 2 not-null cols
+    assert stats["unsuccessful_expectations"] == 0
+    assert stats["success_percent"] == 100.0
+    by_check = {r["check"]: r for r in report["results"]}
+    assert by_check["rows"]["observed_value"] == 2.0
+    assert by_check["t_not_null"]["success"] is True
+
+    # failing data → exit 1 + failing expectation recorded with observed
+    bad = spark.createDataFrame([(None,), (None,)], "t string")
+    p_bad = str(tmp_path / "badr")
+    bad.write.parquet(p_bad)
+    rpt_bad = str(tmp_path / "report_bad.json")
+    assert main(["quality", "--input", p_bad, "--report", rpt_bad]) == 1
+    rb = json.loads(open(rpt_bad).read())
+    assert rb["success"] is False
+    failed = [r for r in rb["results"] if not r["success"]]
+    assert {r["check"] for r in failed} == {"t_not_null"}
+    assert failed[0]["observed_value"] in (0.0, None)
+
+    # unreadable input → exit 2 + exception_info in the artifact
+    rpt_err = str(tmp_path / "report_err.json")
+    assert main(["quality", "--input", str(tmp_path / "nope"),
+                 "--report", rpt_err]) == 2
+    re_ = json.loads(open(rpt_err).read())
+    assert re_["success"] is False and re_["exception_info"]
+
+
 def test_cli_query_known_and_unknown(spark, capsys):
     assert main(["query", "q14_top_sources"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
