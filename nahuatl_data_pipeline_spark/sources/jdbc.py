@@ -20,13 +20,16 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-# driver-class registry (generic_jdbc_connector.py:47-68)
+# driver-class registry (generic_jdbc_connector.py:47-68); derby is the
+# in-process engine Spark already ships (its Hive-metastore backend), so
+# the write→incremental-read path is integration-testable with no server
 JDBC_DRIVERS = {
     "oracle": "oracle.jdbc.OracleDriver",
     "teradata": "com.teradata.jdbc.TeraDriver",
     "postgresql": "org.postgresql.Driver",
     "mysql": "com.mysql.cj.jdbc.Driver",
     "sqlite": "org.sqlite.JDBC",
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
@@ -52,11 +55,19 @@ class IncrementalJdbcSource:
         bind variables, unlike oracle_connector.py:134-140), so single
         quotes are doubled per the SQL standard to keep a quote in the
         value from breaking or injecting into the pushed query.
+
+        The watermark column is identifier-quoted (backtick on mysql,
+        ANSI double quote elsewhere): Spark's own JDBC writer creates
+        quoted (case-exact) column names, which unquoted references
+        would case-fold past in strict engines. The alias must not start
+        with '_' — several dialects (Derby among them) reject
+        leading-underscore identifiers unquoted.
         """
         lit = last_sync.replace("'", "''")
+        q = "`" if self.dialect == "mysql" else '"'
         return (
             f"(SELECT * FROM {self.table} "
-            f"WHERE {self.watermark_col} > '{lit}') AS __incr"
+            f"WHERE {q}{self.watermark_col}{q} > '{lit}') AS incr_scan"
         )
 
     def read_options(self, last_sync: str) -> dict[str, str]:
@@ -66,18 +77,24 @@ class IncrementalJdbcSource:
             "driver": JDBC_DRIVERS.get(self.dialect, self.dialect),
             "fetchsize": str(self.fetchsize),
             "numPartitions": str(self.num_partitions),
-            # partition on the watermark itself: each task reads a slice
-            "partitionColumn": self.watermark_col,
         }
+        if self.num_partitions > 1:
+            # partition on the watermark itself: each task reads a slice.
+            # num_partitions == 1 skips partitionColumn entirely — Spark
+            # then issues one plain query (needed for dialects whose
+            # type rules reject Spark's generated range predicates, and
+            # the right plan for small control tables anyway).
+            opts["partitionColumn"] = self.watermark_col
         opts.update(self.options)
         return opts
 
     def load(
-        self, spark: SparkSession, last_sync: str, upper_bound: str
+        self, spark: SparkSession, last_sync: str, upper_bound: str | None = None
     ) -> DataFrame:
         opts = self.read_options(last_sync)
-        opts["lowerBound"] = last_sync
-        opts["upperBound"] = upper_bound
+        if self.num_partitions > 1:
+            opts["lowerBound"] = last_sync
+            opts["upperBound"] = upper_bound
         return spark.read.format("jdbc").options(**opts).load()
 
 
@@ -94,3 +111,41 @@ def bulk_insert_options(
         "batchsize": str(batchsize),
         "isolationLevel": "READ_COMMITTED",
     }
+
+
+def bulk_insert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    dialect: str = "postgresql",
+    batchsize: int = 10_000,
+    mode: str = "append",
+    retries: int = 3,
+    backoff_s: float = 1.0,
+    sleep_fn=None,
+    extra_options: dict[str, str] | None = None,
+) -> None:
+    """S11 sink EXECUTION: the reference retries its executemany loop on
+    transient connection errors with linear backoff
+    (oracle_connector.py:171-241). Per-task batching is Spark's
+    ``batchsize``; what remains driver-side is the whole-write retry —
+    ``mode='append'`` keeps a retry idempotent only if the target
+    dedupes, so the last attempt's exception is re-raised for the caller
+    to decide."""
+    import time as _time
+
+    sleep = sleep_fn or _time.sleep
+    opts = bulk_insert_options(url, table, dialect, batchsize)
+    # e.g. createTableColumnTypes="payload VARCHAR(64)": some dialects'
+    # default string mapping (Derby → CLOB) can't be compared/filtered
+    opts.update(extra_options or {})
+    last_exc: Exception | None = None
+    for attempt in range(max(1, retries)):
+        try:
+            df.write.format("jdbc").options(**opts).mode(mode).save()
+            return
+        except Exception as exc:  # transient connection/lock errors
+            last_exc = exc
+            if attempt < retries - 1:
+                sleep(backoff_s * (attempt + 1))
+    raise last_exc

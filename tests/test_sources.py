@@ -183,7 +183,7 @@ def test_jdbc_option_construction():
         url="jdbc:postgresql://h/db", table="t", watermark_col="updated_at"
     )
     opts = src.read_options("2024-01-01 00:00:00")
-    assert "updated_at > '2024-01-01 00:00:00'" in opts["dbtable"]
+    assert "\"updated_at\" > '2024-01-01 00:00:00'" in opts["dbtable"]
     assert opts["driver"] == "org.postgresql.Driver"
     assert opts["partitionColumn"] == "updated_at"
     sink = bulk_insert_options("jdbc:x", "t", dialect="oracle")
