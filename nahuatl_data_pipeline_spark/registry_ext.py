@@ -654,3 +654,74 @@ def q50_llm_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "src", "ref", "hyp", MockLlmClient,
         keep_cols=["doc_id"], batch_size=5, sleep_fn=lambda s: None,
     )
+
+
+# ---------------------------------------------------------------------------
+# F5-F10 normalization rules, hash-verified. DuckDB's RE2 has no pattern
+# backreferences, so the oracle expresses the vowel-run clamp as one
+# ([vV])[vV]{2,} pass per vowel — same semantics as Spark's (?iu)([...])\1{2,}
+# because a run of one letter (either case) clamps to its first char doubled,
+# and distinct letters (incl. macron forms) never share a pattern.
+# ---------------------------------------------------------------------------
+
+_Q49_VOWELS = "aeiouāēīōū"
+
+
+def _q49_clamp_sql(expr: str) -> str:
+    for v in _Q49_VOWELS:
+        cls = "[" + v + v.upper() + "]"
+        expr = (
+            "REGEXP_REPLACE(" + expr + ", '(" + cls + ")" + cls
+            + "{2,}', '\\1\\1', 'g')"
+        )
+    return expr
+
+
+_SQ = "'"  # one literal single quote
+_SQ2 = "''"  # escaped single quote inside a SQL string literal
+# TRANSLATE target of four ASCII apostrophes: '''''''' + ''  (4 × '' wrapped)
+_Q49_SQL = (
+    "SELECT doc_id,\n"
+    # saltillo: ' ’ ` ʔ → ʼ
+    "  TRANSLATE(text, '" + _SQ2 + "’`ʔ', 'ʼʼʼʼ') AS saltillo_text,\n"
+    "  " + _q49_clamp_sql("text") + " AS clamped_text,\n"
+    # maya: ʼ ’ ` ʔ → ' then re-attach ejectives k ' → k'
+    "  REGEXP_REPLACE(TRANSLATE(text, 'ʼ’`ʔ', '"
+    + _SQ2 * 4 + "'), '([bchkptz])\\s+" + _SQ2 + "', '\\1" + _SQ2
+    + "', 'g') AS maya_text,\n"
+    # spanish typography: dashes, quotes, ellipsis, NBSP
+    "  REGEXP_REPLACE(REGEXP_REPLACE(TRANSLATE(TRANSLATE("
+    "REGEXP_REPLACE(text, '[—–]|--', '-', 'g'), "
+    "'«»“”', '\"\"\"\"'), '‘’', '" + _SQ2 * 2 + "'), "
+    "'…', '...', 'g'), ' ', ' ', 'g') AS spanish_text,\n"
+    # central: '/’ → h, word-initial w → hu
+    "  REGEXP_REPLACE(REGEXP_REPLACE(text, '[" + _SQ2 + "’]', 'h', 'g'), "
+    "'\\bw', 'hu', 'g') AS central_text,\n"
+    "  REGEXP_REPLACE(text, 'hu', 'w', 'g') AS huasteca_text\n"
+    "FROM documents"
+)
+
+
+@register("q49_normalize_rules", _Q49_SQL)
+def q49_normalize_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5-F10 language rules (normalizers.py:136-232,
+    processing/normalization.py:13-36) as independent codegen projections
+    over one scan."""
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        clamp_vowel_runs,
+        clean_spanish_typography,
+        normalize_maya_glottal,
+        normalize_saltillo,
+        orthographic_variant,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_saltillo("text").alias("saltillo_text"),
+        clamp_vowel_runs("text").alias("clamped_text"),
+        normalize_maya_glottal("text").alias("maya_text"),
+        clean_spanish_typography("text").alias("spanish_text"),
+        orthographic_variant("text", "central").alias("central_text"),
+        orthographic_variant("text", "huasteca").alias("huasteca_text"),
+    )
