@@ -117,9 +117,9 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bucket_length: float = 2.0,
-    num_hash_tables: int = 3,
+    num_hash_tables: int = 5,
     seed: int = 42,
-    max_distance: float = 1.2,
+    max_distance: float = 1.3,
 ) -> DataFrame:
     """Approximate cosine top-k via random-projection LSH buckets.
 
@@ -128,10 +128,13 @@ def lsh_topk(
     At 100 TB this replaces the O(|Q|·|C|) cross product with a bucket
     join; recall is tunable via num_hash_tables/bucket_length.
 
-    ``max_distance`` bounds the similarity join radius (1.2 ⇒ cosine ≥
-    0.28): this is where the approximation trades recall for pruning —
+    ``max_distance`` bounds the similarity join radius (1.3 ⇒ cosine ≥
+    0.155): this is where the approximation trades recall for pruning —
     radius 2.0 would admit EVERY pair and silently degenerate to a cross
-    product.
+    product. The defaults hold recall@5 ≥ 0.9 against exact brute force
+    on the synthetic embeddings (asserted in tests/test_similarity.py);
+    tighten the radius only with evidence the corpus' neighbor cosines
+    sit higher than ~0.2.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector

@@ -1,0 +1,51 @@
+"""ANN quality gate: lsh_topk (q33) must hold recall ≥ 0.9 against the
+exact brute-force cosine_topk (q24) on the same data — catches LSH
+parameter regressions (radius too tight, too few tables) that planted
+exact-match tests cannot see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from nahuatl_data_pipeline_spark.schemas import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_lsh_recall_at_5_vs_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(cosine_topk(q, emb, k=5))
+    approx = _pairs(lsh_topk(q, emb, k=5))  # q33's defaults
+    assert exact, "exact baseline must produce neighbors"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall@5 regressed to {recall:.2f}"
+
+
+def test_lsh_never_invents_better_neighbors(spark, emb):
+    """Every (query, neighbor, cosine) LSH returns must agree with the
+    exactly-computed cosine — the approximation may MISS pairs, never
+    misscore them."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact_all = cosine_topk(q, emb, k=500).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("exact_cos")
+    )
+    approx = lsh_topk(q, emb, k=5)
+    joined = approx.join(exact_all, ["query_id", "neighbor_id"], "left").collect()
+    assert joined
+    for r in joined:
+        assert r["exact_cos"] is not None
+        assert abs(r["cosine"] - r["exact_cos"]) <= 1e-3
