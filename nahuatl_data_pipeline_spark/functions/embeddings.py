@@ -67,7 +67,18 @@ def embed_text(
         out = pd.Series([None] * len(s), index=s.index, dtype=object)
         if mask.any():
             vecs = encode_fn(list(s[mask]))
-            out[mask] = [list(map(float, v)) for v in vecs]
+            if len(vecs) != int(mask.sum()):
+                raise ValueError(
+                    f"encode_fn returned {len(vecs)} vectors for "
+                    f"{int(mask.sum())} texts"
+                )
+            # index-aligned object Series: plain out[mask] = list-of-lists
+            # makes pandas try an elementwise (ragged) assignment and fail
+            out[mask] = pd.Series(
+                [list(map(float, v)) for v in vecs],
+                index=s.index[mask],
+                dtype=object,
+            )
         return out
 
     return _embed(_col(c))
