@@ -725,3 +725,23 @@ def q49_normalize_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         orthographic_variant("text", "central").alias("central_text"),
         orthographic_variant("text", "huasteca").alias("huasteca_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M6: synthetic corpus generation — both engines expand the SAME seed
+# constants through the same cross-join templates, so the generator is
+# hash-checked end-to-end (no source table involved).
+# ---------------------------------------------------------------------------
+
+from nahuatl_data_pipeline_spark.operators.synthetic import (  # noqa: E402
+    generate_synthetic_corpus,
+    synthetic_oracle_sql,
+)
+
+
+@register("q51_synthetic_corpus", synthetic_oracle_sql())
+def q51_synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 template-expansion generator (generate_synthetic_data.py:34-261)
+    as distributed cross joins over broadcast seed frames; sf_dir unused
+    (pure generation)."""
+    return generate_synthetic_corpus(spark)
