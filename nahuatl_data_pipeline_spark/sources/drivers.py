@@ -228,6 +228,24 @@ def driver_hf_americasnlp(source_url: str) -> Iterable[dict]:
     return [to_legacy_row(r) for r in rows]
 
 
+@register_driver("pdf_text")
+def driver_pdf_text(source_url: str) -> Iterable[dict]:
+    """S8 PDF driver (pipeline/ingestion/drivers.py:33-49 +
+    gemini_distiller.py:72-81): read local PDF bytes, extract text rows.
+    The built-in pure parser handles Flate/uncompressed text streams;
+    a pdfplumber-style ``extract_fn`` can be wired through
+    ``parsers.pdf_rows`` for everything else."""
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        pdf_rows,
+        to_legacy_row,
+    )
+
+    path = source_url.removeprefix("file://")
+    with open(path, "rb") as f:
+        data = f.read()
+    return [to_legacy_row(r) for r in pdf_rows(data)]
+
+
 # priority-ordered public bible mirrors (driver_bible.py:23-27)
 BIBLE_SOURCE_URLS: tuple[str, ...] = (
     "https://raw.githubusercontent.com/BibleNLP/ebible/main/corpus/nah-x-bible.txt",

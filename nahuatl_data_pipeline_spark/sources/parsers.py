@@ -213,3 +213,99 @@ def to_legacy_row(row: Mapping) -> dict:
         "source": row.get("source") or None,
         "category": row.get("split") or None,
     }
+
+
+# --------------------------------------------------------------------------
+# S8: PDF text extraction (driver_pdf_plumber — pipeline/ingestion/
+# drivers.py:33-49 saves raw bytes; gemini_distiller.py:72-81 extracts
+# per-page text with pdfplumber). pdfplumber isn't in this environment, so
+# the built-in path is a minimal pure parser for the common case —
+# uncompressed or FlateDecode content streams with standard-encoded
+# string-show operators — and ``extract_fn`` plugs a real library in.
+# --------------------------------------------------------------------------
+
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_PDF_TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_PDF_SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ", re.DOTALL)
+_PDF_TJ_PART_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = raw[i + 1 : i + 2]
+        if nxt.isdigit():  # octal escape \ddd (1-3 digits)
+            j = i + 1
+            while j < min(i + 4, len(raw)) and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in _PDF_ESCAPES:
+            out += _PDF_ESCAPES[nxt]
+            i += 2
+        else:  # unknown escape: PDF spec says drop the backslash
+            out += nxt
+            i += 2
+    return bytes(out)
+
+
+def extract_pdf_text(
+    data: bytes,
+    extract_fn: Callable[[bytes], str] | None = None,
+) -> str:
+    """bytes → extracted text (page/stream blocks joined with newlines,
+    mirroring gemini_distiller.py:72-81's per-page join).
+
+    ``extract_fn`` (e.g. pdfplumber-based) takes precedence when given;
+    the built-in parser handles Flate/uncompressed content streams and
+    ignores streams that are neither (images, fonts)."""
+    if extract_fn is not None:
+        return extract_fn(data)
+    import zlib
+
+    blocks: list[str] = []
+    for m in _PDF_STREAM_RE.finditer(data):
+        payload = m.group(1)
+        try:
+            payload = zlib.decompress(payload)
+        except Exception:
+            pass  # not Flate — try as-is
+        shows: list[bytes] = []
+        for bt in _PDF_TEXT_BLOCK_RE.finditer(payload):
+            for sm in _PDF_SHOW_RE.finditer(bt.group(1)):
+                if sm.group(1) is not None:
+                    shows.append(_pdf_unescape(sm.group(1)))
+                else:  # TJ array: concatenate its string parts
+                    shows.append(
+                        b"".join(
+                            _pdf_unescape(p.group(1))
+                            for p in _PDF_TJ_PART_RE.finditer(sm.group(2))
+                        )
+                    )
+        if shows:
+            blocks.append(
+                b" ".join(shows).decode("latin-1", "replace")
+            )
+    return "\n".join(blocks)
+
+
+def pdf_rows(data: bytes, extract_fn=None, min_len: int = 10) -> list[dict]:
+    """PDF bytes → text rows (one per extracted line, min-length filtered
+    like the bible driver's verse filter)."""
+    out = []
+    for i, line in enumerate(extract_pdf_text(data, extract_fn).split("\n")):
+        line = line.strip()
+        if len(line) > min_len:
+            out.append({"text": line, "source": "pdf", "verse_id": i})
+    return out

@@ -155,6 +155,67 @@ def test_to_legacy_row_shapes():
     }
 
 
+def _minimal_pdf(*stream_payloads: bytes) -> bytes:
+    """Assemble a minimal but structurally honest PDF: header, one
+    content-stream object per payload, EOF."""
+    parts = [b"%PDF-1.4\n"]
+    for i, payload in enumerate(stream_payloads):
+        parts.append(
+            b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (i + 1, len(payload), payload)
+        )
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def test_pdf_extract_uncompressed_tj_and_TJ():
+    from nahuatl_data_pipeline_spark.sources.parsers import extract_pdf_text
+
+    content = (b"BT /F1 12 Tf (Hola \\(mundo\\) de prueba) Tj "
+               b"[(in tlahtolli) ( melahuac)] TJ ET")
+    text = extract_pdf_text(_minimal_pdf(content))
+    assert "Hola (mundo) de prueba" in text
+    assert "in tlahtolli melahuac" in text
+
+
+def test_pdf_extract_flate_stream_and_octal_escape():
+    import zlib
+
+    from nahuatl_data_pipeline_spark.sources.parsers import extract_pdf_text
+
+    content = zlib.compress(b"BT (\\110ola comprimida de verdad) Tj ET")
+    text = extract_pdf_text(_minimal_pdf(content))
+    assert "Hola comprimida de verdad" in text  # \110 octal = 'H'
+
+
+def test_pdf_extract_ignores_binary_streams_and_uses_plugin():
+    from nahuatl_data_pipeline_spark.sources.parsers import extract_pdf_text
+
+    pdf = _minimal_pdf(b"\x00\x01binary image bytes no BT",
+                       b"BT (texto real en el pdf) Tj ET")
+    assert extract_pdf_text(pdf) == "texto real en el pdf"
+    # plug-in path takes precedence entirely
+    assert extract_pdf_text(pdf, extract_fn=lambda b: "plumber!") == "plumber!"
+
+
+def test_pdf_driver_rows(spark, tmp_path):
+    import zlib
+
+    from nahuatl_data_pipeline_spark.sources.drivers import ingest_source
+
+    payload = zlib.compress(
+        b"BT (In ipan tlahtolli melahuac ticpiah) Tj ET\n"
+        b"BT (ocachi tlahtolli ipan ome amatl) Tj ET"
+    )
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(_minimal_pdf(payload))
+    df = ingest_source(spark, "pdf_text", str(p), "s8")
+    rows = df.collect()
+    assert len(rows) == 1  # one stream → one joined block row
+    assert "tlahtolli" in rows[0]["nah"]
+    assert rows[0]["layer"] == "bronze" and rows[0]["source_id"] == "s8"
+
+
 def test_http_verse_driver_offline_yields_fallback_sample(spark):
     from nahuatl_data_pipeline_spark.sources.drivers import ingest_source
 
