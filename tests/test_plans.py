@@ -58,6 +58,32 @@ def test_q10_dedup_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_q16_split_rank_is_distributed(spark):
+    """VERDICT r1 scale-killer fix: the exact-split rank must never funnel
+    the data through one task."""
+    plan = plan_of(spark, "q16_seeded_split")
+    # data-path row_number window is partitioned by the hash-prefix bucket
+    assert "Exchange hashpartitioning(__split_b" in plan
+    # the ONLY single-partition exchange is the tiny per-bucket counts
+    # table feeding the BroadcastExchange — never the data path
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_q48_llm_stage_pushdown_and_map_only(spark):
+    plan = plan_of(spark, "q48_llm_distill")
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # external-call stage is map-only
+
+
+def test_q49_normalize_rules_single_codegen_projection(spark):
+    plan = plan_of(spark, "q49_normalize_rules")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "Exchange" not in plan  # six rule columns, one scan, no shuffle
+
+
 def test_q34_quality_suite_single_scan(spark):
     """The whole expectation suite must read the table once."""
     plan = plan_of(spark, "q34_quality_suite")
