@@ -745,3 +745,46 @@ def q51_synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     as distributed cross joins over broadcast seed frames; sf_dir unused
     (pure generation)."""
     return generate_synthetic_corpus(spark)
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join — beyond-reference training-data op; oracle is
+# DuckDB's native ASOF LEFT JOIN, Spark side is the union+forward-fill
+# window (operators/asof.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q52_asof_join",
+    """
+    WITH ckpt AS (
+      SELECT user_id, ts, MAX(value) AS ref_value
+      FROM events WHERE event_id % 10 = 0
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.ts, e.user_id,
+           ROUND(e.value, 4) AS value,
+           ROUND(c.ref_value, 4) AS ref_value
+    FROM events e
+    ASOF LEFT JOIN ckpt c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q52_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event gets the latest checkpoint value
+    (events with event_id % 10 = 0) at-or-before its timestamp, per user
+    — the feature-store lookup pattern. One shuffle on user_id."""
+    from nahuatl_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "ts", "user_id", "value")
+    ckpt = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    out = asof_join(left, ckpt, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "ts", "user_id",
+        F.round("value", 4).alias("value"),
+        F.round("ref_value", 4).alias("ref_value"),
+    )
