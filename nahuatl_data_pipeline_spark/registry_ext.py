@@ -788,3 +788,45 @@ def q52_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.round("ref_value", 4).alias("ref_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range-containment) join — bucketized equi-join formulation;
+# oracle is the plain BETWEEN theta join (fine at sf, explosive at scale —
+# which is exactly why the Spark side buckets).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q53_interval_join",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end,
+             event_id AS window_id
+      FROM events WHERE event_id % 20 = 0
+    )
+    SELECT e.event_id, e.user_id, e.ts, iv.window_id,
+           iv.w_start, iv.w_end
+    FROM events e
+    JOIN iv ON e.user_id = iv.user_id
+           AND e.ts BETWEEN iv.w_start AND iv.w_end
+    """,
+)
+def q53_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each event to every 30-minute window opened by a
+    checkpoint event of the same user — session/label-window attribution
+    as a bucketized hash join (no theta-join cross product)."""
+    from nahuatl_data_pipeline_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_id") % 20 == 0).select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        F.col("event_id").alias("window_id"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    return interval_join(
+        pts, iv, on="ts", by=["user_id"], start="w_start", end="w_end",
+        bucket_width_s=1800,
+    ).select("event_id", "user_id", "ts", "window_id", "w_start", "w_end")
