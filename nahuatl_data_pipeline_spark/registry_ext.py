@@ -830,3 +830,40 @@ def q53_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, iv, on="ts", by=["user_id"], start="w_start", end="w_end",
         bucket_width_s=1800,
     ).select("event_id", "user_id", "ts", "window_id", "w_start", "w_end")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary heavy hitters: exact token top-k (vocab building / tokenizer
+# prep). Exact stays cheap at 100 TB because the explode feeds a
+# map-side-combined count; the final top-k is a single small sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q54_top_tokens",
+    """
+    WITH toks AS (
+      SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+)
+def q54_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus tokens by exact frequency: explode → partial-agg
+    count → global top-k. Deterministic tie-break on the token so both
+    engines cut the k boundary identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )

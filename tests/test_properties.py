@@ -67,3 +67,52 @@ def test_split_exact_and_total(spark, n):
     assert counts.get("train", 0) == int(n * 0.9)  # exact floor cutoffs
     train_plus_val = int(n * 0.95)
     assert counts.get("train", 0) + counts.get("validation", 0) == train_plus_val
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # points: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=20,
+    ),
+    st.lists(  # right side: (key, ts, val) — deduped per (key, ts) below
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0, max_size=15,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, pts, rhs):
+    """asof_join == pandas.merge_asof(by=key, direction='backward') on
+    arbitrary data — the union+forward-fill window must reproduce the
+    reference single-node semantics exactly."""
+    import pandas as pd
+
+    from nahuatl_data_pipeline_spark.operators.asof import asof_join
+
+    lpdf = pd.DataFrame(pts, columns=["k", "ts"]).assign(
+        pid=lambda d: range(len(d))
+    )
+    rpdf = (
+        pd.DataFrame(rhs, columns=["k", "ts", "val"])
+        .groupby(["k", "ts"], as_index=False)["val"].max()
+        .astype({"k": "int64", "ts": "int64", "val": "int64"})
+    )
+    left = spark.createDataFrame(lpdf, schema="k int, ts int, pid int")
+    right = (
+        spark.createDataFrame(rpdf, schema="k int, ts int, val int")
+        if len(rpdf)
+        else spark.createDataFrame([], "k int, ts int, val int")
+    )
+    got = {
+        r["pid"]: r["val"]
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    expected_df = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward",
+    )
+    expected = {
+        int(r.pid): (None if pd.isna(r.val) else int(r.val))
+        for r in expected_df.itertuples()
+    }
+    assert got == expected
