@@ -867,3 +867,44 @@ def q54_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-mix sampling: membership is a pure function of
+# content hash, so the mix is reproducible across runs/partitionings AND
+# recomputable by the oracle.
+# ---------------------------------------------------------------------------
+
+_Q55_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _q55_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in _Q55_RATES.items()
+    )
+    return f"CASE source {whens} ELSE 0.05 END"
+
+
+@register(
+    "q55_training_mix",
+    f"""
+    WITH bucketed AS (
+      SELECT *,
+             CAST(('0x' || SUBSTRING(MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS b
+      FROM documents
+    )
+    SELECT doc_id, source
+    FROM bucketed
+    WHERE b < {_q55_rate_sql()}
+    """,
+)
+def q55_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture downsampling: per-source keep rates decided by
+    content hash (reproducible, partition-independent, zero shuffle)."""
+    from nahuatl_data_pipeline_spark.operators.mixing import stratified_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_mix(
+        docs, "source", _Q55_RATES, key="doc_id", seed=42, default_rate=0.05
+    ).select("doc_id", "source")

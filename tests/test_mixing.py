@@ -1,0 +1,69 @@
+"""Deterministic mixing: partition-independence, approximate rates at
+volume, per-stratum recipes, validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.mixing import (
+    deterministic_sample,
+    stratified_mix,
+)
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_sample_is_partition_and_run_independent(spark):
+    df = spark.range(2000)
+    a = _ids(deterministic_sample(df, "id", 0.3, seed=7))
+    b = _ids(deterministic_sample(df.repartition(13), "id", 0.3, seed=7))
+    c = _ids(deterministic_sample(df, "id", 0.3, seed=7))
+    assert a == b == c
+
+
+def test_sample_rate_approximately_held(spark):
+    df = spark.range(20000)
+    n = deterministic_sample(df, "id", 0.3, seed=1).count()
+    assert 0.27 < n / 20000 < 0.33
+    # different seed → different membership, similar rate
+    m = deterministic_sample(df, "id", 0.3, seed=2)
+    assert 0.27 < m.count() / 20000 < 0.33
+    assert _ids(m) != _ids(deterministic_sample(df, "id", 0.3, seed=1))
+
+
+def test_sample_nested_subsets(spark):
+    """Raising the fraction only ADDS rows (bucket membership is a
+    threshold on one hash): the 10% mix is a subset of the 50% mix —
+    what makes mixture-ratio sweeps comparable between experiments."""
+    df = spark.range(5000)
+    small = set(_ids(deterministic_sample(df, "id", 0.1, seed=3)))
+    big = set(_ids(deterministic_sample(df, "id", 0.5, seed=3)))
+    assert small <= big
+
+
+def test_stratified_mix_rates_and_default(spark):
+    df = spark.range(9000).withColumn(
+        "src",
+        F.when(F.col("id") % 3 == 0, "keep")
+        .when(F.col("id") % 3 == 1, "half")
+        .otherwise("other"),
+    )
+    out = stratified_mix(
+        df, "src", {"keep": 1.0, "half": 0.5}, key="id", default_rate=0.0
+    )
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("keep") == 3000          # rate 1.0 keeps everything
+    assert 1350 < counts.get("half", 0) < 1650  # ~50%
+    assert "other" not in counts               # default 0.0 drops stratum
+
+
+def test_rate_validation(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "id", 1.5)
+    with pytest.raises(ValueError):
+        stratified_mix(df, "id", {"x": -0.1}, key="id")
