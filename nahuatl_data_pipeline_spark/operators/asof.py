@@ -55,6 +55,12 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c != on and c not in by
     ]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right value columns {sorted(clash)} collide with left columns"
+            " — rename one side before joining"
+        )
 
     payload = F.struct(
         F.col(on).alias("__on"), *[F.col(c) for c in value_cols]

@@ -76,6 +76,15 @@ def test_partitioning_stability(spark):
     assert a == b
 
 
+def test_value_column_collision_raises(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("ref", "v"),
+                  on="ts", by=["k"])
+
+
 def test_single_shuffle_plan(spark):
     left, right = _frames(spark)
     plan = (
