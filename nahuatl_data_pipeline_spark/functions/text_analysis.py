@@ -8,6 +8,8 @@ expressions — a quality-score pass over 100 TB is one codegen'd projection.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -147,3 +149,32 @@ def document_fingerprint(c: ColumnOrName, bits: int = 64) -> Column:
     instead of url)."""
     normalized = F.lower(F.trim(F.regexp_replace(_col(c), _WS, " ")))
     return F.substring(F.md5(normalized), 1, bits // 4)
+
+
+# --- compression-ratio quality signal ---------------------------------------
+
+
+def compression_ratio(c: ColumnOrName, level: int = 6) -> Column:
+    """zlib-compressed size / raw UTF-8 size — the classic curation signal
+    (near 0 ⇒ repetitive boilerplate, near/above 1 ⇒ high-entropy noise;
+    natural prose sits ~0.3-0.7). Gopher/C4-style filters threshold it.
+
+    Arrow-batched pandas_udf (zlib is C-speed; one Python hop per batch,
+    not per row). Deterministic for a fixed zlib version+level, but NOT
+    SQL-expressible — no oracle query; see tests/test_text_analysis
+    invariants. NULL→NULL, ''→NULL (ratio undefined)."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or t == "":
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return _ratio(_col(c))

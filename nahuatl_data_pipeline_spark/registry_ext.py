@@ -908,3 +908,22 @@ def q55_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_mix(
         docs, "source", _Q55_RATES, key="doc_id", seed=42, default_rate=0.05
     ).select("doc_id", "source")
+
+
+@register("q56_compression_quality", None)  # zlib — not SQL-expressible
+def q56_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Gopher/C4-style curation filter):
+    zlib ratio per document + a keep flag for the prose band. Deterministic
+    (fixed zlib level) but no SQL engine can recompute it — rows-only;
+    invariants in tests/test_text_analysis.py."""
+    from nahuatl_data_pipeline_spark.functions.text_analysis import (
+        compression_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = compression_ratio("text")
+    return docs.select(
+        "doc_id",
+        r.alias("compression_ratio"),
+        ((r > 0.1) & (r < 0.9)).alias("in_prose_band"),
+    )

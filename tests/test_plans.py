@@ -84,6 +84,21 @@ def test_q49_normalize_rules_single_codegen_projection(spark):
     assert "Exchange" not in plan  # six rule columns, one scan, no shuffle
 
 
+def test_q52_asof_single_shuffle(spark):
+    plan = plan_of(spark, "q52_asof_join")
+    # union + per-user window: one data shuffle (plus the checkpoint
+    # aggregate's own); never a range nested-loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q55_training_mix_is_shuffle_free(spark):
+    plan = plan_of(spark, "q55_training_mix")
+    assert "Exchange" not in plan  # pure narrow filter + project
+    assert "FileScan parquet" in plan
+
+
 def test_q34_quality_suite_single_scan(spark):
     """The whole expectation suite must read the table once."""
     plan = plan_of(spark, "q34_quality_suite")

@@ -1,0 +1,62 @@
+"""compression_ratio invariants (no SQL oracle possible — zlib): repeated
+text compresses far better than high-entropy text, prose sits between,
+nulls/empties undefined, deterministic across partitionings."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from nahuatl_data_pipeline_spark.functions.text_analysis import (
+    compression_ratio,
+)
+
+
+def _ratios(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [
+        r["r"] for r in df.select(compression_ratio("t").alias("r")).collect()
+    ]
+
+
+def test_signal_orders_boilerplate_prose_noise(spark):
+    rng = random.Random(7)
+    boiler = "lorem ipsum " * 200
+    words = (
+        "tlahtolli tonalli altepetl tlacah cualli huei atl calli xochitl "
+        "yolotl metztli citlalli tepetl milli ocelotl cuauhtli mazatl "
+        "quiyahuitl ehecatl necuhtli tlaxcalli"
+    ).split()
+    prose = " ".join(
+        f"In {words[i % 20]} oquittac in {words[(i * 7 + 3) % 20]} ihuan "
+        f"in {words[(i * 13 + 5) % 20]} ipan {i}."
+        for i in range(40)
+    )
+    noise = "".join(rng.choice(string.printable) for _ in range(2000))
+    b, p, n = _ratios(spark, [boiler, prose, noise])
+    assert b < p < n
+    assert b < 0.1          # pure repetition collapses
+    assert 0.1 < p < 0.7    # natural prose
+    assert n > 0.7          # random bytes barely compress
+
+
+def test_null_and_empty_undefined(spark):
+    df = spark.createDataFrame([(None,), ("",), ("texto real aquí",)],
+                               "t string")
+    got = [r["r"] for r in df.select(compression_ratio("t").alias("r")).collect()]
+    assert got[0] is None and got[1] is None and got[2] is not None
+
+
+def test_deterministic_across_partitioning(spark):
+    texts = [f"documento número {i} " * (i % 7 + 1) for i in range(40)]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    a = sorted(
+        r["r"] for r in df.select(compression_ratio("t").alias("r")).collect()
+    )
+    b = sorted(
+        r["r"]
+        for r in df.repartition(11)
+        .select(compression_ratio("t").alias("r"))
+        .collect()
+    )
+    assert a == b
