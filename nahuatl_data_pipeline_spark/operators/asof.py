@@ -52,9 +52,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    value_cols = value_cols or [
-        c for c in right.columns if c != on and c not in by
-    ]
+    if value_cols is None:  # [] is a valid explicit "attach nothing"
+        value_cols = [c for c in right.columns if c != on and c not in by]
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(

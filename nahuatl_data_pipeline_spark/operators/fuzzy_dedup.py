@@ -20,8 +20,6 @@ Three interchangeable strategies, all shuffle-on-bucket (never O(n²)):
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,15 +29,30 @@ from nahuatl_data_pipeline_spark.functions.hashing import (
     word_shingles,
 )
 
+# Generation-based cache management: each fuzzy-dedup call releases the
+# PREVIOUS call's persisted shingle/candidate intermediates and registers
+# its own. The current result's caches stay valid however the caller
+# chains/derives from it (a GC- or result-lifetime tie would evict them
+# the moment the returned object is dropped — e.g. `f(df).select(...)`),
+# while a long-lived session holds at most one call's caches instead of
+# leaking monotonically. Concurrent fuzzy-dedup calls in one session
+# should call release_fuzzy_caches() themselves once both results are
+# materialized.
+_LIVE_CACHES: list[DataFrame] = []
 
-def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Tie cached intermediates' lifetime to the *result* DataFrame: when
-    the caller drops the result, the persisted deps unpersist. Keeps
-    repeated calls in a long-lived session from leaking executor storage
-    without forcing an eager action or a cleanup API on callers."""
-    for dep in cached:
-        weakref.finalize(result, dep.unpersist)
-    return result
+
+def release_fuzzy_caches() -> None:
+    """Unpersist intermediates cached by earlier fuzzy-dedup calls."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def _rotate_caches(*cached: DataFrame) -> None:
+    release_fuzzy_caches()
+    _LIVE_CACHES.extend(cached)
 
 
 # --------------------------------------------------------------------------
@@ -232,7 +245,8 @@ def banded_minhash_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    return _unpersist_on_gc(out, shd, cands)
+    _rotate_caches(shd, cands)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -284,7 +298,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    return _unpersist_on_gc(out, keyed)
+    _rotate_caches(keyed)
+    return out
 
 
 # --------------------------------------------------------------------------

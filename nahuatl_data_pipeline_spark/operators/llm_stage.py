@@ -55,8 +55,11 @@ def parse_json_array(text: str) -> list[dict]:
     to a one-element list (gemini_distiller.py:163-174). Raises
     ``ValueError`` on anything else — the caller isolates the batch."""
     t = text.strip()
-    if t.startswith("```json"):
-        t = t[7:]
+    # models fence with ```json, bare ```, or other language tags — strip
+    # any leading fence line and a trailing fence
+    if t.startswith("```"):
+        first_nl = t.find("\n")
+        t = t[first_nl + 1 :] if first_nl != -1 else t[3:]
     if t.endswith("```"):
         t = t[:-3]
     data = json.loads(t)
@@ -64,6 +67,11 @@ def parse_json_array(text: str) -> list[dict]:
         data = [data]
     if not isinstance(data, list):
         raise ValueError(f"expected JSON array, got {type(data).__name__}")
+    for item in data:
+        if not isinstance(item, dict):
+            raise ValueError(
+                f"array elements must be objects, got {type(item).__name__}"
+            )
     return data
 
 
@@ -165,6 +173,12 @@ def llm_map_batches(
                             raise ValueError(
                                 f"{len(parsed)} outputs for {len(batch)} inputs"
                             )
+                        for item in parsed:
+                            if not isinstance(item, dict):
+                                raise ValueError(
+                                    "parse_batch must yield dicts, got "
+                                    + type(item).__name__
+                                )
                         err = None
                     except Exception as exc:  # malformed reply: isolate batch
                         parsed, err = None, f"malformed_response: {exc}"

@@ -24,8 +24,14 @@ _DENOM = float(16**8)
 
 
 def sample_bucket(key: Column, seed: int) -> Column:
-    """Uniform [0,1) bucket from content: first 8 md5 hex chars / 16^8."""
-    h = F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    """Uniform [0,1) bucket from content: first 8 md5 hex chars / 16^8.
+
+    ``concat`` (not ``concat_ws``) on purpose: a NULL key must yield a
+    NULL bucket so null-key rows are DROPPED by the `< rate` filter —
+    matching SQL semantics (`NULL < rate` is not true). concat_ws would
+    skip the null and hash every null-key row to one constant bucket,
+    keeping or dropping them all together depending on the rate."""
+    h = F.md5(F.concat(F.lit(str(seed) + ":"), key.cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
 
 

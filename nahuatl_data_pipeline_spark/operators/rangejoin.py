@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BUCKET = "__rj_bucket"
+_PID = "__rj_pid"
 
 
 def interval_join(
@@ -43,8 +44,18 @@ def interval_join(
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"how must be inner|left_semi, got {how!r}")
+    clash = (set(intervals.columns) - set(by)) & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns {sorted(clash)} collide with point columns"
+            " — rename one side before joining"
+        )
     p_bucket = F.floor(F.unix_timestamp(F.col(on)) / bucket_width_s)
-    p = points.withColumn(_BUCKET, p_bucket)
+    # surrogate row id: left_semi must preserve input MULTIPLICITY —
+    # deduping on content columns would collapse identical point rows
+    p = points.withColumn(_BUCKET, p_bucket).withColumn(
+        _PID, F.monotonically_increasing_id()
+    )
 
     s_b = F.floor(F.unix_timestamp(F.col(start)) / bucket_width_s)
     e_b = F.floor(F.unix_timestamp(F.col(end)) / bucket_width_s)
@@ -56,8 +67,11 @@ def interval_join(
     cond = F.col(on).between(F.col(start), F.col(end))
     joined = p.join(iv, on=by + [_BUCKET], how="inner").filter(cond)
     if how == "left_semi":
-        # containment already applied; reduce to distinct point rows
-        return joined.select(p.columns).dropDuplicates(
-            [c for c in points.columns]
-        ).drop(_BUCKET)
-    return joined.drop(_BUCKET)
+        # containment already applied; one output row per INPUT row that
+        # matched any interval (dedup on the surrogate id, not content)
+        return (
+            joined.select(p.columns)
+            .dropDuplicates([_PID])
+            .drop(_BUCKET, _PID)
+        )
+    return joined.drop(_BUCKET, _PID)

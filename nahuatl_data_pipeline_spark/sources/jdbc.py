@@ -93,6 +93,12 @@ class IncrementalJdbcSource:
     ) -> DataFrame:
         opts = self.read_options(last_sync)
         if self.num_partitions > 1:
+            if upper_bound is None:
+                raise ValueError(
+                    "partitioned incremental read (num_partitions "
+                    f"{self.num_partitions} > 1) requires upper_bound; "
+                    "pass one or set num_partitions=1 for a single query"
+                )
             opts["lowerBound"] = last_sync
             opts["upperBound"] = upper_bound
         return spark.read.format("jdbc").options(**opts).load()

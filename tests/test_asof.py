@@ -98,3 +98,10 @@ def test_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_explicit_empty_value_cols_attaches_nothing(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=[])
+    assert set(out.columns) == {"k", "ts", "v"}
+    assert out.count() == left.count()

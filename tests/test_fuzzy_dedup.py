@@ -164,3 +164,19 @@ def test_macron_variant_pair_found_at_high_threshold(spark):
         ).collect()
     }
     assert exact.get((1, 2)) == 0.75
+
+
+def test_repeated_calls_bound_persisted_storage(spark, docs):
+    """Generation-based cache rotation: N sequential fuzzy-dedup calls
+    must not accumulate N calls' persisted RDDs."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        release_fuzzy_caches,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    for _ in range(3):
+        banded_minhash_pairs(docs, "doc_id", "text", shingle_n=2).count()
+    # at most ONE call's caches (shd + cands) remain registered
+    assert jsc.getPersistentRDDs().size() <= 2
+    release_fuzzy_caches()
+    assert jsc.getPersistentRDDs().size() == 0

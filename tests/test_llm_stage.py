@@ -172,3 +172,43 @@ def test_rotation_inside_spark_task(spark, docs):
     ).collect()
     assert all(r["llm_error"] is None for r in out)
     assert all(r["nah"].startswith("nah:") for r in out)
+
+
+def test_bare_fence_and_language_tag_fences_accepted():
+    assert parse_json_array('```\n[{"a": 1}]\n```') == [{"a": 1}]
+    assert parse_json_array('```json\n[{"a": 1}]\n```') == [{"a": 1}]
+
+
+def test_non_dict_array_elements_rejected_as_malformed():
+    with pytest.raises(ValueError, match="must be objects"):
+        parse_json_array('["hola", "adios"]')
+
+
+def test_non_dict_reply_isolates_batch_not_stage(spark):
+    """A valid JSON array of strings (right length!) must produce error
+    rows, never crash the mapInPandas task (module contract)."""
+    from nahuatl_data_pipeline_spark.operators.llm_stage import (
+        llm_map_batches,
+    )
+
+    class RawClient:
+        def __init__(self, api_key):
+            pass
+
+        def complete(self, prompt):
+            return '["hola", "adios"]'
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    out = llm_map_batches(
+        df,
+        build_prompt=lambda b: "ignored",
+        parse_batch=lambda reply, batch: parse_json_array(reply),
+        out_fields=[("es", "string")],
+        client_factory=RawClient,
+        keep_cols=["doc_id"],
+        batch_size=2,
+        sleep_fn=lambda s: None,
+    ).collect()
+    assert len(out) == 2
+    assert all(r["llm_error"].startswith("malformed_response") for r in out)
+    assert all(r["es"] is None for r in out)

@@ -67,3 +67,18 @@ def test_rate_validation(spark):
         deterministic_sample(df, "id", 1.5)
     with pytest.raises(ValueError):
         stratified_mix(df, "id", {"x": -0.1}, key="id")
+
+
+def test_null_keys_are_dropped_like_sql(spark):
+    """NULL < rate is not true in SQL: null-key rows must be dropped, not
+    hashed to one constant bucket (concat_ws would keep/drop them all
+    together and diverge from the q55 oracle)."""
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), ("c",)], "k string"
+    )
+    out = deterministic_sample(df, "k", 1.0, seed=42)
+    got = sorted(r["k"] for r in out.collect())
+    assert None not in got and got == ["a", "b", "c"]
+    assert stratified_mix(
+        df.withColumn("s", F.lit("x")), "s", {"x": 1.0}, key="k"
+    ).filter(F.col("k").isNull()).count() == 0

@@ -98,3 +98,25 @@ def test_no_cartesian_in_plan(spark, frames):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_left_semi_preserves_duplicate_point_rows(spark, frames):
+    pts, iv = frames
+    doubled = pts.unionAll(pts)  # identical rows twice
+    out = interval_join(
+        doubled, iv, on="ts", by=["k"], start="s", end="e",
+        bucket_width_s=600, how="left_semi",
+    )
+    # pids 1/2/3 match → each appears TWICE (input multiplicity kept)
+    assert sorted(r["pid"] for r in out.collect()) == [1, 1, 2, 2, 3, 3]
+
+
+def test_column_collision_raises(spark, frames):
+    pts, iv = frames
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(
+            pts, iv.withColumnRenamed("wid", "pid"),
+            on="ts", by=["k"], start="s", end="e",
+        )

@@ -239,3 +239,15 @@ def test_unknown_driver_raises(spark):
 
     with pytest.raises(KeyError, match="unknown driver"):
         ingest_source(spark, "nope", "x://y")
+
+
+def test_partitioned_incremental_load_requires_upper_bound(spark):
+    import pytest
+
+    from nahuatl_data_pipeline_spark.sources.jdbc import IncrementalJdbcSource
+
+    src = IncrementalJdbcSource(
+        url="jdbc:postgresql://h/db", table="t", watermark_col="updated_at"
+    )  # default num_partitions=8
+    with pytest.raises(ValueError, match="requires upper_bound"):
+        src.load(spark, "2024-01-01 00:00:00")
