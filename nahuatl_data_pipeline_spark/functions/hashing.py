@@ -104,12 +104,17 @@ def minhash_signature_cols(
 ) -> list[Column]:
     """num_hashes MinHash components over a shingle array, as int64s.
 
-    The shingle is hashed ONCE (md5 → int64); component i is
-    min((A_i·h + B_i) mod P) over the doc's shingle hashes — k affine
-    permutations of one hash instead of k independent md5 passes (k×
-    cheaper, the standard universal-hashing MinHash construction).
-    Everything is exact integer arithmetic → portable to any SQL oracle.
-    Returns aliased Columns ``mh0..mh{k-1}``.
+    Component i is min((A_i·h + B_i) mod P) over the doc's shingle hashes
+    (the standard universal-hashing MinHash construction); exact integer
+    arithmetic → portable to any SQL oracle. Returns aliased Columns
+    ``mh0..mh{k-1}``.
+
+    CONVENIENCE FORM: the inline hash subtree is re-evaluated per
+    component (no CSE across HOF lambdas), i.e. k md5 passes. Hot paths
+    should materialize the hash array first —
+    ``withColumn("hv", F.transform(sh, lambda s: hash64(s)))`` then
+    :func:`minhash_from_hashes` (q22 does this), or use the exploded
+    map-side-agg formulation (operators/fuzzy_dedup.py).
     """
     # NB: per-element lambdas must take exactly ONE parameter — a second
     # parameter would be bound by Spark to the array index, not the closure.
@@ -139,6 +144,12 @@ def simhash64(shingles: Column) -> Column:
 
     For each bit b, sum ±1 over shingle hashes (xxhash64) and take the sign.
     Expressed with aggregate over the shingle array — per-row, no shuffle.
+
+    CONVENIENCE FORM: each of the 64 bit-aggregates re-hashes every
+    shingle (interpreted lambdas, no CSE) — fine for small arrays/tests;
+    the scale path is ``operators/fuzzy_dedup.simhash_groups`` (explode +
+    64 conditional sums in ONE codegen hash-agg, xxhash once per token,
+    measured ~25× faster).
     """
     def bit(b: int) -> Column:
         # bit 63 is the sign bit of a signed long: use the negative literal

@@ -72,10 +72,11 @@ def strip_html(c: ColumnOrName) -> Column:
     )
     out = F.regexp_replace(out, r"<[^>]+>", " ")
     out = F.regexp_replace(out, "&nbsp;", " ")
-    out = F.regexp_replace(out, "&amp;", "&")
     out = F.regexp_replace(out, "&lt;", "<")
     out = F.regexp_replace(out, "&gt;", ">")
-    return out
+    # &amp; LAST: decoding it first would double-decode escaped entity
+    # references ('&amp;lt;' means the literal text '&lt;', not '<')
+    return F.regexp_replace(out, "&amp;", "&")
 
 
 def empty_to_null(c: ColumnOrName) -> Column:
@@ -150,10 +151,14 @@ def normalize_spanish(c: ColumnOrName) -> Column:
 
 
 def orthographic_variant(c: ColumnOrName, variant: str = "central") -> Column:
-    """Dialect-keyed respelling: central ``'``/``’``→h, word-initial w→hu;
-    huasteca ``hu``→w."""
+    """Dialect-keyed respelling: central glottal→h, word-initial w→hu;
+    huasteca ``hu``→w.
+
+    The glottal class includes ʼ (U+02BC) — the canonical saltillo that
+    ``normalize_saltillo`` PRODUCES — plus ` and ʔ, so the respelling
+    works on both raw and pipeline-normalized text."""
     if variant == "central":
-        out = F.regexp_replace(_col(c), r"['’]", "h")
+        out = F.regexp_replace(_col(c), "['’ʼ`ʔ]", "h")
         return F.regexp_replace(out, r"\bw", "hu")
     if variant == "huasteca":
         return F.regexp_replace(_col(c), r"hu", "w")

@@ -44,10 +44,14 @@ def sentences(c: ColumnOrName) -> Column:
 def split_sentences(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, sent_id, sentence) — posexplode keeps in-document order."""
+    """(id, sent_id, sentence) — posexplode keeps in-document order.
+
+    OUTER explode: a document with NULL/sentence-free text keeps one row
+    (null sent_id/sentence) instead of vanishing, so row accounting and
+    id joins downstream reconcile with the input."""
     return df.select(
         F.col(id_col),
-        F.posexplode(sentences(text_col)).alias("sent_id", "sentence"),
+        F.posexplode_outer(sentences(text_col)).alias("sent_id", "sentence"),
     )
 
 
@@ -89,8 +93,11 @@ def chunk_text(c: ColumnOrName, max_chars: int = 1000) -> Column:
 def chunk_documents(
     df: DataFrame, id_col: str, text_col: str, max_chars: int = 1000
 ) -> DataFrame:
-    """(id, chunk_id, chunk, n_chars) — one row per packed chunk (F14)."""
+    """(id, chunk_id, chunk, n_chars) — one row per packed chunk (F14);
+    outer explode keeps chunk-less documents visible (null chunk)."""
     return df.select(
         F.col(id_col),
-        F.posexplode(chunk_text(text_col, max_chars)).alias("chunk_id", "chunk"),
+        F.posexplode_outer(chunk_text(text_col, max_chars)).alias(
+            "chunk_id", "chunk"
+        ),
     ).withColumn("chunk_n_chars", F.length("chunk"))

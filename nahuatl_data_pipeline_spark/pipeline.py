@@ -159,5 +159,7 @@ def run_corpus_pipeline(
         return stats
     except Exception as exc:
         if metadata_store is not None:
-            metadata_store.fail_run(run_id, "unify", started_at, str(exc))
+            metadata_store.fail_run(
+                run_id, "unify", str(exc), started_at=started_at
+            )
         raise

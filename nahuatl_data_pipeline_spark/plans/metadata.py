@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -29,6 +29,7 @@ from nahuatl_data_pipeline_spark.operators.aggregates import (
 )
 from nahuatl_data_pipeline_spark.schemas import (
     CONFIG_AUDIT_SCHEMA,
+    DATA_LINEAGE_SCHEMA,
     DATASET_SNAPSHOTS_SCHEMA,
     DEDUPLICATION_LOG_SCHEMA,
     PIPELINE_RUNS_SCHEMA,
@@ -179,6 +180,8 @@ class MetadataStore:
 
     spark: SparkSession
     base_dir: str
+    # per-run generated start timestamps (complete_run/fail_run defaults)
+    _run_started: dict = field(default_factory=dict)
 
     @property
     def _runs_path(self) -> str:
@@ -196,16 +199,20 @@ class MetadataStore:
     def start_run(
         self, pipeline_name: str, config: dict | None = None, started_at=None
     ) -> str:
-        """``started_at`` must be the same timestamp later passed to
-        complete_run/fail_run — row-versions of one run share it so the
-        (started_at, has-ended) version order resolves correctly."""
+        """Row-versions of one run must share ``started_at`` so the
+        (started_at, has-ended) version order resolves correctly. The
+        store REMEMBERS the timestamp it generated per run_id, and
+        complete_run/fail_run default to it — callers only pass
+        started_at explicitly when resuming a run across processes."""
         run_id = str(uuid.uuid4())
+        started_at = started_at or _now()
+        self._run_started[run_id] = started_at
         self._append(
             [
                 {
                     "run_id": run_id,
                     "pipeline_name": pipeline_name,
-                    "started_at": started_at or _now(),
+                    "started_at": started_at,
                     "status": "running",
                     "config_snapshot": json.dumps(config or {}),
                 }
@@ -215,13 +222,24 @@ class MetadataStore:
         )
         return run_id
 
+    def _started_at_for(self, run_id: str, started_at):
+        if started_at is not None:
+            return started_at
+        if run_id not in self._run_started:
+            raise ValueError(
+                f"run {run_id} was not started by this store instance; "
+                "pass started_at explicitly"
+            )
+        return self._run_started[run_id]
+
     def complete_run(
         self,
         run_id: str,
         pipeline_name: str,
-        started_at,
+        started_at=None,
         counts: dict[str, int] | None = None,
     ) -> None:
+        started_at = self._started_at_for(run_id, started_at)
         ended = _now()
         counts = counts or {}
         self._append(
@@ -243,7 +261,10 @@ class MetadataStore:
             self._runs_path,
         )
 
-    def fail_run(self, run_id: str, pipeline_name: str, started_at, error: str) -> None:
+    def fail_run(
+        self, run_id: str, pipeline_name: str, error: str, started_at=None
+    ) -> None:
+        started_at = self._started_at_for(run_id, started_at)
         ended = _now()
         self._append(
             [
@@ -338,12 +359,18 @@ class MetadataStore:
     def snapshot_dataset(
         self, run_id: str, name: str, df: DataFrame, layer: str | None = None
     ) -> None:
-        """Record count + content checksum of a dataset version (the
-        checksum is an order-insensitive xor-free aggregate: sum of row
-        hashes mod 2^63 — cheap, distributed, stable)."""
+        """Record count + content checksum of a dataset version: sum of
+        per-row hash buckets (pmod 2^31) accumulated in DECIMAL, reported
+        mod 2^63 — order-insensitive, distributed, and overflow-safe
+        under ANSI mode (a bigint sum would overflow past ~2^32 rows and
+        abs(Long.MIN_VALUE) would throw; pmod+decimal can't)."""
         agg = df.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.abs(F.xxhash64(*df.columns)) % (2**31)).alias("h"),
+            F.sum(
+                F.pmod(F.xxhash64(*df.columns), F.lit(2**31)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
         ).collect()[0]
         self._append(
             [
@@ -352,7 +379,9 @@ class MetadataStore:
                     "dataset_name": name,
                     "layer": layer,
                     "record_count": agg["n"],
-                    "checksum": str(agg["h"]),
+                    "checksum": str(
+                        int(agg["h"]) % (2**63) if agg["h"] is not None else 0
+                    ),
                     "snapshot_at": _now(),
                 }
             ],
@@ -389,6 +418,7 @@ class MetadataStore:
             "validation_errors": VALIDATION_ERRORS_SCHEMA,
             "deduplication_log": DEDUPLICATION_LOG_SCHEMA,
             "dataset_snapshots": DATASET_SNAPSHOTS_SCHEMA,
+            "data_lineage": DATA_LINEAGE_SCHEMA,
             "config_audit": CONFIG_AUDIT_SCHEMA,
         }
         return self.spark.read.schema(schemas[name]).parquet(

@@ -653,11 +653,21 @@ _HV_SQL = (
 def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic engine-portable MinHash signatures (4 components) over
     unigram shingles: one md5 per shingle → int64 → affine permutations
-    (exact integer arithmetic, portable). Computed per-row (array
-    transform), no explode/shuffle."""
+    (exact integer arithmetic, portable). Per-row, no explode/shuffle; the
+    hash array is MATERIALIZED via withColumn so the md5 pass runs once,
+    not once per component (projects over expensive exprs don't collapse,
+    but inline lambda subtrees re-evaluate — no CSE across HOFs)."""
+    from nahuatl_data_pipeline_spark.functions.hashing import (
+        hash64,
+        minhash_from_hashes,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles("text", n=1)
-    return docs.select("doc_id", *minhash_signature_cols(sh, num_hashes=4))
+    return (
+        docs.withColumn("__hv", F.transform(sh, lambda s: hash64(s)))
+        .select("doc_id", *minhash_from_hashes(F.col("__hv"), num_hashes=4))
+    )
 
 
 def _q23_oracle() -> str:

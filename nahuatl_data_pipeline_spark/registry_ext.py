@@ -694,8 +694,8 @@ _Q49_SQL = (
     "REGEXP_REPLACE(text, '[—–]|--', '-', 'g'), "
     "'«»“”', '\"\"\"\"'), '‘’', '" + _SQ2 * 2 + "'), "
     "'…', '...', 'g'), ' ', ' ', 'g') AS spanish_text,\n"
-    # central: '/’ → h, word-initial w → hu
-    "  REGEXP_REPLACE(REGEXP_REPLACE(text, '[" + _SQ2 + "’]', 'h', 'g'), "
+    # central: glottals (incl. canonical ʼ) → h, word-initial w → hu
+    "  REGEXP_REPLACE(REGEXP_REPLACE(text, '[" + _SQ2 + "’ʼ`ʔ]', 'h', 'g'), "
     "'\\bw', 'hu', 'g') AS central_text,\n"
     "  REGEXP_REPLACE(text, 'hu', 'w', 'g') AS huasteca_text\n"
     "FROM documents"

@@ -68,11 +68,18 @@ def _session_fn(gap_us: int):
             for t in ts_us:
                 if cur is None:
                     cur = (t, t, 1)
-                elif t - cur[1] < gap_us:
-                    # min() on start: a late cross-microbatch event (still
-                    # inside the watermark) may precede the open session's
-                    # first event; batch semantics take min(ts) per session
+                elif t - cur[1] < gap_us and cur[0] - t < gap_us:
+                    # in-gap merge, bounded on BOTH sides: a late
+                    # cross-microbatch event may precede the open
+                    # session's start (batch takes min(ts) per session),
+                    # but an event more than gap BEFORE the start belongs
+                    # to its own earlier session, not this one
                     cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
+                elif t < cur[0]:
+                    # late event beyond the gap before the open session:
+                    # best-effort emit as its own (already-closed) session
+                    # — matches batch when no other events neighbor it
+                    closed.append((user_id, t, t, 1))
                 else:
                     closed.append((user_id, cur[0], cur[1], cur[2]))
                     cur = (t, t, 1)
@@ -141,11 +148,19 @@ def sessionize_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def _duration_us(s: str) -> int:
     n, unit = s.split()
     mult = {
+        "millisecond": 1_000,
+        "milliseconds": 1_000,
         "second": 1_000_000,
         "seconds": 1_000_000,
         "minute": 60_000_000,
         "minutes": 60_000_000,
         "hour": 3_600_000_000,
         "hours": 3_600_000_000,
-    }[unit]
-    return int(n) * mult
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }
+    if unit not in mult:
+        raise ValueError(
+            f"unsupported gap unit {unit!r}; use {sorted(set(mult))}"
+        )
+    return int(n) * mult[unit]

@@ -149,3 +149,20 @@ def test_metadata_store_full_table_surface(spark, tmp_path):
     store.snapshot_dataset(run_id, "gold2", docs.repartition(7), layer="gold")
     snaps = {r["dataset_name"]: r["checksum"] for r in store.table("dataset_snapshots").collect()}
     assert snaps["gold"] == snaps["gold2"]
+
+
+def test_run_lifecycle_without_explicit_started_at(spark, tmp_path):
+    """start_run remembers its generated timestamp; complete_run/fail_run
+    default to it so the version order always resolves."""
+    store = MetadataStore(spark, str(tmp_path / "meta2"))
+    r1 = store.start_run("p")
+    store.complete_run(r1, "p", counts={"input": 5, "output": 5})
+    r2 = store.start_run("p")
+    store.fail_run(r2, "p", "boom")
+    cur = {r["run_id"]: r["status"] for r in store.current().collect()}
+    assert cur[r1] == "success" and cur[r2] == "failed"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not started by this store"):
+        store.complete_run("unknown-run", "p")

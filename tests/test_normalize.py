@@ -145,3 +145,27 @@ def test_strip_html(spark):
         F.trim(F.regexp_replace(strip_html("t"), r"\s+", " ")).alias("s")
     ).collect()[0]["s"]
     assert out == "Hola & adiós mundo fin"
+
+
+def test_strip_html_entity_decode_order(spark):
+    from nahuatl_data_pipeline_spark.functions.normalize import strip_html
+
+    out = apply_fn(spark, strip_html, ["x &amp;lt; y", "a &lt; b &amp; c"])
+    # '&amp;lt;' is the literal text '&lt;' — must NOT double-decode to '<'
+    assert out[0] == "x &lt; y"
+    assert out[1] == "a < b & c"
+
+
+def test_orthographic_central_handles_canonical_saltillo(spark):
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        normalize_saltillo,
+        orthographic_variant,
+    )
+
+    # pipeline order: saltillo-normalize (→ʼ) THEN central respelling
+    out = apply_fn(
+        spark,
+        lambda c: orthographic_variant(normalize_saltillo(c), "central"),
+        ["tlaʼtolli", "tla'tolli", "tla’tolli"],
+    )
+    assert out == ["tlahtolli"] * 3

@@ -70,7 +70,27 @@ def test_oversized_sentence_is_own_chunk(spark):
     assert long_sentence in chunks
 
 
-def test_null_text_yields_no_chunks(spark):
+def test_null_text_yields_one_null_chunk_row(spark):
+    """Outer explode: a null-text doc keeps ONE row (null chunk) so ids
+    never silently vanish; it contributes no actual chunk content."""
     df = _docs(spark, [(1, None), (2, "ok.")])
-    out = chunk_documents(df, "doc_id", "text", max_chars=50)
-    assert [r["doc_id"] for r in out.collect()] == [2]
+    out = {r["doc_id"]: r["chunk"] for r in
+           chunk_documents(df, "doc_id", "text", max_chars=50).collect()}
+    assert out == {1: None, 2: "ok."}
+
+
+def test_null_and_empty_docs_survive_sentence_split(spark):
+    from nahuatl_data_pipeline_spark.functions.segmentation import (
+        chunk_documents,
+        split_sentences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Una frase. Otra frase."), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    sent = split_sentences(df, "doc_id", "text")
+    assert sorted({r["doc_id"] for r in sent.collect()}) == [1, 2, 3]
+    assert sent.filter("doc_id = 2").collect()[0]["sentence"] is None
+    ch = chunk_documents(df, "doc_id", "text")
+    assert sorted({r["doc_id"] for r in ch.collect()}) == [1, 2, 3]

@@ -121,3 +121,30 @@ def test_late_in_gap_event_moves_session_start_back():
     # microbatch 2: 09:55 arrives late, within gap of the open session
     _feed(fn, state, [35700])
     assert state.get == (35700 * 1_000_000, 36600 * 1_000_000, 3)
+
+
+def test_far_late_event_becomes_own_session_not_graft():
+    """A late event more than gap BEFORE the open session's start must not
+    merge into it (batch would make it a separate session)."""
+    from nahuatl_data_pipeline_spark.streaming.sessionize import _session_fn
+
+    fn = _session_fn(gap_us=1800 * 1_000_000)  # 30 min
+    state = _StubState()
+    _feed(fn, state, [43200])  # session opens at 12:00
+    # 10:30 arrives late: 90 min before start, far beyond the gap
+    out = _feed(fn, state, [37800])
+    assert state.get == (43200 * 1_000_000, 43200 * 1_000_000, 1)  # untouched
+    rows = out[0]
+    assert len(rows) == 1 and rows.iloc[0]["n_events"] == 1
+    assert rows.iloc[0]["session_start"].timestamp() % 86400 == 37800
+
+
+def test_gap_units_day_and_validation():
+    from nahuatl_data_pipeline_spark.streaming.sessionize import _duration_us
+
+    assert _duration_us("1 day") == 86_400_000_000
+    assert _duration_us("500 milliseconds") == 500_000
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported gap unit"):
+        _duration_us("1 fortnight")
