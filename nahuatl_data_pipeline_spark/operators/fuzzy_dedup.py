@@ -23,11 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nahuatl_data_pipeline_spark.functions.hashing import (
-    minhash_signature_cols,
-    simhash64,
-    word_shingles,
-)
+from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
 
 # Generation-based cache management: each fuzzy-dedup call releases the
 # PREVIOUS call's persisted shingle/candidate intermediates and registers
@@ -267,11 +263,13 @@ def ngram_jaccard_pairs(
 
     sh = word_shingles(text_col, n=shingle_n)
     # shingling is the expensive projection — compute it ONCE, cache, and
-    # let both join legs reuse it (without the persist each leg would
-    # re-shingle the whole input)
+    # let BOTH consumers (the bucket-key groupBy leg and the docs side of
+    # the keys join) reuse it; without this persist the pandas_udf
+    # shingles the whole input twice
     docs = (
         df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
         .filter(F.size("__sh") > 0)
+        .persist()
     )
     # bucket key via explode: md5 in codegen, min in a partial-agg groupBy
     keys = (
@@ -298,7 +296,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    _rotate_caches(keyed)
+    _rotate_caches(docs, keyed)
     return out
 
 

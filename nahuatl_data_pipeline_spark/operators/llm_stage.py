@@ -119,9 +119,10 @@ class _TaskClient:
                 if len(p.api_keys) > 1:
                     self._rotate()  # no sleep: retry on the fresh key
                     continue
-                self._sleep(
-                    p.backoff_base ** (attempt % 3) + p.request_interval
-                )
+                if attempt < p.max_attempts - 1:  # no sleep before giving up
+                    self._sleep(
+                        p.backoff_base ** (attempt % 3) + p.request_interval
+                    )
             except Exception:
                 if attempt == p.max_attempts - 1:
                     return None
@@ -352,10 +353,18 @@ class MockLlmClient:
         if any("MALFORMED" in json.dumps(p) for p in payload):
             return "I'm sorry, I can't produce JSON today."
         if payload and isinstance(payload[0], dict):  # judge
+            # null-safe: a None hyp scores like an empty one (a TypeError
+            # here would masquerade as a transient endpoint error and
+            # burn the whole batch's retry budget)
             return json.dumps(
-                [{"score": (len(p["hyp"]) % 5) + 1} for p in payload]
+                [{"score": (len(p["hyp"] or "") % 5) + 1} for p in payload]
             )
         return "```json\n" + json.dumps(
-            [{"es": t, "nah": "nah:" + t, "myn": "myn:" + t} for t in payload],
+            [
+                {"es": t, "nah": None, "myn": None}
+                if t is None
+                else {"es": t, "nah": "nah:" + t, "myn": "myn:" + t}
+                for t in payload
+            ],
             ensure_ascii=False,
         ) + "\n```"

@@ -52,7 +52,15 @@ def salted_join(
             "duplicate unmatched small-side rows once per salt"
         )
     salt_cols = salt_by or [c for c in large.columns if c != on]
-    salt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
+    if salt_cols:
+        salt: Column = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts)
+        )
+    else:
+        # key-only frame: nothing content-based to spread on — a random
+        # salt is still CORRECT (salt choice never changes join output,
+        # only row placement) and spreads the hot key uniformly
+        salt = F.floor(F.rand(seed=42) * num_salts).cast("long")
     l = large.withColumn(_SALT, salt.cast("int"))
     s = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))

@@ -45,7 +45,16 @@ _C = "__split_c"
 
 
 def _shuffle_hash(key_col, seed: int):
-    return F.md5(F.concat_ws(":", F.lit(str(seed)), key_col.cast("string")))
+    # concat + coalesce, NOT concat_ws: concat_ws SKIPS null args, hashing
+    # a null key as md5("42") while SQL's '42:' || NULL is NULL — the two
+    # engines would then sort the row differently. Null keys hash like
+    # empty-string keys ("42:") on both sides.
+    return F.md5(
+        F.concat(
+            F.lit(str(seed) + ":"),
+            F.coalesce(key_col.cast("string"), F.lit("")),
+        )
+    )
 
 
 def seeded_split(
@@ -131,6 +140,8 @@ def hash_split(
     shuffle, approximate sizes (law of large numbers makes it exact enough
     at 100 TB). Same md5 hash family as ``seeded_split``."""
     ratios = ratios or {"train": 0.9, "validation": 0.05, "test": 0.05}
+    if abs(sum(ratios.values()) - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {ratios}")
     names = list(ratios)
     # bucket in [0,1): first 8 hex chars of md5 / 16^8
     bucket = (

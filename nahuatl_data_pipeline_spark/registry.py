@@ -15,13 +15,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nahuatl_data_pipeline_spark.functions.hashing import (
-    minhash_signature_cols,
-    word_shingles,
-)
+from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
 from nahuatl_data_pipeline_spark.functions.langid import detect_language
 from nahuatl_data_pipeline_spark.functions.normalize import (
     collapse_whitespace,
@@ -360,7 +357,7 @@ def q09_revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id, lang, source, n_chars,
              ROW_NUMBER() OVER (
-               PARTITION BY LOWER(TRIM(text))
+               PARTITION BY COALESCE(LOWER(TRIM(text)), '')
                ORDER BY n_chars DESC, doc_id ASC) AS rn
       FROM documents
     ) WHERE rn = 1
@@ -387,7 +384,7 @@ def q10_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((SUM(n) - COUNT(*)) / SUM(n), 6) AS duplicate_rate,
            CAST(MAX(n) AS BIGINT) AS max_group_size
     FROM (
-      SELECT LOWER(TRIM(text)) AS k, COUNT(*) AS n
+      SELECT COALESCE(LOWER(TRIM(text)), '') AS k, COUNT(*) AS n
       FROM documents GROUP BY 1
     )
     """,
@@ -483,7 +480,7 @@ def q15_doc_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT doc_id,
                ROW_NUMBER() OVER (
-                 ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+                 ORDER BY MD5('42:' || COALESCE(CAST(doc_id AS VARCHAR), '')), doc_id) AS rnk,
                COUNT(*) OVER () AS n
         FROM documents
       )
@@ -508,7 +505,7 @@ def q16_seeded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS split
       FROM (
         SELECT ROW_NUMBER() OVER (
-                 ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+                 ORDER BY MD5('42:' || COALESCE(CAST(doc_id AS VARCHAR), '')), doc_id) AS rnk,
                COUNT(*) OVER () AS n
         FROM documents
       )
@@ -666,6 +663,9 @@ def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles("text", n=1)
     return (
         docs.withColumn("__hv", F.transform(sh, lambda s: hash64(s)))
+        # token-less (null/blank) docs have no signature — drop them like
+        # the oracle's GROUP BY over the token CTE does
+        .filter(F.size("__hv") > 0)
         .select("doc_id", *minhash_from_hashes(F.col("__hv"), num_hashes=4))
     )
 
@@ -943,7 +943,7 @@ def q28_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (PARTITION BY lang
-               ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+               ORDER BY MD5('42:' || COALESCE(CAST(doc_id AS VARCHAR), '')), doc_id) AS rnk,
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM documents
     )

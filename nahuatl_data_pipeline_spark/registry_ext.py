@@ -629,7 +629,7 @@ def q48_llm_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q50_llm_judge",
     """
     SELECT doc_id,
-           (LENGTH(text) % 5) + 1 AS score,
+           (LENGTH(COALESCE(text, '')) % 5) + 1 AS score,
            CAST(NULL AS VARCHAR) AS llm_error
     FROM documents
     WHERE doc_id < 200

@@ -70,7 +70,15 @@ class IncrementalJdbcSource:
             f"WHERE {q}{self.watermark_col}{q} > '{lit}') AS incr_scan"
         )
 
-    def read_options(self, last_sync: str) -> dict[str, str]:
+    def read_options(
+        self, last_sync: str, upper_bound: str | None = None
+    ) -> dict[str, str]:
+        """A SELF-CONSISTENT option dict: partitionColumn is only included
+        together with both bounds (Spark rejects one without the others).
+        num_partitions == 1, or no ``upper_bound`` yet, → one plain query
+        (also needed for dialects whose type rules reject Spark's
+        generated range predicates, and the right plan for small control
+        tables anyway)."""
         opts = {
             "url": self.url,
             "dbtable": self.query_for(last_sync),
@@ -78,29 +86,24 @@ class IncrementalJdbcSource:
             "fetchsize": str(self.fetchsize),
             "numPartitions": str(self.num_partitions),
         }
-        if self.num_partitions > 1:
-            # partition on the watermark itself: each task reads a slice.
-            # num_partitions == 1 skips partitionColumn entirely — Spark
-            # then issues one plain query (needed for dialects whose
-            # type rules reject Spark's generated range predicates, and
-            # the right plan for small control tables anyway).
+        if self.num_partitions > 1 and upper_bound is not None:
+            # partition on the watermark itself: each task reads a slice
             opts["partitionColumn"] = self.watermark_col
+            opts["lowerBound"] = last_sync
+            opts["upperBound"] = upper_bound
         opts.update(self.options)
         return opts
 
     def load(
         self, spark: SparkSession, last_sync: str, upper_bound: str | None = None
     ) -> DataFrame:
-        opts = self.read_options(last_sync)
-        if self.num_partitions > 1:
-            if upper_bound is None:
-                raise ValueError(
-                    "partitioned incremental read (num_partitions "
-                    f"{self.num_partitions} > 1) requires upper_bound; "
-                    "pass one or set num_partitions=1 for a single query"
-                )
-            opts["lowerBound"] = last_sync
-            opts["upperBound"] = upper_bound
+        if self.num_partitions > 1 and upper_bound is None:
+            raise ValueError(
+                "partitioned incremental read (num_partitions "
+                f"{self.num_partitions} > 1) requires upper_bound; "
+                "pass one or set num_partitions=1 for a single query"
+            )
+        opts = self.read_options(last_sync, upper_bound)
         return spark.read.format("jdbc").options(**opts).load()
 
 

@@ -173,10 +173,14 @@ def test_repeated_calls_bound_persisted_storage(spark, docs):
         release_fuzzy_caches,
     )
 
+    release_fuzzy_caches()  # start from a known state
     jsc = spark.sparkContext._jsc.sc()
+    # delta-based: pyspark.ml tests in this session leave their own
+    # internal persisted RDDs behind, which this module doesn't manage
+    base = jsc.getPersistentRDDs().size()
     for _ in range(3):
         banded_minhash_pairs(docs, "doc_id", "text", shingle_n=2).count()
     # at most ONE call's caches (shd + cands) remain registered
-    assert jsc.getPersistentRDDs().size() <= 2
+    assert jsc.getPersistentRDDs().size() <= base + 2
     release_fuzzy_caches()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= base

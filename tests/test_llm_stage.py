@@ -72,8 +72,9 @@ def test_single_key_backoff_sequence_then_exhausted():
         partial(MockLlmClient, exhausted_keys=("dead",)), policy, rec
     )
     assert tc.complete_with_retry(_prompt(["hola"])) is None
-    # 2**(attempt%3) + interval for attempt 0,1,2 (gemini_distiller.py:184)
-    assert rec.sleeps == [2.0, 3.0, 5.0]
+    # 2**(attempt%3) + interval for attempts 0,1 (gemini_distiller.py:184);
+    # no sleep before the final give-up
+    assert rec.sleeps == [2.0, 3.0]
 
 
 def test_transient_error_fixed_sleep_then_success():
@@ -212,3 +213,28 @@ def test_non_dict_reply_isolates_batch_not_stage(spark):
     assert len(out) == 2
     assert all(r["llm_error"].startswith("malformed_response") for r in out)
     assert all(r["es"] is None for r in out)
+
+
+def test_null_text_rows_get_null_translations_not_retry_burn(spark):
+    """A None text must NOT crash the mock (which would masquerade as a
+    transient endpoint error and exhaust the batch's retries): the row
+    gets null translations, batch-mates keep their results."""
+    df = spark.createDataFrame(
+        [(1, "hola"), (2, None), (3, "adiós")], "doc_id long, text string"
+    ).coalesce(1)
+    out = {r["doc_id"]: r for r in distill_stage(
+        df, "text", MockLlmClient, batch_size=3, sleep_fn=lambda s: None
+    ).collect()}
+    assert out[1]["nah"] == "nah:hola" and out[1]["llm_error"] is None
+    assert out[2]["nah"] is None and out[2]["llm_error"] is None
+    assert out[3]["nah"] == "nah:adiós" and out[3]["llm_error"] is None
+
+
+def test_no_sleep_before_final_giveup():
+    policy = RetryPolicy(api_keys=("dead",), retries=1)
+    rec = _Recorder()
+    tc = _TaskClient(
+        partial(MockLlmClient, exhausted_keys=("dead",)), policy, rec
+    )
+    assert tc.complete_with_retry(_prompt(["x"])) is None
+    assert rec.sleeps == []  # single attempt: no pointless backoff

@@ -87,3 +87,13 @@ def test_salted_join_rejects_small_side_preserving_joins(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="duplicate unmatched small-side"):
             salted_join(big, dim, "k", num_salts=4, how=how)
+
+
+def test_salted_join_key_only_large_side(spark):
+    """A large side with ONLY the join key (keep-list filtering shape)
+    must not crash on zero salt columns — a random salt spreads rows and
+    join output is salt-independent."""
+    big = _skewed(spark).select("k")
+    dim = _dim(spark)
+    out = salted_join(big, dim, "k", num_salts=4, how="left_semi")
+    assert out.count() == 1000

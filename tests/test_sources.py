@@ -185,7 +185,12 @@ def test_jdbc_option_construction():
     opts = src.read_options("2024-01-01 00:00:00")
     assert "\"updated_at\" > '2024-01-01 00:00:00'" in opts["dbtable"]
     assert opts["driver"] == "org.postgresql.Driver"
-    assert opts["partitionColumn"] == "updated_at"
+    # self-consistent dict: no partitionColumn without both bounds
+    assert "partitionColumn" not in opts and "lowerBound" not in opts
+    parted = src.read_options("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert parted["partitionColumn"] == "updated_at"
+    assert parted["lowerBound"] == "2024-01-01 00:00:00"
+    assert parted["upperBound"] == "2024-02-01 00:00:00"
     sink = bulk_insert_options("jdbc:x", "t", dialect="oracle")
     assert sink["driver"] == "oracle.jdbc.OracleDriver"
 

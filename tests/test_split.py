@@ -126,3 +126,25 @@ def test_hash_split_approximate_and_stable(spark):
     again = {r["key"]: r["split"] for r in hash_split(ids(spark, 5000), "key", seed=42).collect()}
     first = {r["key"]: r["split"] for r in df.collect()}
     assert first == again
+
+
+def test_hash_split_validates_ratios(spark):
+    import pytest
+
+    from nahuatl_data_pipeline_spark.operators.split import hash_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(spark.range(10), "id", {"train": 0.8, "test": 0.05})
+
+
+def test_seeded_split_null_key_assigned_like_empty(spark):
+    """Null keys must hash identically in Spark and any SQL oracle
+    (concat + coalesce, not null-skipping concat_ws): a null-key row gets
+    the same assignment as an empty-string key."""
+    from nahuatl_data_pipeline_spark.operators.split import seeded_split
+
+    df = spark.createDataFrame([(None,), ("",), ("a",), ("b",)], "k string")
+    out = {r["k"]: r["split"] for r in seeded_split(df, "k").collect()}
+    assert len(out) == 4 and all(v in ("train", "validation", "test")
+                                 for v in out.values())
+    assert out[None] == out[""]  # same md5("42:") bucket on both engines
