@@ -36,9 +36,8 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        df.count()  # force full plan execution; 0 rows is legal (e.g. q07)
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
 
     total = round(sum(timings.values()), 3)
     print(

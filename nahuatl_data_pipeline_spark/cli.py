@@ -21,9 +21,18 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="nahuatl_data_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def _layer_kv(value: str) -> tuple[str, str]:
+        if "=" not in value:
+            raise argparse.ArgumentTypeError(
+                f"expected NAME=DIR, got {value!r}"
+            )
+        name, d = value.split("=", 1)
+        return name, d
+
     run = sub.add_parser("run", help="full corpus pipeline → gold splits")
     run.add_argument("--layer", action="append", required=True,
-                     metavar="NAME=DIR", help="layer dir, e.g. silver=/data/s")
+                     type=_layer_kv, metavar="NAME=DIR",
+                     help="layer dir, e.g. silver=/data/s")
     run.add_argument("--out", required=True)
     run.add_argument("--seed", type=int, default=42)
     run.add_argument("--keep", default="best",
@@ -62,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         from nahuatl_data_pipeline_spark.plans.metadata import MetadataStore
 
-        layer_dirs = dict(kv.split("=", 1) for kv in args.layer)
+        layer_dirs = dict(args.layer)
         store = (
             MetadataStore(spark, args.metadata_dir) if args.metadata_dir else None
         )
@@ -77,11 +86,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "stats":
-        from pyspark.sql import functions as F
-
         from nahuatl_data_pipeline_spark.operators.aggregates import length_stats
 
-        df = spark.read.parquet(args.input)
+        if args.input.endswith((".jsonl", ".json")):
+            from nahuatl_data_pipeline_spark.sources.readers import (
+                read_corpus_jsonl,
+            )
+
+            df = read_corpus_jsonl(spark, args.input, keep_invalid=True)
+        else:
+            df = spark.read.parquet(args.input)
         out = length_stats(df, args.text_col, group_by=args.group_by)
         for row in out.collect():
             print(json.dumps(row.asDict(), default=str))

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from nahuatl_data_pipeline_spark.functions.normalize import normalize_text
 from nahuatl_data_pipeline_spark.operators.dedup import deduplicate, union_layers
-from nahuatl_data_pipeline_spark.operators.filters import translation_pair_filter
+from nahuatl_data_pipeline_spark.operators.filters import (
+    length_bounds_filter,
+    translation_pair_filter,
+)
 from nahuatl_data_pipeline_spark.operators.split import seeded_split
 from nahuatl_data_pipeline_spark.sources.readers import read_layer_dir
 from nahuatl_data_pipeline_spark.sources.writers import write_splits
@@ -91,16 +94,26 @@ def run_corpus_pipeline(
         )
 
     try:
+        from pyspark.sql import Observation
+
+        # keep_invalid: input accounting must see EVERY parsed record
+        # (the reference counts before its validity filters); the pair
+        # filter is applied below as an explicit stage
         layers = [
-            read_layer_dir(spark, path, layer=name)
+            read_layer_dir(spark, path, layer=name, keep_invalid=True)
             for name, path in layer_dirs.items()
         ]
         raw = union_layers(*layers)
-        n_input = raw.count()
+        # observe, don't count(): a count() here would parse every input
+        # byte a second time — the observation rides the write job's one
+        # scan and yields n_input after the action completes
+        obs = Observation()
+        raw = raw.observe(obs, F.count(F.lit(1)).alias("n_input"))
 
         normalized = normalize_records(raw, cfg)
-        valid = translation_pair_filter(normalized).filter(
-            F.length(F.col("es")).between(cfg.min_length, cfg.max_length)
+        valid = length_bounds_filter(
+            translation_pair_filter(normalized),
+            "es", cfg.min_length, cfg.max_length,
         )
         deduped = deduplicate(valid, keep=cfg.keep, lang_cols=cfg.lang_cols)
         split = seeded_split(
@@ -110,9 +123,18 @@ def run_corpus_pipeline(
             seed=cfg.seed,
         )
         write_splits(split, out_dir)
+        try:
+            n_input = obs.get["n_input"]
+        except Exception:
+            # degenerate empty plan: a zero-partition write never runs a
+            # task, so the observation has no row — count directly (cheap
+            # exactly when this happens)
+            n_input = raw.count()
 
-        # one aggregate over the written data for all output stats
-        gold = spark.read.parquet(out_dir)
+        # one aggregate over the written data for all output stats; the
+        # explicit schema keeps an all-filtered (zero-file) gold dir
+        # readable instead of failing schema inference
+        gold = spark.read.schema(split.schema).parquet(out_dir)
         per_split = {
             r["split"]: r["n"]
             for r in gold.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -241,6 +241,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default: read nanos as long and truncate to microseconds with integer
     division (``div`` truncates exactly like other engines' ns→us cast;
     float division would *round* and diverge by 1µs).
+
+    NOTE: ``nanosAsLong`` is a session-wide SQLConf (there is no per-read
+    option) and it must stay set while the lazy scan executes, so this
+    function leaves it enabled for the session — after the first events
+    read, any OTHER parquet with nanos timestamps in the same session
+    also decodes as LongType. ``get_spark`` sets it up front so the
+    behavior is a documented session default, not a mid-run flip.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":

@@ -16,7 +16,11 @@ from pyspark.sql import SparkSession
 
 # Local test default. On a real cluster leave shuffle partitions high
 # (or unset) and let AQE coalesce; 32 matches the local[32] test harness.
-_DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# SPARK_GRAFT_CPUS doubles as the local[N] spec, where '*' is legal — a
+# non-numeric value falls back to 32 rather than poisoning the integer
+# shuffle-partitions conf.
+_cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+_DEFAULT_SHUFFLE_PARTITIONS = _cpus_env if _cpus_env.isdigit() else "32"
 
 
 def get_spark(
@@ -42,11 +46,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS),
+            str(
+                shuffle_partitions
+                if shuffle_partitions is not None
+                else _DEFAULT_SHUFFLE_PARTITIONS
+            ),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # session default, not a mid-run flip: TIMESTAMP(NANOS) parquet
+        # columns decode as LongType everywhere (schemas.load_table
+        # truncates ns→µs explicitly; see its docstring)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep the UI off in test/bench runs; it costs startup time.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -167,23 +167,39 @@ def read_json_dump(
 
 
 def read_layer_dir(
-    spark: SparkSession, layer_dir: str, layer: str
+    spark: SparkSession, layer_dir: str, layer: str,
+    keep_invalid: bool = False,
 ) -> DataFrame:
     """S3: load all ``*.jsonl`` + ``*.json`` in a layer directory, tagging
     ``layer`` and ``origin_file`` (unify.py:145-172, unify_v2.py:312-359).
 
     Both globs go through schema-pinned scans; lineage comes from
     ``input_file_name()`` so it survives any repartitioning.
+    ``keep_invalid=True`` skips the translation-pair filter so callers
+    (e.g. the pipeline's input accounting) see every parsed record.
     """
     import glob as _glob
+    import os as _os
 
+    if not _os.path.isdir(layer_dir):
+        # a MISSING dir is a config error; an existing-but-empty dir is a
+        # legitimate empty layer (yields zero rows below)
+        raise FileNotFoundError(f"layer dir does not exist: {layer_dir}")
     jsonl_files = _glob.glob(f"{layer_dir}/*.jsonl")
     json_files = _glob.glob(f"{layer_dir}/*.json")
     parts: list[DataFrame] = []
     if jsonl_files:
-        parts.append(read_corpus_jsonl(spark, jsonl_files, layer=layer))
+        parts.append(
+            read_corpus_jsonl(
+                spark, jsonl_files, layer=layer, keep_invalid=keep_invalid
+            )
+        )
     if json_files:
-        parts.append(read_json_dump(spark, json_files, layer=layer))
+        parts.append(
+            read_json_dump(
+                spark, json_files, layer=layer, keep_invalid=keep_invalid
+            )
+        )
     if not parts:
         from nahuatl_data_pipeline_spark.schemas import CORPUS_SCHEMA
 

@@ -166,3 +166,18 @@ def test_run_lifecycle_without_explicit_started_at(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not started by this store"):
         store.complete_run("unknown-run", "p")
+
+
+def test_cli_malformed_layer_value_is_usage_error(spark, capsys):
+    with pytest.raises(SystemExit) as exc:
+        main(["run", "--layer", "silver", "--out", "/tmp/x"])
+    assert exc.value.code == 2  # argparse usage error, not a traceback
+    assert "NAME=DIR" in capsys.readouterr().err
+
+
+def test_cli_stats_reads_jsonl(spark, silver_dir, capsys):
+    rc = main(["stats", "--input", f"{silver_dir}/a.jsonl",
+               "--text-col", "es"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[0])["n"] == 20

@@ -54,10 +54,11 @@ def test_full_pipeline(spark, layer_dirs, tmp_path):
     cfg = PipelineConfig(min_length=2)
     stats = run_corpus_pipeline(spark, layer_dirs, out, cfg, metadata_store=store)
 
-    # 45 valid records reach the pipeline ({"es":"no"} has no indigenous
-    # pair and is dropped at ingest, unify.py:197 semantics); the
-    # triplicated key (2 silver + 1 diamond) collapses to one winner
-    assert stats["input"] == 45
+    # 46 parsed records count as INPUT (reference accounting counts before
+    # validity filters); {"es":"no"} has no indigenous pair and is filtered
+    # (unify.py:197 semantics), and the triplicated key (2 silver +
+    # 1 diamond) collapses to one winner
+    assert stats["input"] == 46
     assert stats["output"] == 43
     assert stats["filtered"] == stats["input"] - stats["output"]
     assert set(stats["splits"]) <= {"train", "validation", "test"}
@@ -77,7 +78,7 @@ def test_full_pipeline(spark, layer_dirs, tmp_path):
     assert {r["status"] for r in runs} == {"running", "success"}
     cur = store.current().collect()
     assert len(cur) == 1 and cur[0]["status"] == "success"
-    assert cur[0]["records_input"] == 45
+    assert cur[0]["records_input"] == 46
     # logged quality metrics are queryable through the views
     m = {r["metric_name"]: r["metric_value"] for r in store.metrics().collect()}
     assert m["records_output"] == stats["output"]
@@ -118,3 +119,42 @@ def test_pipeline_failure_records_failed_run(spark, tmp_path):
     cur = store.current().collect()
     assert len(cur) == 1 and cur[0]["status"] == "failed"
     assert cur[0]["error_message"]
+
+
+def test_empty_layers_produce_zero_stats_not_crash(spark, tmp_path):
+    """An all-filtered/empty input must return {input: n, output: 0}
+    instead of failing schema inference on the zero-file gold dir."""
+    from nahuatl_data_pipeline_spark.pipeline import run_corpus_pipeline
+
+    d = tmp_path / "empty_silver"
+    d.mkdir()
+    stats = run_corpus_pipeline(
+        spark, {"silver": str(d)}, str(tmp_path / "gold_empty")
+    )
+    assert stats["output"] == 0 and stats["splits"] == {}
+
+
+def test_input_count_includes_invalid_records(spark, tmp_path):
+    """Reference accounting: 'input' counts every parsed record, and
+    'filtered' includes pair-invalid rows — not just dedup losses."""
+    import json as _json
+
+    from nahuatl_data_pipeline_spark.pipeline import run_corpus_pipeline
+
+    d = tmp_path / "silver2"
+    d.mkdir()
+    rows = [
+        {"es": "frase válida uno", "nah": "ce tlahtolli"},
+        {"es": "frase válida dos", "nah": "ome tlahtolli"},
+        {"es": "sin par"},  # pair-invalid: counted as input + filtered
+        {"nah": "amo es"},  # pair-invalid
+    ]
+    with open(d / "a.jsonl", "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(_json.dumps(r, ensure_ascii=False) + "\n")
+    stats = run_corpus_pipeline(
+        spark, {"silver": str(d)}, str(tmp_path / "gold2")
+    )
+    assert stats["input"] == 4
+    assert stats["output"] == 2
+    assert stats["filtered"] == 2
