@@ -177,3 +177,107 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second scale path next
+    to ``lsh_topk``.
+
+    Default n_probe is CONSERVATIVE (12/16 cells ⇒ recall ≥ 0.9 even on
+    near-uniform synthetic embeddings, where cell membership carries
+    little signal — asserted in tests/test_similarity.py). Real embedding
+    corpora are clustered, which is exactly when IVF pays: drop n_probe
+    toward 1-4 as measured recall allows.
+
+    Train a seeded k-means coarse quantizer on the corpus, assign every
+    corpus vector to its cell ONCE, then each query probes only its
+    ``n_probe`` nearest cells — the exact-cosine work drops to roughly
+    n_probe/n_clusters of brute force, and the probe join is an ordinary
+    hash join on the cell id (the inverted file IS the partitioning).
+
+    Scale notes: centroids are tiny (n_clusters × dim) and broadcast;
+    the corpus assignment is one ml.transform pass typically cached or
+    precomputed offline; recall is tuned by n_probe (= brute force when
+    n_probe == n_clusters). Deterministic for a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def normed(df: DataFrame, keep_arr: bool) -> DataFrame:
+        arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        nrm = _norm(arr)
+        unit = F.transform(arr, lambda x: x / nrm)
+        cols = [F.col(id_col), array_to_vector(unit).alias("features")]
+        if keep_arr:
+            cols.append(unit.alias("__unit"))
+        return df.select(*cols)
+
+    cn = normed(corpus, keep_arr=True)
+    if cn.isEmpty():
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    # a COARSE quantizer doesn't need convergence — 5 iterations place
+    # centroids well enough for cell routing at a fraction of fit cost
+    km = KMeans(k=n_clusters, seed=seed, maxIter=5,
+                featuresCol="features", predictionCol="__cell")
+    model = km.fit(cn)
+    corpus_cells = model.transform(cn).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__unit").alias("__cv"),
+        "__cell",
+    )
+
+    # tiny (cell, centroid) frame → broadcast; each query ranks cells by
+    # cosine to the centroid and keeps the n_probe nearest
+    spark = corpus.sparkSession
+    import pandas as pd  # Arrow local frame, not a Python-RDD scan
+
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__cell": range(len(model.clusterCenters())),
+                "__cent": [list(map(float, c)) for c in model.clusterCenters()],
+            }
+        ),
+        schema="__cell int, __cent array<double>",
+    )
+    qn = normed(queries, keep_arr=True).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("__cell_cos"), F.asc("__cell")
+    )
+    probes = (
+        qn.join(F.broadcast(cents))
+        .withColumn("__cell_cos", _dot(F.col("__qv"), F.col("__cent")))
+        .withColumn("__pr", F.row_number().over(probe_rank))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "__cell")
+    )
+
+    scored = probes.join(corpus_cells, "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("__qv"), F.col("__cv")), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

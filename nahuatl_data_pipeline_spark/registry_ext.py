@@ -927,3 +927,16 @@ def q56_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("compression_ratio"),
         ((r > 0.1) & (r < 0.9)).alias("in_prose_band"),
     )
+
+
+@register("q57_ivf_topk", None)  # seeded k-means quantizer — rows-only
+def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: seeded k-means coarse quantizer + n_probe
+    nearest cells per query, exact cosine within probed cells — the
+    inverted-file scale path next to q33's LSH. pyspark.ml KMeans has no
+    cross-engine oracle; recall >= 0.85 vs exact brute force is asserted
+    in tests/test_similarity.py."""
+    from nahuatl_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)

@@ -49,3 +49,29 @@ def test_lsh_never_invents_better_neighbors(spark, emb):
     for r in joined:
         assert r["exact_cos"] is not None
         assert abs(r["cosine"] - r["exact_cos"]) <= 1e-3
+
+
+def test_ivf_recall_at_5_vs_exact(spark, emb):
+    from nahuatl_data_pipeline_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(cosine_topk(q, emb, k=5))
+    approx = _pairs(ivf_topk(q, emb, k=5))  # q57's defaults
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"IVF recall@5 regressed to {recall:.2f}"
+
+
+def test_ivf_exact_when_probing_all_cells(spark, emb):
+    """n_probe == n_clusters degrades to brute force: results must equal
+    the exact baseline (same rounding, same tie-break)."""
+    from nahuatl_data_pipeline_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(map(tuple, cosine_topk(q, emb, k=3).collect()))
+    full = sorted(
+        map(
+            tuple,
+            ivf_topk(q, emb, k=3, n_clusters=8, n_probe=8).collect(),
+        )
+    )
+    assert full == exact
