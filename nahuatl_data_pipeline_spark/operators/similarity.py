@@ -13,6 +13,8 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -179,6 +181,29 @@ def lsh_topk(
     )
 
 
+def _spherical_kmeans(X, k: int, seed: int, iters: int = 8):
+    """Seeded spherical k-means on unit rows of X → (k×dim) unit centroids.
+
+    Runs driver-side on a BOUNDED sample (the caller caps it), the same
+    way FAISS trains an IVF coarse quantizer on ~256·k training points —
+    a coarse router does not need cluster-quality convergence, it needs
+    stable, well-spread cells. Deterministic for a fixed seed and input
+    order; ties in the argmax assignment resolve to the lowest cell.
+    """
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -198,74 +223,69 @@ def ivf_topk(
     corpora are clustered, which is exactly when IVF pays: drop n_probe
     toward 1-4 as measured recall allows.
 
-    Train a seeded k-means coarse quantizer on the corpus, assign every
-    corpus vector to its cell ONCE, then each query probes only its
-    ``n_probe`` nearest cells — the exact-cosine work drops to roughly
-    n_probe/n_clusters of brute force, and the probe join is an ordinary
-    hash join on the cell id (the inverted file IS the partitioning).
-
-    Scale notes: centroids are tiny (n_clusters × dim) and broadcast;
-    the corpus assignment is one ml.transform pass typically cached or
-    precomputed offline; recall is tuned by n_probe (= brute force when
-    n_probe == n_clusters). Deterministic for a fixed seed.
+    The coarse quantizer is a seeded spherical k-means trained on a
+    deterministic hash-sample of ≤ max(256·k, 2048) corpus vectors
+    collected to the driver (bounded at ANY corpus size — FAISS trains
+    IVF the same way). Cell assignment and per-query probe ranking are
+    Arrow-vectorized pandas UDFs over the broadcast (tiny) centroid
+    matrix — one numpy matmul per batch, no ml pipeline, no window
+    shuffle. The probe set is broadcast against the corpus cells, so the
+    only shuffle in the whole plan is the final per-query rank window;
+    the exact-cosine work drops to roughly n_probe/n_clusters of brute
+    force (= brute force when n_probe == n_clusters). Deterministic for
+    a fixed seed regardless of partitioning (the sample is chosen by
+    content hash and sorted by id before the fit).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
 
-    def normed(df: DataFrame, keep_arr: bool) -> DataFrame:
+    def normed(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
         arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         nrm = _norm(arr)
-        unit = F.transform(arr, lambda x: x / nrm)
-        cols = [F.col(id_col), array_to_vector(unit).alias("features")]
-        if keep_arr:
-            cols.append(unit.alias("__unit"))
-        return df.select(*cols)
+        return df.select(
+            F.col(id_col).alias(id_out),
+            F.transform(arr, lambda x: x / nrm).alias(vec_out),
+        )
 
-    cn = normed(corpus, keep_arr=True)
-    if cn.isEmpty():
+    cn = normed(corpus, "neighbor_id", "__cv")
+    n_rows = cn.count()
+    if n_rows == 0:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    # a COARSE quantizer doesn't need convergence — 5 iterations place
-    # centroids well enough for cell routing at a fraction of fit cost
-    km = KMeans(k=n_clusters, seed=seed, maxIter=5,
-                featuresCol="features", predictionCol="__cell")
-    model = km.fit(cn)
-    corpus_cells = model.transform(cn).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__unit").alias("__cv"),
-        "__cell",
+
+    # deterministic content-hash sample, capped ~fit_cap rows; sorting by
+    # id on the driver makes the fit independent of partition order
+    fit_cap = max(256 * n_clusters, 2048)
+    mod = max(1, n_rows // fit_cap)
+    sample = (
+        cn.filter(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(mod)) == 0)
+        .select("neighbor_id", "__cv")
+        .toPandas()
+        .sort_values("neighbor_id", ignore_index=True)
+    )
+    X = np.stack(sample["__cv"].to_numpy())
+    k_eff = min(n_clusters, len(X))
+    probe_eff = min(n_probe, k_eff)
+    C = _spherical_kmeans(X, k_eff, seed)
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        return pd.Series((M @ C.T).argmax(axis=1))
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :probe_eff]))
+
+    corpus_cells = cn.withColumn("__cell", cell_of(F.col("__cv")))
+    qn = normed(queries, "query_id", "__qv")
+    probes = qn.select(
+        "query_id", "__qv", F.explode(probe_cells(F.col("__qv"))).alias("__cell")
     )
 
-    # tiny (cell, centroid) frame → broadcast; each query ranks cells by
-    # cosine to the centroid and keeps the n_probe nearest
-    spark = corpus.sparkSession
-    import pandas as pd  # Arrow local frame, not a Python-RDD scan
-
-    cents = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "__cell": range(len(model.clusterCenters())),
-                "__cent": [list(map(float, c)) for c in model.clusterCenters()],
-            }
-        ),
-        schema="__cell int, __cent array<double>",
-    )
-    qn = normed(queries, keep_arr=True).select(
-        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
-    )
-    probe_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("__cell_cos"), F.asc("__cell")
-    )
-    probes = (
-        qn.join(F.broadcast(cents))
-        .withColumn("__cell_cos", _dot(F.col("__qv"), F.col("__cent")))
-        .withColumn("__pr", F.row_number().over(probe_rank))
-        .filter(F.col("__pr") <= n_probe)
-        .select("query_id", "__qv", "__cell")
-    )
-
-    scored = probes.join(corpus_cells, "__cell").filter(
+    scored = corpus_cells.join(F.broadcast(probes), "__cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -931,11 +931,12 @@ def q56_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q57_ivf_topk", None)  # seeded k-means quantizer — rows-only
 def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN: seeded k-means coarse quantizer + n_probe
-    nearest cells per query, exact cosine within probed cells — the
-    inverted-file scale path next to q33's LSH. pyspark.ml KMeans has no
-    cross-engine oracle; recall >= 0.85 vs exact brute force is asserted
-    in tests/test_similarity.py."""
+    """IVF approximate ANN: seeded spherical k-means coarse quantizer
+    (fit driver-side on a bounded content-hash sample, FAISS-style) +
+    n_probe nearest cells per query, exact cosine within probed cells —
+    the inverted-file scale path next to q33's LSH. An iterative k-means
+    fit is not SQL-expressible, so no oracle; recall >= 0.85 vs exact
+    brute force is asserted in tests/test_similarity.py."""
     from nahuatl_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
