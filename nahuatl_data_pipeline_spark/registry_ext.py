@@ -941,3 +941,90 @@ def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+_TAIL2 = _TAIL + " gamma delta epsilon zeta eta theta"
+
+
+@register(
+    "q58_dup_components",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '{_TAIL}' AS text
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || '{_TAIL2}' AS text
+      FROM documents WHERE doc_id < 50
+    ),
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
+      FROM toks WHERE LEN(tk) >= 3
+    ),
+    keyed AS (
+      SELECT doc_id, shingles,
+             LIST_MIN(LIST_TRANSFORM(shingles,
+               s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
+                    % 2147483647)) AS k
+      FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT s AS id, s AS r FROM edges
+      UNION
+      SELECT e.d AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.s
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS component,
+           MIN(r) = id AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q58_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: n-gram-Jaccard pairs (the q38
+    edge machinery, with a second planted generation so clusters span
+    orig -> v1 -> v2 chains) -> connected components -> per-doc cluster
+    label + deterministic canonical (min doc_id). The oracle computes
+    the same closure with a recursive CTE. Replaces the reference's
+    pairwise right-side drop (SparkDedup.scala:120-160), which mishandles
+    chains."""
+    from nahuatl_data_pipeline_spark.operators.components import (
+        duplicate_clusters,
+    )
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+    )
+    v2 = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL2)).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs.unionByName(v1).unionByName(v2), "doc_id", "text",
+        shingle_n=3, jaccard_threshold=0.5,
+    )
+    return duplicate_clusters(pairs)
