@@ -1,0 +1,262 @@
+"""Registry: corpus-curation queries (PII redaction, Gopher repetition,
+benchmark decontamination, C4 rules).
+
+The synthetic documents table contains none of the artifacts these
+stages exist to catch, so each query PLANTS them deterministically from
+doc_id arithmetic — the identical expression on both engines — and then
+runs the real operator. The planting is test scaffolding; the operator
+under test is the curation logic.
+
+SQL oracles are built with placeholder substitution instead of
+f-strings: the regex patterns contain ``{m,n}`` bounded repeats that
+f-string formatting would mangle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.functions.pii import (
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
+    PHONE_PATTERN,
+    pii_counts,
+    redact_pii,
+)
+from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.schemas import load_table
+
+
+# ---------------------------------------------------------------------------
+# q59: PII redaction
+# ---------------------------------------------------------------------------
+
+_Q59_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 200 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via +52 55 8765 4321 from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             ELSE text END AS t
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, t,
+             REGEXP_REPLACE(t, '__EMAIL__', '<EMAIL>', 'g') AS t1
+      FROM w
+    ),
+    r2 AS (
+      SELECT doc_id, t, t1,
+             REGEXP_REPLACE(t1, '__PHONE__', '<PHONE>', 'g') AS t2
+      FROM r
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(t2, '__IP__', '<IP>', 'g') AS clean_text,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t, '__EMAIL__')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t1, '__PHONE__')) AS BIGINT) AS n_phones,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t2, '__IP__')) AS BIGINT) AS n_ips
+    FROM r2
+""".replace("__EMAIL__", EMAIL_PATTERN).replace(
+    "__PHONE__", PHONE_PATTERN
+).replace("__IP__", IPV4_PATTERN)
+
+
+@register("q59_pii_redaction", _Q59_SQL)
+def q59_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents (emails/phones/IPv4 → typed tokens,
+    ROOTS/BigCode convention) with per-type counts; PII is planted from
+    doc_id arithmetic for doc_id < 200. Pure regexp codegen — the same
+    RE2-safe patterns run on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_tail = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via +52 55 8765 4321 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    t = F.when(F.col("doc_id") < 200, F.concat(F.col("text"), pii_tail)).otherwise(
+        F.col("text")
+    )
+    w = docs.select("doc_id", t.alias("t"))
+    n_emails, n_phones, n_ips = pii_counts(F.col("t"))
+    return w.select(
+        "doc_id",
+        redact_pii(F.col("t")).alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60: Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+_Q60_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    base AS (SELECT doc_id, tk FROM toks WHERE LEN(tk) >= 2),
+    tok AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_frac
+      FROM (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(tk) AS g FROM base)
+        GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+      FROM (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (
+          SELECT doc_id,
+                 UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                        i -> tk[i] || ' ' || tk[i + 1])) AS g
+          FROM base
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    d AS (
+      SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS n_tokens,
+             ROUND(LEN(LIST_DISTINCT(tk)) * 1.0 / LEN(tk), 6) AS distinct_frac
+      FROM base
+    )
+    SELECT d.doc_id, n_tokens, distinct_frac, top_token_frac, top_bigram_frac,
+           (top_bigram_frac <= 0.18 AND top_token_frac <= 0.3) AS keep_doc
+    FROM d JOIN tok USING (doc_id) JOIN big USING (doc_id)
+"""
+
+
+@register("q60_repetition_signals", _Q60_SQL)
+def q60_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-token / top-bigram mass
+    fractions + distinct-token fraction with the published keep
+    thresholds. Mode fractions via explode → two-level groupBy (map-side
+    partial agg); distinct_frac stays shuffle-free on the token array."""
+    from nahuatl_data_pipeline_spark.operators.curation import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# q61: benchmark decontamination (13-gram overlap)
+# ---------------------------------------------------------------------------
+
+_Q61_SQL = """
+    WITH ev AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    tr AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, 'alpha beta gamma ' || text AS text
+      FROM ev
+    ),
+    trsh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
+               % 2147483647 AS h
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 11),
+                      i -> ARRAY_TO_STRING(tk[i:i+12], ' '))) AS s
+        FROM (
+          SELECT doc_id,
+                 LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM tr
+        ) WHERE LEN(tk) >= 13
+      )
+    ),
+    evsh AS (
+      SELECT DISTINCT
+             CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
+               % 2147483647 AS h
+      FROM (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 11),
+                      i -> ARRAY_TO_STRING(tk[i:i+12], ' '))) AS s
+        FROM (
+          SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM ev
+        ) WHERE LEN(tk) >= 13
+      )
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM trsh JOIN evsh USING (h)
+    GROUP BY doc_id
+"""
+
+
+@register("q61_decontamination", _Q61_SQL)
+def q61_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C protocol): flag train
+    docs sharing any 13-token window with the eval split (docs with
+    doc_id % 97 == 0); contaminated copies are planted as prefixed
+    rewrites of eval docs. The eval shingle set is broadcast — benchmark
+    suites are tiny against a 100 TB corpus."""
+    from nahuatl_data_pipeline_spark.operators.curation import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    planted = ev.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma "), F.col("text")).alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0).unionByName(planted)
+    return contamination_flags(train, ev, n=13)
+
+
+# ---------------------------------------------------------------------------
+# q62: C4 cleaning rules
+# ---------------------------------------------------------------------------
+
+_Q62_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum dolor'
+                  ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(t)), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_words,
+           REGEXP_MATCHES(t, '[.!?"]\\s*$') AS ends_with_punct,
+           (CONTAINS(t, '{') OR CONTAINS(t, '}')) AS has_brace,
+           CONTAINS(LOWER(t), 'lorem ipsum') AS has_bad_phrase,
+           (REGEXP_MATCHES(t, '[.!?"]\\s*$')
+            AND NOT (CONTAINS(t, '{') OR CONTAINS(t, '}'))
+            AND NOT CONTAINS(LOWER(t), 'lorem ipsum')
+            AND LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(t)), '\\s+'),
+                                x -> x <> '')) >= 50) AS keep_doc
+    FROM w
+"""
+
+
+@register("q62_c4_rules", _Q62_SQL)
+def q62_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as per-doc flags +
+    combined keep: terminal punctuation, no code braces, no boilerplate
+    phrase, >= 50 words. Rule artifacts planted from doc_id arithmetic
+    so every flag exercises both branches."""
+    from nahuatl_data_pipeline_spark.operators.curation import c4_rule_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, ".").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, " {code}").otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, " lorem ipsum dolor").otherwise(""),
+    )
+    return c4_rule_flags(docs.select("doc_id", t.alias("text")))

@@ -128,3 +128,26 @@ def test_partitioned_gold_partition_pruning(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(split" in plan and "split" in plan
     assert scan.count() == 90
+
+
+def test_q59_pii_stays_in_codegen(spark):
+    """PII redaction is regexp codegen end-to-end: one scan projection,
+    no exchange, no Python evaluation."""
+    plan = plan_of(spark, "q59_pii_redaction")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(1) Project" in plan  # whole-stage-codegen span over the scan
+
+
+def test_q61_eval_side_broadcast(spark):
+    """Decontamination probes the (tiny) benchmark shingle set via
+    broadcast — the 100 TB train side must not shuffle for the join."""
+    plan = plan_of(spark, "q61_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q62_c4_rules_single_scan_no_shuffle(spark):
+    plan = plan_of(spark, "q62_c4_rules")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
