@@ -33,6 +33,28 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (Spark-native, zlib-compressed by default): the exchange
+    format for Hive/Trino-adjacent consumers that want stripe-level
+    predicate pushdown instead of parquet row groups. Same layout
+    contract as ``write_parquet``."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — pushdown and column pruning work exactly as for
+    parquet (both are tested in tests/test_sources.py)."""
+    return spark.read.orc(path)
+
+
 def write_splits(
     df: DataFrame, out_dir: str, split_col: str = "split", fmt: str = "parquet"
 ) -> None:
@@ -46,6 +68,8 @@ def write_splits(
         w.parquet(out_dir)
     elif fmt == "json":
         w.json(out_dir)
+    elif fmt == "orc":
+        w.orc(out_dir)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

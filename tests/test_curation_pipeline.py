@@ -1,0 +1,78 @@
+"""End-to-end curation pipeline: flags → single filtered write → stats."""
+
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+    CurationConfig,
+    run_curation_pipeline,
+)
+
+_PROSE = (
+    "the river bends east past the old mill where traders once loaded "
+    "grain onto flat barges bound for the southern markets every autumn"
+)
+_PROSE2 = (
+    "snow settled early on the high passes that year closing the narrow "
+    "trails long before the last caravans had crossed into the valley"
+)
+_PROSE3 = (
+    "lanterns swung from the harbor posts while fishermen mended their "
+    "nets and argued quietly about the strange lights seen offshore"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, _PROSE + " one."),                      # clean -> kept
+        (2, _PROSE2 + " two."),                     # clean -> kept
+        (3, _PROSE + " one two three extra."),      # near-dup of 1 (non-canonical)
+        (4, "spam ham " * 40 + "."),                # repetition gate
+        (5, "int main prints a greeting { return answer; } then exits "
+            "cleanly after flushing buffers and closing every open file."),  # c4 gate
+        (6, "email me at a@b.example now. " + _PROSE3 + " six."),  # kept, redacted
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_pipeline_stats_and_output(spark, tmp_path):
+    out = str(tmp_path / "gold")
+    cfg = CurationConfig(min_words=10, jaccard_threshold=0.7)
+    stats = run_curation_pipeline(spark, _docs(spark), out, cfg=cfg)
+
+    assert stats["input"] == 6
+    assert stats["failed_repetition"] == 1   # doc 4
+    assert stats["failed_c4"] == 1           # doc 5 (code braces)
+    assert stats["near_dups"] == 1           # doc 3 loses to canonical doc 1
+    assert stats["contaminated"] == 0
+    assert stats["output"] == 3
+
+    gold = spark.read.parquet(out)
+    kept = {r["doc_id"]: r["text"] for r in gold.collect()}
+    assert set(kept) == {1, 2, 6}
+    assert "<EMAIL>" in kept[6] and "a@b.example" not in kept[6]
+
+
+def test_curation_pipeline_decontamination(spark, tmp_path):
+    bench = spark.createDataFrame([(99, _PROSE)], "doc_id long, text string")
+    out = str(tmp_path / "gold2")
+    stats = run_curation_pipeline(
+        spark,
+        _docs(spark),
+        out,
+        evalset=bench,
+        cfg=CurationConfig(min_words=10, jaccard_threshold=0.7),
+    )
+    # docs 1 and 3 embed the benchmark prose; doc 1 would otherwise be
+    # kept as its cluster's canonical, so decontamination removes it
+    assert stats["contaminated"] == 2
+    assert stats["output"] == 2
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [2, 6]
+
+
+def test_curation_pipeline_empty_input(spark, tmp_path):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = str(tmp_path / "gold3")
+    stats = run_curation_pipeline(spark, empty, out)
+    assert stats["input"] == 0 and stats["output"] == 0

@@ -256,3 +256,46 @@ def test_partitioned_incremental_load_requires_upper_bound(spark):
     )  # default num_partitions=8
     with pytest.raises(ValueError, match="requires upper_bound"):
         src.load(spark, "2024-01-01 00:00:00")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from nahuatl_data_pipeline_spark.sources.writers import read_orc, write_orc
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), F.lit("x").alias("pad")
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert sorted(back.columns) == ["grp", "id", "pad"]
+    # predicate pushdown reaches the ORC scan, same contract as parquet
+    plan = (
+        back.filter(F.col("id") > 90)
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan
+    assert back.filter(F.col("id") > 90).count() == 9
+
+
+def test_write_splits_orc(spark, tmp_path):
+    from nahuatl_data_pipeline_spark.sources.writers import write_splits
+
+    df = spark.range(0, 30).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, "test").otherwise("train").alias("split"),
+    )
+    out = str(tmp_path / "splits_orc")
+    write_splits(df, out, fmt="orc")
+    train = spark.read.orc(out).filter(F.col("split") == "train")
+    # partition pruning: only the train directory is read
+    scan = next(
+        l
+        for l in train._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan orc" in l
+    )
+    assert "split=train" in scan or "PartitionFilters" in scan
+    assert train.count() == 27
