@@ -260,3 +260,81 @@ def q62_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 11 == 0, " lorem ipsum dolor").otherwise(""),
     )
     return c4_rule_flags(docs.select("doc_id", t.alias("text")))
+
+
+# ---------------------------------------------------------------------------
+# q63/q64: sketch family (HLL cardinality, quantile sketch)
+# ---------------------------------------------------------------------------
+
+
+@register("q63_hll_cardinality", None)  # sketch estimates — rows-only
+def q63_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-token cardinality per language — the
+    sketch path for q15's exact COUNT(DISTINCT): one pass, bounded
+    memory per group (vs a full distinct shuffle), mergeable across
+    partitions — the 100 TB cardinality answer. Estimates are
+    implementation-specific so no cross-engine oracle; relative error
+    <= 5% vs exact is asserted in tests/test_sketches.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    return tok.groupBy("lang").agg(
+        F.count("token").alias("n_tokens"),
+        F.approx_count_distinct("token", rsd=0.02).alias("approx_types"),
+    )
+
+
+@register("q64_quantile_sketch", None)  # sketch estimates — rows-only
+def q64_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna) over document lengths — the
+    scale path for q13's exact median: fixed-size mergeable summaries
+    instead of a per-group sort. accuracy=10000 => rank error <= 0.01%.
+    Error bound vs exact percentiles asserted in
+    tests/test_sketches.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.percentile_approx(F.length("text"), [0.25, 0.5, 0.9], 10000).alias(
+            "len_quantiles"
+        ),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65: scale-path hash split (oracle-checked; q16's no-sort sibling)
+# ---------------------------------------------------------------------------
+
+_Q65_SQL = """
+    SELECT doc_id,
+           CASE WHEN b < 0.9 THEN 'train'
+                WHEN b < 0.95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTRING(
+                 MD5('42:' || COALESCE(text, '')), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS b
+      FROM documents
+    )
+"""
+
+
+@register("q65_hash_split", _Q65_SQL)
+def q65_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-sort, no-shuffle content-hash split (`operators/split.py:
+    hash_split`) — approximate ratios by the law of large numbers, zero
+    exchanges, the default at 100 TB where q16's exact ranks are
+    overkill. Same md5 hash family as seeded_split, so the assignment
+    is reproducible and partition-independent — which is exactly why a
+    SQL oracle can recompute it."""
+    from nahuatl_data_pipeline_spark.operators.split import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hash_split(docs, key="text", seed=42).select("doc_id", "split")

@@ -299,3 +299,51 @@ def test_write_splits_orc(spark, tmp_path):
     )
     assert "split=train" in scan or "PartitionFilters" in scan
     assert train.count() == 27
+
+
+def test_write_training_shards_keyed_stability(spark, tmp_path):
+    import glob
+
+    from nahuatl_data_pipeline_spark.sources.writers import write_training_shards
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    out_a, out_b = str(tmp_path / "sh_a"), str(tmp_path / "sh_b")
+    write_training_shards(df, out_a, num_shards=8, key="doc_id")
+    # same data reshuffled -> identical doc->shard assignment (hash, not
+    # partition position)
+    write_training_shards(df.repartition(13), out_b, num_shards=8, key="doc_id")
+
+    files_a = sorted(glob.glob(out_a + "/part-*"))
+    assert len(files_a) == 8
+    back = spark.read.parquet(out_a)
+    assert back.count() == 2000
+
+    def shard_of(path):
+        m = {}
+        for f in sorted(glob.glob(path + "/part-*")):
+            for r in spark.read.parquet(f).collect():
+                m[r["doc_id"]] = f.split("/")[-1].split("-")[1]
+        return m
+
+    assert shard_of(out_a) == shard_of(out_b)
+    # multinomial balance: no shard more than 2x the mean on 2000 rows
+    sizes = [spark.read.parquet(f).count() for f in files_a]
+    assert max(sizes) <= 2 * (2000 / 8)
+
+
+def test_write_training_shards_round_robin_exact_balance(spark, tmp_path):
+    import glob
+
+    from nahuatl_data_pipeline_spark.sources.writers import write_training_shards
+
+    # single input partition -> exact balance; multi-partition inputs
+    # round-robin independently and deviate by at most one per partition
+    df = spark.range(0, 100).coalesce(1).select(F.col("id").alias("doc_id"))
+    out = str(tmp_path / "sh_rr")
+    write_training_shards(df, out, num_shards=4)
+    sizes = sorted(
+        spark.read.parquet(f).count() for f in glob.glob(out + "/part-*")
+    )
+    assert sizes == [25, 25, 25, 25]

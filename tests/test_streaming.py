@@ -90,3 +90,35 @@ def test_incremental_resume_cycle(spark, event_dir, tmp_path):
         spark, event_dir, "ts", str(wm), schema=EVENT_SCHEMA
     )
     assert [r["event_id"] for r in second.collect()] == [7]
+
+
+def test_stateless_curation_ops_compose_with_streams(spark, tmp_path):
+    """PII redaction and C4 flags are stateless projections, so the SAME
+    operator objects run unchanged on a readStream — stream output must
+    equal the batch run on identical files."""
+    from nahuatl_data_pipeline_spark.functions.pii import redact_pii
+    from nahuatl_data_pipeline_spark.operators.curation import c4_rule_flags
+    from nahuatl_data_pipeline_spark.streaming.incremental import (
+        run_stream_to_memory,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "contact a@b.example about the meeting agenda today."),
+            (2, "plain prose with no contacts at all in this line"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    schema = "doc_id long, text string"
+
+    def curate(df):
+        return c4_rule_flags(
+            df.withColumn("text", redact_pii(F.col("text"))), min_words=5
+        )
+
+    batch = sorted(map(tuple, curate(spark.read.schema(schema).parquet(path)).collect()))
+    stream = curate(spark.readStream.schema(schema).parquet(path))
+    run_stream_to_memory(stream, "curate_stream", output_mode="append")
+    got = sorted(map(tuple, spark.table("curate_stream").collect()))
+    assert got == batch and len(got) == 2
