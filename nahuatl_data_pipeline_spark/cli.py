@@ -8,6 +8,7 @@ Commands:
 - ``quality`` — expectation suite; exit code 1 on failed checks
               (run_quality_check.py:343-449 exit-code contract)
 - ``query``   — execute one registered engine query by name
+- ``curate``  — documents curation pipeline → gold parquet + drop stats
 """
 
 from __future__ import annotations
@@ -55,6 +56,20 @@ def _build_parser() -> argparse.ArgumentParser:
     query.add_argument("name")
     query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     query.add_argument("--limit", type=int, default=20)
+
+    curate = sub.add_parser(
+        "curate",
+        help="documents curation pipeline: PII redact + C4/repetition "
+        "gates + cluster dedup + decontamination → gold parquet",
+    )
+    curate.add_argument("--input", required=True, help="documents parquet")
+    curate.add_argument("--out", required=True)
+    curate.add_argument("--evalset", default=None,
+                        help="benchmark parquet for decontamination")
+    curate.add_argument("--min-words", type=int, default=20)
+    curate.add_argument("--jaccard", type=float, default=0.8)
+    curate.add_argument("--id-col", default="doc_id")
+    curate.add_argument("--text-col", default="text")
     return p
 
 
@@ -142,6 +157,28 @@ def main(argv: list[str] | None = None) -> int:
 
             report = validation_report(results, args.suite_name)
         return 0 if report["success"] else 1
+
+    if args.cmd == "curate":
+        from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+            CurationConfig,
+            run_curation_pipeline,
+        )
+
+        docs = spark.read.parquet(args.input)
+        evalset = spark.read.parquet(args.evalset) if args.evalset else None
+        stats = run_curation_pipeline(
+            spark,
+            docs,
+            args.out,
+            evalset=evalset,
+            cfg=CurationConfig(
+                min_words=args.min_words, jaccard_threshold=args.jaccard
+            ),
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        print(json.dumps(stats))
+        return 0
 
     if args.cmd == "query":
         from nahuatl_data_pipeline_spark import registry

@@ -338,3 +338,101 @@ def q65_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return hash_split(docs, key="text", seed=42).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# q66: incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+_Q66_SQL = """
+    WITH seen AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+    ),
+    new_batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, text FROM seen WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id, text || ' tail token alpha beta'
+      FROM seen WHERE doc_id < 30
+    ),
+    surv1 AS (
+      SELECT n.doc_id, n.text FROM new_batch n
+      WHERE COALESCE(LOWER(TRIM(n.text)), '') NOT IN (
+        SELECT COALESCE(LOWER(TRIM(text)), '') FROM seen)
+    ),
+    shn AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
+      FROM (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM surv1
+      ) WHERE LEN(tk) >= 3
+    ),
+    shs AS (
+      SELECT LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
+      FROM (
+        SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM seen
+      ) WHERE LEN(tk) >= 3
+    ),
+    kn AS (
+      SELECT doc_id, shingles,
+             LIST_MIN(LIST_TRANSFORM(shingles,
+               s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
+                    % 2147483647)) AS k
+      FROM shn
+    ),
+    ks AS (
+      SELECT shingles AS sh_seen,
+             LIST_MIN(LIST_TRANSFORM(shingles,
+               s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
+                    % 2147483647)) AS k
+      FROM shs
+    ),
+    near AS (
+      SELECT DISTINCT a.doc_id
+      FROM kn a JOIN ks b USING (k)
+      WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.sh_seen)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.sh_seen))) >= 0.5
+    )
+    SELECT doc_id FROM surv1
+    WHERE doc_id NOT IN (SELECT doc_id FROM near)
+"""
+
+
+@register("q66_incremental_dedup", _Q66_SQL)
+def q66_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new batch (docs >= 250 plus planted
+    exact and near copies of snapshot docs) is screened against the
+    existing snapshot (docs < 250) — exact normalized-key anti-join plus
+    rarest-shingle-bucket Jaccard >= 0.5 — and only genuinely novel docs
+    survive. The snapshot is never rewritten; its keys/buckets are the
+    reusable index (`operators/incremental_dedup.py`)."""
+    from nahuatl_data_pipeline_spark.operators.incremental_dedup import (
+        dedup_against_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") < 250)
+    exact_dups = seen.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    near_dups = seen.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail token alpha beta")).alias("text"),
+    )
+    new = (
+        docs.filter(F.col("doc_id") >= 250)
+        .unionByName(exact_dups)
+        .unionByName(near_dups)
+    )
+    out = dedup_against_snapshot(
+        new, seen, jaccard_threshold=0.5, shingle_n=3
+    )
+    return out.select("doc_id")

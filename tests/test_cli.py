@@ -181,3 +181,33 @@ def test_cli_stats_reads_jsonl(spark, silver_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert json.loads(out[0])["n"] == 20
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog by the river bank today."),
+            (2, "mail me at x@y.example please " * 2 + "with distinct extra words appended here."),
+            (3, "spam ham " * 30 + "."),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    out = str(tmp_path / "docs_gold")
+
+    from nahuatl_data_pipeline_spark.cli import main
+
+    assert main(["curate", "--input", src, "--out", out,
+                 "--min-words", "8", "--jaccard", "0.7"]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input"] == 3
+    assert stats["failed_repetition"] >= 1
+    gold = spark.read.parquet(out)
+    assert 3 not in {r["doc_id"] for r in gold.collect()}
+    # PII must be gone from the written corpus
+    assert gold.filter(F.col("text").contains("x@y.example")).count() == 0
