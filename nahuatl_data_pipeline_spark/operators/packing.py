@@ -1,0 +1,150 @@
+"""Cross-document sequence packing for LLM pretraining.
+
+Pretraining pipelines do not feed one document per training sequence:
+they shuffle the corpus deterministically, concatenate every document's
+tokens into one long stream (with an implicit end-of-document marker),
+and chop the stream into fixed-length sequences — a document may span a
+sequence boundary. The reference stops at per-document chunking
+(``scripts/gemini_distiller.py:38-55``, re-expressed as F14 /
+``functions/segmentation.py:chunk_text``); this operator is the
+corpus-level step after it.
+
+Semantics here are the standard concat-and-chop:
+
+    order   = md5(seed ':' key)                    -- the "global shuffle"
+    offset  = Σ tokens of all earlier docs          -- exclusive prefix sum
+    seq_id  = offset div seq_len
+    n_seqs  = how many sequences the doc touches
+
+The prefix sum is computed *distributed* with the same monotone
+hash-prefix bucket trick as ``operators/split.py:seeded_split``: md5 hex
+prefixes are monotone bucket ids, so per-bucket window sums plus a tiny
+broadcast cumulative bucket-total table give the exact global running
+total with no single-partition exchange anywhere on the data path.
+Everything is engine-portable (md5 + integer arithmetic), so the whole
+assignment is reproducible in any SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.functions.text_analysis import token_count
+
+_H = "__pack_h"
+_B = "__pack_b"
+_IN = "__pack_in"
+_OFF = "__pack_off"
+_T = "__pack_t"
+
+
+def _shuffle_hash(key_col, seed: int):
+    # concat + coalesce, NOT concat_ws (concat_ws skips null args — see
+    # operators/split.py:_shuffle_hash for the parity rationale)
+    return F.md5(
+        F.concat(
+            F.lit(str(seed) + ":"),
+            F.coalesce(key_col.cast("string"), F.lit("")),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    seq_len: int = 2048,
+    seed: int = 42,
+    bucket_hex: int = 4,
+) -> DataFrame:
+    """Assign every document its token span in the packed stream.
+
+    Adds ``n_tokens`` (whitespace tokens, 0 for NULL/blank text),
+    ``start_offset`` (exclusive prefix sum of earlier docs in hash
+    order), ``seq_id`` (first training sequence the doc lands in,
+    ``start_offset div seq_len``) and ``n_seqs`` (sequences the doc
+    spans; 0 for empty docs). Deterministic in (key, seed) and
+    independent of partitioning — ties in the hash break on ``key``.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    tmp = (
+        df.withColumn(_T, F.coalesce(token_count(text_col), F.lit(0)))
+        .withColumn(_H, _shuffle_hash(F.col(key), seed))
+        .withColumn(
+            _B, F.conv(F.substring(F.col(_H), 1, bucket_hex), 16, 10).cast("long")
+        )
+    )
+    w_in = (
+        Window.partitionBy(_B)
+        .orderBy(_H, key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = tmp.withColumn(_IN, F.coalesce(F.sum(_T).over(w_in), F.lit(0)))
+
+    totals = tmp.groupBy(_B).agg(F.sum(_T).alias(_T))
+    w_cum = Window.orderBy(_B).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _B, F.coalesce(F.sum(_T).over(w_cum), F.lit(0)).alias(_OFF)
+    )
+
+    out = ranked.join(F.broadcast(offsets), _B)
+    start = F.col(_OFF) + F.col(_IN)
+    end = start + F.col(_T) - F.lit(1)
+    return (
+        out.withColumn("n_tokens", F.col(_T))
+        .withColumn("start_offset", start)
+        .withColumn("seq_id", F.floor(start / F.lit(seq_len)).cast("long"))
+        .withColumn(
+            "n_seqs",
+            F.when(F.col(_T) == 0, F.lit(0).cast("long")).otherwise(
+                (
+                    F.floor(end / F.lit(seq_len)) - F.floor(start / F.lit(seq_len))
+                ).cast("long")
+                + 1
+            ),
+        )
+        .drop(_H, _B, _IN, _OFF, _T)
+    )
+
+
+def sequence_pieces(
+    packed: DataFrame,
+    key: str,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Explode a ``pack_sequences`` result into per-sequence pieces.
+
+    One row per (document, training sequence) pair: ``seq_id``,
+    ``piece_begin`` (token offset inside the document) and ``piece_len``.
+    Within any sequence the piece lengths sum to exactly ``seq_len``
+    (except the final partial sequence of the corpus), and per document
+    the piece lengths sum to ``n_tokens`` — both are asserted in
+    ``tests/test_packing.py``. Empty documents produce no pieces.
+    """
+    first = F.col("seq_id")
+    last = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(seq_len)
+    ).cast("long")
+    s = F.col("__piece_seq")
+    seq_start = s * F.lit(seq_len)
+    seq_end = seq_start + F.lit(seq_len)  # exclusive
+    begin_abs = F.greatest(seq_start, F.col("start_offset"))
+    end_abs = F.least(seq_end, F.col("start_offset") + F.col("n_tokens"))
+    return (
+        packed.filter(F.col("n_tokens") > 0)
+        .select(
+            key,
+            "start_offset",
+            "n_tokens",
+            "seq_id",
+            F.explode(F.sequence(first, last)).alias("__piece_seq"),
+        )
+        .select(
+            key,
+            s.alias("seq_id"),
+            (begin_abs - F.col("start_offset")).alias("piece_begin"),
+            (end_abs - begin_abs).alias("piece_len"),
+        )
+    )

@@ -436,3 +436,133 @@ def q66_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, seen, jaccard_threshold=0.5, shingle_n=3
     )
     return out.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q67: cross-document sequence packing (concat-and-chop)
+# ---------------------------------------------------------------------------
+
+_Q67_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                  ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END
+               AS n_tokens,
+             MD5('42:' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE ((start_offset + n_tokens - 1) // 2048)
+                     - (start_offset // 2048) + 1
+                END AS BIGINT) AS n_seqs
+    FROM c
+"""
+
+
+@register("q67_sequence_packing", _Q67_SQL)
+def q67_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence packing: deterministic hash shuffle →
+    concatenate all token streams → chop at 2048-token boundaries. Each
+    doc gets its exact global token offset (computed distributed via the
+    monotone hash-prefix prefix-sum in `operators/packing.py`, no
+    single-partition exchange) and the training sequences it spans. The
+    oracle replays the identical md5 order + window sum in SQL."""
+    from nahuatl_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, key="doc_id", seq_len=2048).select(
+        "doc_id", "n_tokens", "start_offset", "seq_id", "n_seqs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68: corpus-wide line/sentence dedup (C4 / RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_Q68_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 7000000 AS doc_id,
+             text || ' Subscribe to our newsletter today.'
+                  || ' All rights reserved by the site owner.' AS text
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 8000000 AS doc_id, text || ' ' || text AS text
+      FROM documents WHERE doc_id < 50
+    ),
+    sents AS (
+      SELECT doc_id,
+             LIST_FILTER(LIST_TRANSFORM(
+               REGEXP_EXTRACT_ALL(text, '[^.!?]+[.!?]*'), s -> TRIM(s)),
+               s -> s <> '') AS sl
+      FROM corpus
+    ),
+    s AS (
+      SELECT doc_id,
+             GENERATE_SUBSCRIPTS(sl, 1) - 1 AS sent_id,
+             UNNEST(sl) AS sentence
+      FROM sents
+    ),
+    d AS (
+      SELECT doc_id, sent_id, sentence,
+             ROW_NUMBER() OVER (PARTITION BY LOWER(sentence)
+                                ORDER BY doc_id, sent_id) AS rn
+      FROM s
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN sentence END, ' '
+                                 ORDER BY sent_id), '') AS text_clean
+      FROM d GROUP BY doc_id
+    )
+    SELECT corpus.doc_id,
+           COALESCE(g.text_clean, '') AS text_clean,
+           COALESCE(g.n_kept, 0) AS n_kept,
+           COALESCE(g.n_total, 0) AS n_total
+    FROM corpus LEFT JOIN g USING (doc_id)
+"""
+
+
+@register("q68_line_dedup", _Q68_SQL)
+def q68_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line dedup: every occurrence after the first
+    of a repeated sentence is dropped corpus-wide, documents reassembled
+    in original order (`operators/line_dedup.py`). Planted artifacts:
+    100 docs get two shared boilerplate sentences (cross-doc dups — only
+    the smallest doc_id keeps them) and 50 docs have their whole text
+    doubled (in-doc dups). Dedup state is sharded by sentence key —
+    one shuffle, no driver set."""
+    from nahuatl_data_pipeline_spark.operators.line_dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " Subscribe to our newsletter today."
+                " All rights reserved by the site owner."
+            ),
+        ).alias("text"),
+    )
+    doubled = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(boiler).unionByName(doubled)
+    return dedup_lines(corpus, "doc_id", "text")
