@@ -24,7 +24,7 @@ regex split + window + ordered string-agg in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nahuatl_data_pipeline_spark.functions.segmentation import split_sentences
@@ -48,14 +48,28 @@ def dedup_lines(
 
     The sentence key is ``lower(sentence)`` (sentences are already
     trimmed); first occurrence = smallest (``id_col``, position).
+
+    Keep-first is computed as ``min(struct(id, pos))`` per key — a hash
+    aggregation with MAP-SIDE partial combine — rather than a
+    ``row_number`` window: a window would sort each key's rows in one
+    task, and the hot boilerplate keys this operator exists to remove
+    are exactly the keys that would straggle/OOM it at corpus scale.
     """
     s = split_sentences(df, id_col, text_col).filter(
         F.col("sentence").isNotNull()
     )
-    w = Window.partitionBy(F.lower(F.col("sentence"))).orderBy(
-        id_col, "sent_id"
+    firsts = s.groupBy(F.lower(F.col("sentence")).alias("__key")).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("sent_id").alias("p"))
+        ).alias("__first")
     )
-    flagged = s.withColumn("__keep", F.row_number().over(w) == 1)
+    flagged = s.join(
+        firsts, F.lower(s["sentence"]) == F.col("__key")
+    ).withColumn(
+        "__keep",
+        (F.col(id_col) == F.col("__first.i"))
+        & (F.col("sent_id") == F.col("__first.p")),
+    )
     # collect_list skips nulls, so the when() collects kept sentences only
     per_doc = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),

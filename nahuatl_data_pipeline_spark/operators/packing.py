@@ -65,7 +65,11 @@ def pack_sequences(
     order), ``seq_id`` (first training sequence the doc lands in,
     ``start_offset div seq_len``) and ``n_seqs`` (sequences the doc
     spans; 0 for empty docs). Deterministic in (key, seed) and
-    independent of partitioning — ties in the hash break on ``key``.
+    independent of partitioning PROVIDED ``key`` uniquely identifies
+    rows (use the doc id / content hash): equal-key rows share a hash,
+    and their relative order — hence their individual offsets — is
+    unspecified (token counts break the tie, so it only matters when
+    full rows are duplicated).
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -78,7 +82,7 @@ def pack_sequences(
     )
     w_in = (
         Window.partitionBy(_B)
-        .orderBy(_H, key)
+        .orderBy(_H, key, _T)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ranked = tmp.withColumn(_IN, F.coalesce(F.sum(_T).over(w_in), F.lit(0)))
@@ -90,18 +94,17 @@ def pack_sequences(
     )
 
     out = ranked.join(F.broadcast(offsets), _B)
-    start = F.col(_OFF) + F.col(_IN)
-    end = start + F.col(_T) - F.lit(1)
+    # integer `div`, not float `/`+floor: a double loses exactness past
+    # 2^53 cumulative tokens, and the oracle's `//` is exact integer math
     return (
         out.withColumn("n_tokens", F.col(_T))
-        .withColumn("start_offset", start)
-        .withColumn("seq_id", F.floor(start / F.lit(seq_len)).cast("long"))
+        .withColumn("start_offset", F.col(_OFF) + F.col(_IN))
+        .withColumn("seq_id", F.expr(f"start_offset div {seq_len}"))
         .withColumn(
             "n_seqs",
             F.when(F.col(_T) == 0, F.lit(0).cast("long")).otherwise(
-                (
-                    F.floor(end / F.lit(seq_len)) - F.floor(start / F.lit(seq_len))
-                ).cast("long")
+                F.expr(f"(start_offset + n_tokens - 1) div {seq_len}")
+                - F.col("seq_id")
                 + 1
             ),
         )
@@ -122,11 +125,16 @@ def sequence_pieces(
     (except the final partial sequence of the corpus), and per document
     the piece lengths sum to ``n_tokens`` — both are asserted in
     ``tests/test_packing.py``. Empty documents produce no pieces.
+
+    ``seq_len`` must equal the value given to ``pack_sequences`` — the
+    span boundaries are re-derived from ``start_offset``/``n_tokens``
+    alone (never from the stored ``seq_id``), so a mismatched value
+    yields pieces for a DIFFERENT chop, not silent corruption.
     """
-    first = F.col("seq_id")
-    last = F.floor(
-        (F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(seq_len)
-    ).cast("long")
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    first = F.expr(f"start_offset div {seq_len}")
+    last = F.expr(f"(start_offset + n_tokens - 1) div {seq_len}")
     s = F.col("__piece_seq")
     seq_start = s * F.lit(seq_len)
     seq_end = seq_start + F.lit(seq_len)  # exclusive
@@ -138,7 +146,6 @@ def sequence_pieces(
             key,
             "start_offset",
             "n_tokens",
-            "seq_id",
             F.explode(F.sequence(first, last)).alias("__piece_seq"),
         )
         .select(

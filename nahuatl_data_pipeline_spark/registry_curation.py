@@ -344,7 +344,21 @@ def q65_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q66: incremental (cross-snapshot) dedup
 # ---------------------------------------------------------------------------
 
-_Q66_SQL = """
+def _q66_oracle(num_perms: int = 4) -> str:
+    """q66 oracle with the SAME affine MinHash constants as the operator
+    (functions/hashing.py:minhash_constants) — per-perm min over the doc's
+    shingle hashes is the bucket key; candidates verified by exact Jaccard."""
+    from nahuatl_data_pipeline_spark.functions.hashing import minhash_constants
+
+    def arms(src: str, cols: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT {cols}, {i} AS p,\n"
+            f"        LIST_MIN(LIST_TRANSFORM(hvl, h -> ({a} * h + {b})"
+            f" % 2147483647)) AS bk FROM {src}"
+            for i, (a, b) in enumerate(minhash_constants(num_perms))
+        )
+
+    return f"""
     WITH seen AS (
       SELECT doc_id, text FROM documents WHERE doc_id < 250
     ),
@@ -373,47 +387,62 @@ _Q66_SQL = """
       ) WHERE LEN(tk) >= 3
     ),
     shs AS (
-      SELECT LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
-                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
+      SELECT doc_id AS sid,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS sh_seen
       FROM (
-        SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
                            t -> t <> '') AS tk
         FROM seen
       ) WHERE LEN(tk) >= 3
     ),
-    kn AS (
+    hn AS (
       SELECT doc_id, shingles,
-             LIST_MIN(LIST_TRANSFORM(shingles,
+             LIST_TRANSFORM(shingles,
                s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
-                    % 2147483647)) AS k
+                    % 2147483647) AS hvl
       FROM shn
     ),
-    ks AS (
-      SELECT shingles AS sh_seen,
-             LIST_MIN(LIST_TRANSFORM(shingles,
+    hs AS (
+      SELECT sid, sh_seen,
+             LIST_TRANSFORM(sh_seen,
                s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
-                    % 2147483647)) AS k
+                    % 2147483647) AS hvl
       FROM shs
     ),
+    knb AS (
+      {arms("hn", "doc_id")}
+    ),
+    ksb AS (
+      {arms("hs", "sid")}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id, b.sid
+      FROM knb a JOIN ksb b USING (p, bk)
+    ),
     near AS (
-      SELECT DISTINCT a.doc_id
-      FROM kn a JOIN ks b USING (k)
-      WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.sh_seen)) AS DOUBLE)
-            / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.sh_seen))) >= 0.5
+      SELECT DISTINCT c.doc_id
+      FROM cand c
+      JOIN hn ON hn.doc_id = c.doc_id
+      JOIN hs ON hs.sid = c.sid
+      WHERE CAST(LEN(LIST_INTERSECT(hn.shingles, hs.sh_seen)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(hn.shingles, hs.sh_seen))) >= 0.5
     )
     SELECT doc_id FROM surv1
     WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """
 
 
-@register("q66_incremental_dedup", _Q66_SQL)
+@register("q66_incremental_dedup", _q66_oracle())
 def q66_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: a new batch (docs >= 250 plus planted
     exact and near copies of snapshot docs) is screened against the
     existing snapshot (docs < 250) — exact normalized-key anti-join plus
-    rarest-shingle-bucket Jaccard >= 0.5 — and only genuinely novel docs
-    survive. The snapshot is never rewritten; its keys/buckets are the
-    reusable index (`operators/incremental_dedup.py`)."""
+    4-perm MinHash-bucket candidates verified at Jaccard >= 0.5 — and
+    only genuinely novel docs survive. The snapshot is never rewritten;
+    its keys/shingles/buckets are the reusable SnapshotIndex
+    (`operators/incremental_dedup.py`)."""
     from nahuatl_data_pipeline_spark.operators.incremental_dedup import (
         dedup_against_snapshot,
     )

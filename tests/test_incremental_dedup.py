@@ -63,3 +63,55 @@ def test_null_text_matches_null_snapshot_key(spark):
     new = _df(spark, [(10, None), (11, _C)])
     out = [r["doc_id"] for r in dedup_against_snapshot(new, seen).collect()]
     assert out == [11]
+
+
+def test_precomputed_index_matches_inline(spark):
+    import pytest
+
+    from nahuatl_data_pipeline_spark.operators.incremental_dedup import (
+        snapshot_index,
+    )
+
+    seen = _df(spark, [(1, _A), (2, _B)])
+    new = _df(
+        spark,
+        [(10, _A), (12, _A + " extra tail"), (13, _C)],
+    )
+    idx = snapshot_index(seen, shingle_n=3, num_perms=4)
+    via_index = sorted(
+        r["doc_id"]
+        for r in dedup_against_snapshot(
+            new, index=idx, jaccard_threshold=0.5
+        ).collect()
+    )
+    inline = sorted(
+        r["doc_id"]
+        for r in dedup_against_snapshot(
+            new, seen, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert via_index == inline == [13]
+
+    with pytest.raises(ValueError):
+        dedup_against_snapshot(new)
+    with pytest.raises(ValueError):
+        dedup_against_snapshot(new, seen, index=idx)
+
+
+def test_multi_perm_recall_beats_single_bucket(spark):
+    """A planted near-dup pair whose Jaccard is ~0.57 must be surfaced:
+    with 4 independent permutations the miss probability is (1-J)^4
+    ~ 3% per pair; the test seeds 12 such pairs so a systematic recall
+    regression (e.g. falling back to one bucket) shows up as survivors."""
+    base = [
+        (i, f"row{i} alpha beta gamma delta epsilon zeta eta theta")
+        for i in range(12)
+    ]
+    seen = _df(spark, base)
+    near = [
+        (100 + i, t + " iota kappa lambda") for i, t in base
+    ]  # 8/14 distinct trigram overlap
+    out = dedup_against_snapshot(
+        _df(spark, near), seen, jaccard_threshold=0.4, num_perms=4
+    )
+    assert out.count() <= 1  # allow one unlucky miss, not a systematic one

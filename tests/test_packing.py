@@ -28,12 +28,35 @@ def test_offsets_are_exclusive_prefix_sums(spark):
     assert {r["n_tokens"] for r in rows} == {3, 2, 4, 1}
 
 
-def test_seq_id_and_span(spark):
-    df = _docs(spark, ["a b c", "d e", "f g h i", "j"])
-    for r in pack_sequences(df, "doc_id", seq_len=4).collect():
-        assert r["seq_id"] == r["start_offset"] // 4
-        end = r["start_offset"] + r["n_tokens"] - 1
-        assert r["n_seqs"] == end // 4 - r["seq_id"] + 1
+def test_against_pure_python_reference(spark):
+    """Independent reimplementation: hashlib md5 order + a Python loop —
+    not the Spark formulas — must reproduce every output column."""
+    import hashlib
+
+    texts = ["a b c", "d e", "f g h i", "j", None, "  ", "k l m n o p"]
+    df = _docs(spark, texts)
+    n_tok = [3, 2, 4, 1, 0, 0, 6]
+    order = sorted(
+        range(len(texts)),
+        key=lambda i: hashlib.md5(f"7:{i}".encode()).hexdigest(),
+    )
+    expected, off = {}, 0
+    for i in order:
+        t = n_tok[i]
+        seq_id = off // 4
+        n_seqs = 0 if t == 0 else (off + t - 1) // 4 - seq_id + 1
+        expected[i] = (t, off, seq_id, n_seqs)
+        off += t
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["start_offset"],
+            r["seq_id"],
+            r["n_seqs"],
+        )
+        for r in pack_sequences(df, "doc_id", seq_len=4, seed=7).collect()
+    }
+    assert got == expected
 
 
 def test_empty_and_null_docs(spark):
