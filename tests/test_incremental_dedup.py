@@ -115,3 +115,52 @@ def test_multi_perm_recall_beats_single_bucket(spark):
         _df(spark, near), seen, jaccard_threshold=0.4, num_perms=4
     )
     assert out.count() <= 1  # allow one unlucky miss, not a systematic one
+
+
+def test_streaming_foreachbatch_against_static_index(spark, tmp_path):
+    """Continuous-crawl shape: the snapshot index is built ONCE (static,
+    persisted), then every streaming micro-batch is screened against it
+    via foreachBatch — survivors land in the gold sink. Stream result
+    must equal the batch run on the same files."""
+    from nahuatl_data_pipeline_spark.operators.incremental_dedup import (
+        dedup_against_snapshot,
+        snapshot_index,
+    )
+
+    seen = _df(spark, [(1, _A), (2, _B)])
+    idx = snapshot_index(seen)
+    idx.keys.persist(); idx.shingles.persist(); idx.buckets.persist()
+    try:
+        src = str(tmp_path / "incoming")
+        gold = str(tmp_path / "gold")
+        new = _df(
+            spark,
+            [(10, _A), (11, _A + " extra tail"), (12, _C), (13, _B)],
+        )
+        new.write.parquet(src)
+
+        def screen(batch_df, epoch_id):
+            dedup_against_snapshot(
+                batch_df, index=idx, jaccard_threshold=0.5
+            ).write.mode("append").parquet(gold)
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(screen)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        got = sorted(r["doc_id"] for r in spark.read.parquet(gold).collect())
+        batch_run = sorted(
+            r["doc_id"]
+            for r in dedup_against_snapshot(
+                new, seen, jaccard_threshold=0.5
+            ).collect()
+        )
+        assert got == batch_run == [12]
+    finally:
+        idx.keys.unpersist(); idx.shingles.unpersist(); idx.buckets.unpersist()

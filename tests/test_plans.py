@@ -151,3 +151,36 @@ def test_q62_c4_rules_single_scan_no_shuffle(spark):
     plan = plan_of(spark, "q62_c4_rules")
     assert "Exchange" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_q67_packing_rank_is_distributed(spark):
+    """Sequence packing's global prefix sum must never funnel the data
+    through one task: the only single-partition exchange allowed is the
+    tiny bucket-offsets side (which is then broadcast)."""
+    plan = plan_of(spark, "q67_sequence_packing")
+    assert "BroadcastHashJoin" in plan
+    # the data-side window partitions by the hash-prefix bucket, so a
+    # hashpartitioning exchange on __pack_b must exist...
+    assert "hashpartitioning(__pack_b" in plan
+    # ...and any SinglePartition exchange may only feed the broadcast
+    # offsets table, never the ranked data side (the data side carries
+    # the text column; the offsets side is aggregated counts only)
+    data_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange SinglePartition" not in data_side
+
+
+def test_q68_line_dedup_keep_first_is_partial_agg(spark):
+    """Keep-first must be a hash aggregation with map-side combine
+    (partial_min), never a row_number window sorting each sentence key
+    in one task."""
+    plan = plan_of(spark, "q68_line_dedup")
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+
+
+def test_q66_incremental_dedup_no_cartesian(spark):
+    """Cross-snapshot dedup must stay bucket-joined: no cartesian or
+    nested-loop product between batch and snapshot."""
+    plan = plan_of(spark, "q66_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
