@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Query-side broadcast gate (rows). Embedding rows are wide (dim × 8 B), so
+# the row gate is deliberately lower than fuzzy_dedup's 2M candidate-pair
+# gate: 100k rows × 128-dim doubles ≈ 100 MB, comfortably inside the
+# executor/driver broadcast budget; a corpus-scale self-search (query side ==
+# corpus) blows past it and must NOT be collected to the driver.
+BROADCAST_MAX_QUERY_ROWS = 100_000
+
+
+def _gated(df: DataFrame, n_rows: int, max_rows: int):
+    """fuzzy_dedup.py:227 pattern: broadcast small sides, shuffle big ones."""
+    return F.broadcast(df) if n_rows <= max_rows else df
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -47,15 +60,20 @@ def cosine_topk(
     k: int = 5,
     round_to: int = 4,
     exclude_self: bool = True,
+    broadcast_max_queries: int = BROADCAST_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: queries × corpus → rank ≤ k.
 
-    The query side is broadcast (it is the small side by construction);
-    the corpus never shuffles — each partition scores its rows against
-    every query and the window reduces per-query. Ranking uses the
-    *rounded* cosine plus the neighbor id so near-ties break identically
-    everywhere. ``exclude_self=False`` for cross-corpus search where ids
-    on the two sides are unrelated.
+    The query side is broadcast when it fits (the normal search-request
+    case): the corpus never shuffles — each partition scores its rows
+    against every query and the window reduces per-query. A query side
+    past ``broadcast_max_queries`` rows (corpus-scale self-search) falls
+    back to a partition-blocked cartesian instead: each task scores one
+    (query-block × corpus-block) pair, so memory stays bounded while the
+    compute — inherently |Q|·|C| for brute force — distributes across the
+    cluster. Ranking uses the *rounded* cosine plus the neighbor id so
+    near-ties break identically everywhere. ``exclude_self=False`` for
+    cross-corpus search where ids on the two sides are unrelated.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -66,7 +84,10 @@ def cosine_topk(
     cond = (
         F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
     )
-    pairs = c.join(F.broadcast(q), cond)
+    if q.count() <= broadcast_max_queries:
+        pairs = c.join(F.broadcast(q), cond)
+    else:
+        pairs = c.crossJoin(q).filter(cond)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -89,18 +110,29 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_to: int = 4,
+    broadcast_max_queries: int = BROADCAST_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ t).
 
     The dedup variant of ``cosine_topk`` — a threshold filter instead of a
-    rank window, so no shuffle at all: the broadcast query side streams
-    through each corpus partition. ``id_a < id_b`` removes self-pairs and
+    rank window, so no shuffle at all in the normal case: the broadcast
+    query side streams through each corpus partition. Past
+    ``broadcast_max_queries`` rows the query side is NOT broadcast; the
+    plan becomes a partition-blocked cartesian (memory-bounded block
+    nested loop). For true corpus×corpus embedding dedup prefer
+    ``lsh_topk``/``ivf_topk``, which prune candidates by bucket instead
+    of scoring every pair. ``id_a < id_b`` removes self-pairs and
     symmetric twins (the reference's theta filter, SparkDedup.scala:148).
     """
     q = queries.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__cv"))
+    cond = F.col("id_a") < F.col("id_b")
+    if q.count() <= broadcast_max_queries:
+        joined = c.join(F.broadcast(q), cond)
+    else:
+        joined = c.crossJoin(q).filter(cond)
     return (
-        c.join(F.broadcast(q), F.col("id_a") < F.col("id_b"))
+        joined
         .select(
             "id_a",
             "id_b",
@@ -213,6 +245,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 12,
     seed: int = 42,
+    broadcast_max_probes: int = BROADCAST_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path next
     to ``lsh_topk``.
@@ -229,8 +262,9 @@ def ivf_topk(
     IVF the same way). Cell assignment and per-query probe ranking are
     Arrow-vectorized pandas UDFs over the broadcast (tiny) centroid
     matrix — one numpy matmul per batch, no ml pipeline, no window
-    shuffle. The probe set is broadcast against the corpus cells, so the
-    only shuffle in the whole plan is the final per-query rank window;
+    shuffle. A bounded probe set is broadcast against the corpus cells
+    (size-gated — see below), so the only shuffle in the whole plan is
+    the final per-query rank window;
     the exact-cosine work drops to roughly n_probe/n_clusters of brute
     force (= brute force when n_probe == n_clusters). Deterministic for
     a fixed seed regardless of partitioning (the sample is chosen by
@@ -285,7 +319,17 @@ def ivf_topk(
         "query_id", "__qv", F.explode(probe_cells(F.col("__qv"))).alias("__cell")
     )
 
-    scored = corpus_cells.join(F.broadcast(probes), "__cell").filter(
+    # Size-gate the probe broadcast (fuzzy_dedup.py:227 pattern): probes =
+    # |Q| × n_probe rows each carrying a full vector. A bounded query batch
+    # broadcasts so the corpus never shuffles; a corpus-scale query side
+    # (embedding self-dedup) falls back to a shuffle hash join on __cell.
+    # The fallback key has only n_clusters distinct values, so raise
+    # n_clusters (FAISS uses ~sqrt(N)) before running corpus-scale IVF —
+    # cells then shrink and the per-cell join tasks stay bounded.
+    n_probes = qn.count() * probe_eff
+    probe_side = _gated(probes, n_probes, broadcast_max_probes)
+
+    scored = corpus_cells.join(probe_side, "__cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(

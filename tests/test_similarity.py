@@ -75,3 +75,56 @@ def test_ivf_exact_when_probing_all_cells(spark, emb):
         )
     )
     assert full == exact
+
+
+# ---------------------------------------------------------------------------
+# Broadcast size gate: a corpus-sized query side must NOT be broadcast
+# (VERDICT r2 item 2). Forcing the gate to 0 simulates "query set too big"
+# on small data; results must be identical either way, and the fallback
+# plan must not contain a BroadcastExchange on the query side.
+# ---------------------------------------------------------------------------
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_topk_gate_fallback_matches_broadcast(spark, emb):
+    from nahuatl_data_pipeline_spark.operators.similarity import cosine_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    fast = sorted(map(tuple, cosine_topk(q, emb, k=3).collect()))
+    gated = cosine_topk(q, emb, k=3, broadcast_max_queries=0)
+    assert "BroadcastExchange" not in _executed_plan(gated)
+    assert sorted(map(tuple, gated.collect())) == fast
+
+
+def test_cosine_neardup_gate_fallback_matches_broadcast(spark, emb):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    # corpus-scale self-search: query side == corpus — exactly the shape
+    # the gate exists for
+    fast = sorted(
+        map(tuple, cosine_neardup_pairs(emb, emb, threshold=0.5).collect())
+    )
+    gated = cosine_neardup_pairs(
+        emb, emb, threshold=0.5, broadcast_max_queries=0
+    )
+    assert "BroadcastExchange" not in _executed_plan(gated)
+    assert sorted(map(tuple, gated.collect())) == fast
+    assert fast, "self-search at threshold 0.5 should find pairs"
+
+
+def test_ivf_gate_fallback_matches_broadcast(spark, emb):
+    from nahuatl_data_pipeline_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    fast = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
+    gated = ivf_topk(q, emb, k=3, broadcast_max_probes=0)
+    plan = _executed_plan(gated)
+    assert "BroadcastExchange" not in plan
+    # the fallback is a shuffle hash join on __cell, not a cartesian
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert sorted(map(tuple, gated.collect())) == fast
