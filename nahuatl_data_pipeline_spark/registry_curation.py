@@ -297,12 +297,16 @@ def q64_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path for q13's exact median: fixed-size mergeable summaries
     instead of a per-group sort. accuracy=10000 => rank error <= 0.01%.
     Error bound vs exact percentiles asserted in
-    tests/test_sketches.py."""
+    tests/test_sketches.py.
+
+    Output is scalar columns (p25/p50/p90), not an array — array cells
+    are unsortable/unhashable in pandas-based result canonicalizers."""
     docs = load_table(spark, sf_dir, "documents")
+    q = F.percentile_approx(F.length("text"), [0.25, 0.5, 0.9], 10000)
     return docs.groupBy("lang").agg(
-        F.percentile_approx(F.length("text"), [0.25, 0.5, 0.9], 10000).alias(
-            "len_quantiles"
-        ),
+        q[0].alias("p25"),
+        q[1].alias("p50"),
+        q[2].alias("p90"),
         F.count("*").alias("n_docs"),
     )
 

@@ -237,24 +237,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` so Catalyst gets pushdown + pruning; never
     infer-from-JSON here.
 
-    The ``events`` table carries TIMESTAMP(NANOS) which Spark rejects by
-    default: read nanos as long and truncate to microseconds with integer
-    division (``div`` truncates exactly like other engines' ns→us cast;
-    float division would *round* and diverge by 1µs).
+    The ``events`` table's physical ``ts`` layout has varied across testdata
+    generations — TIMESTAMP(NANOS) (which Spark only decodes as LongType
+    under ``nanosAsLong``) vs plain ``timestamp[us]`` — so dispatch on the
+    *actual* decoded dtype rather than assuming one layout:
+
+    * ``LongType``  → legacy nanos: truncate to microseconds with integer
+      division (``div`` truncates exactly like other engines' ns→us cast;
+      float division would *round* and diverge by 1µs).
+    * ``TimestampNTZType`` → cast to session-tz ``TimestampType`` so every
+      downstream consumer (windows, unix_timestamp, oracle comparisons)
+      sees one canonical type. With the UTC session timezone this is a
+      wall-clock-preserving relabel, not a value shift.
+    * ``TimestampType`` → pass through.
 
     NOTE: ``nanosAsLong`` is a session-wide SQLConf (there is no per-read
-    option) and it must stay set while the lazy scan executes, so this
-    function leaves it enabled for the session — after the first events
-    read, any OTHER parquet with nanos timestamps in the same session
-    also decodes as LongType. ``get_spark`` sets it up front so the
-    behavior is a documented session default, not a mid-run flip.
+    option) and it must stay set while a lazy nanos scan executes, so this
+    function enables it for the session before reading — harmless for
+    non-nanos files, which still decode as timestamps. ``get_spark`` also
+    sets it up front so the behavior is a documented session default.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+        return df
     return spark.read.parquet(path)

@@ -5,6 +5,8 @@ exact-match tests cannot see."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -89,14 +91,40 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@contextmanager
+def _no_auto_broadcast(spark):
+    """On test-sized data the PLANNER itself broadcasts any join side
+    (BroadcastNestedLoopJoin for non-equi conditions) regardless of our
+    explicit size gate — at corpus scale the statistics would forbid that.
+    Disable auto-broadcast so any BroadcastExchange left in the gated plan
+    can only come from a forced ``F.broadcast`` — the bug the gate guards
+    against."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_cosine_topk_gate_fallback_matches_broadcast(spark, emb):
     from nahuatl_data_pipeline_spark.operators.similarity import cosine_topk
 
     q = emb.filter(F.col("vec_id") < 5)
     fast = sorted(map(tuple, cosine_topk(q, emb, k=3).collect()))
-    gated = cosine_topk(q, emb, k=3, broadcast_max_queries=0)
-    assert "BroadcastExchange" not in _executed_plan(gated)
-    assert sorted(map(tuple, gated.collect())) == fast
+    with _no_auto_broadcast(spark):
+        gated = cosine_topk(q, emb, k=3, broadcast_max_queries=0)
+        assert "BroadcastExchange" not in _executed_plan(gated)
+        assert sorted(map(tuple, gated.collect())) == fast
 
 
 def test_cosine_neardup_gate_fallback_matches_broadcast(spark, emb):
@@ -105,16 +133,19 @@ def test_cosine_neardup_gate_fallback_matches_broadcast(spark, emb):
     )
 
     # corpus-scale self-search: query side == corpus — exactly the shape
-    # the gate exists for
+    # the gate exists for. Threshold 0.3 ≈ the p99.9 cosine of the
+    # driver-generated embeddings (max ~0.48) so the search finds real
+    # pairs without being trivially dense.
     fast = sorted(
-        map(tuple, cosine_neardup_pairs(emb, emb, threshold=0.5).collect())
+        map(tuple, cosine_neardup_pairs(emb, emb, threshold=0.3).collect())
     )
-    gated = cosine_neardup_pairs(
-        emb, emb, threshold=0.5, broadcast_max_queries=0
-    )
-    assert "BroadcastExchange" not in _executed_plan(gated)
-    assert sorted(map(tuple, gated.collect())) == fast
-    assert fast, "self-search at threshold 0.5 should find pairs"
+    with _no_auto_broadcast(spark):
+        gated = cosine_neardup_pairs(
+            emb, emb, threshold=0.3, broadcast_max_queries=0
+        )
+        assert "BroadcastExchange" not in _executed_plan(gated)
+        assert sorted(map(tuple, gated.collect())) == fast
+    assert fast, "self-search at threshold 0.3 should find pairs"
 
 
 def test_ivf_gate_fallback_matches_broadcast(spark, emb):
@@ -122,9 +153,10 @@ def test_ivf_gate_fallback_matches_broadcast(spark, emb):
 
     q = emb.filter(F.col("vec_id") < 5)
     fast = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
-    gated = ivf_topk(q, emb, k=3, broadcast_max_probes=0)
-    plan = _executed_plan(gated)
-    assert "BroadcastExchange" not in plan
-    # the fallback is a shuffle hash join on __cell, not a cartesian
-    assert "Cartesian" not in plan and "NestedLoop" not in plan
-    assert sorted(map(tuple, gated.collect())) == fast
+    with _no_auto_broadcast(spark):
+        gated = ivf_topk(q, emb, k=3, broadcast_max_probes=0)
+        plan = _executed_plan(gated)
+        assert "BroadcastExchange" not in plan
+        # the fallback is a shuffle hash join on __cell, not a cartesian
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        assert sorted(map(tuple, gated.collect())) == fast

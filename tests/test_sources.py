@@ -347,3 +347,31 @@ def test_write_training_shards_round_robin_exact_balance(spark, tmp_path):
         spark.read.parquet(f).count() for f in glob.glob(out + "/part-*")
     )
     assert sizes == [25, 25, 25, 25]
+
+
+def test_write_splits_scheme_agnostic(spark, tmp_path):
+    """S15 publish path is URI-scheme-agnostic: writing via an explicit
+    ``file://`` URI and via a plain local path must produce identical,
+    partition-pruned layouts readable through either addressing scheme.
+    (The env has no object store; file:// is the available second scheme —
+    it exercises the same Hadoop-FileSystem resolution an s3a:// URI
+    takes.)"""
+    from nahuatl_data_pipeline_spark.sources.writers import write_splits
+
+    df = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test")], "id long, split string"
+    )
+    plain = str(tmp_path / "plain")
+    uri = f"file://{tmp_path}/uri"
+    write_splits(df, plain)
+    write_splits(df, uri)
+
+    back_uri = spark.read.parquet(uri)
+    back_plain = spark.read.parquet(f"file://{plain}")
+    assert sorted(r["id"] for r in back_uri.collect()) == [1, 2, 3]
+    assert sorted(r["id"] for r in back_plain.collect()) == [1, 2, 3]
+    # partition pruning works through the URI scheme too
+    pruned = back_uri.filter("split = 'train'")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan

@@ -60,3 +60,34 @@ def test_deterministic_across_partitioning(spark):
         .collect()
     )
     assert a == b
+
+
+def test_q56_exact_python_oracle(spark):
+    """q56 has no DuckDB oracle (zlib), so pin it with an EXACT Python
+    oracle instead of rows-only: recompute zlib ratio per document from
+    the same parquet with the reference zlib library and require perfect
+    per-doc equality — strictly stronger than the driver's rows-only
+    check."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: (r["compression_ratio"], r["in_prose_band"])
+        for r in e.queries()["q56_compression_quality"](spark, sf).collect()
+    }
+    pdf = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    assert len(got) == len(pdf)
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if text is None or text == "":
+            expect = None
+        else:
+            raw = text.encode("utf-8")
+            expect = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        ratio, band = got[doc_id]
+        assert ratio == expect, (doc_id, ratio, expect)
+        if expect is not None:
+            assert band == (0.1 < expect < 0.9)
