@@ -291,22 +291,36 @@ def q63_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q64_quantile_sketch", None)  # sketch estimates — rows-only
+_Q64_SQL = """
+    SELECT lang,
+           CAST(quantile_disc(LENGTH(text), 0.25) AS BIGINT) AS p25,
+           CAST(quantile_disc(LENGTH(text), 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(LENGTH(text), 0.9) AS BIGINT) AS p90,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@register("q64_quantile_sketch", _Q64_SQL)
 def q64_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna) over document lengths — the
     scale path for q13's exact median: fixed-size mergeable summaries
-    instead of a per-group sort. accuracy=10000 => rank error <= 0.01%.
-    Error bound vs exact percentiles asserted in
-    tests/test_sketches.py.
+    instead of a per-group sort. accuracy=10000 => rank error <= 0.01%,
+    which is EXACT below 10k values per group — so DuckDB's
+    quantile_disc (exact discrete order statistic) is a hash-matching
+    oracle at sf<=0.1 group sizes, while the Spark plan stays the
+    bounded-memory sketch you would run at 100 TB. Sketch error bound
+    vs exact percentiles asserted in tests/test_sketches.py.
 
     Output is scalar columns (p25/p50/p90), not an array — array cells
     are unsortable/unhashable in pandas-based result canonicalizers."""
     docs = load_table(spark, sf_dir, "documents")
     q = F.percentile_approx(F.length("text"), [0.25, 0.5, 0.9], 10000)
     return docs.groupBy("lang").agg(
-        q[0].alias("p25"),
-        q[1].alias("p50"),
-        q[2].alias("p90"),
+        q[0].cast("long").alias("p25"),
+        q[1].cast("long").alias("p50"),
+        q[2].cast("long").alias("p90"),
         F.count("*").alias("n_docs"),
     )
 
