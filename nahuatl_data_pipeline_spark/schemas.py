@@ -247,9 +247,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       float division would *round* and diverge by 1µs).
     * ``TimestampNTZType`` → cast to session-tz ``TimestampType`` so every
       downstream consumer (windows, unix_timestamp, oracle comparisons)
-      sees one canonical type. With the UTC session timezone this is a
-      wall-clock-preserving relabel, not a value shift.
+      sees one canonical type. This relabel is only value-preserving when
+      ``spark.sql.session.timeZone`` is UTC (``get_spark`` pins it); that
+      precondition is load-bearing, so it is asserted below rather than
+      assumed — a non-UTC session would silently shift every event
+      relative to the oracle.
     * ``TimestampType`` → pass through.
+    * anything else → ``TypeError`` at the read site, so a fourth layout
+      drift fails loudly here instead of as an obscure downstream
+      window/unix_timestamp error (the round-3 failure mode).
 
     NOTE: ``nanosAsLong`` is a session-wide SQLConf (there is no per-read
     option) and it must stay set while a lazy nanos scan executes, so this
@@ -268,6 +274,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
+            session_tz = spark.conf.get("spark.sql.session.timeZone")
+            if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                raise ValueError(
+                    "events.ts is TIMESTAMP_NTZ; casting it to TimestampType "
+                    "is only value-preserving under a UTC session timezone, "
+                    f"but spark.sql.session.timeZone={session_tz!r}. Build "
+                    "the session via get_spark() or set the conf to 'UTC'."
+                )
             df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+        elif not isinstance(ts_type, TimestampType):
+            raise TypeError(
+                f"unexpected events.ts dtype {ts_type}: known physical "
+                "layouts are TIMESTAMP(NANOS)->LongType (nanosAsLong), "
+                "timestamp[us] NTZ, and timestamp[us] UTC; a new testdata "
+                "layout needs an explicit dispatch branch here"
+            )
         return df
     return spark.read.parquet(path)

@@ -4,8 +4,13 @@ nulls/empties undefined, deterministic across partitionings."""
 
 from __future__ import annotations
 
+import os
 import random
 import string
+
+import pytest
+
+from tests.conftest import SF_ORACLE
 
 from nahuatl_data_pipeline_spark.functions.text_analysis import (
     compression_ratio,
@@ -62,6 +67,9 @@ def test_deterministic_across_partitioning(spark):
     assert a == b
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(SF_ORACLE), reason="driver-generated testdata absent"
+)
 def test_q56_exact_python_oracle(spark):
     """q56 has no DuckDB oracle (zlib), so pin it with an EXACT Python
     oracle instead of rows-only: recompute zlib ratio per document from
@@ -74,7 +82,7 @@ def test_q56_exact_python_oracle(spark):
 
     import __spark_entry__ as e
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_ORACLE
     got = {
         r["doc_id"]: (r["compression_ratio"], r["in_prose_band"])
         for r in e.queries()["q56_compression_quality"](spark, sf).collect()
