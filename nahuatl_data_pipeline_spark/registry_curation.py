@@ -613,3 +613,48 @@ def q68_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(boiler).unionByName(doubled)
     return dedup_lines(corpus, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q69: skew-mitigated aggregation (salted two-stage agg, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_Q69_SQL = """
+    SELECT event_type,
+           ROUND(SUM(value), 4) AS sum_value,
+           COUNT(event_id) AS n_events,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("q69_salted_event_rollup", _Q69_SQL)
+def q69_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key rollup routed through ``operators/skew.py:salted_agg``:
+    events has only 5 event_type values, so a plain shuffled aggregate
+    funnels 100 TB into 5 reducers. The salted plan aggregates on
+    (event_type, salt) first — each hot key spreads over num_salts
+    reducers — then combines decomposable partials (sum/count/max are
+    exactly re-combinable, so the result is bit-identical to the
+    single-stage plan and hash-matches the DuckDB oracle). Reference
+    anchor: hot-key source stats, benchmark/generate_stats.py:128-147.
+    Plan shape (two HashAggregate stages over __salt) is asserted in
+    tests/test_skew.py."""
+    from nahuatl_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id", "ts"
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"value": "sum", "event_id": "count", "ts": "max"},
+        num_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.col("count_event_id").alias("n_events"),
+        F.col("max_ts").alias("max_ts"),
+    )
