@@ -21,6 +21,30 @@ from nahuatl_data_pipeline_spark import registry
 from nahuatl_data_pipeline_spark.session import get_spark
 
 
+def _warm_ml_classes(spark) -> None:
+    """One-time pyspark.ml class loading (MinHashLSH / BRP-LSH JARs +
+    codegen), ~2-3 s of session setup that would otherwise land inside
+    whichever LSH query happens to run first. Uses throwaway params
+    (numFeatures=8) so operator-level model caches stay untouched —
+    this warms the JVM, never the measured plans."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, MinHashLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "id long, v array<double>"
+    ).select("id", array_to_vector("v").alias("f"))
+    for lsh in (
+        MinHashLSH(inputCol="f", outputCol="h", numHashTables=1, seed=1),
+        BucketedRandomProjectionLSH(
+            inputCol="f", outputCol="h", bucketLength=1.0, numHashTables=1,
+            seed=1,
+        ),
+    ):
+        m = lsh.fit(tiny.withColumn("f", F.col("f")))
+        m.approxSimilarityJoin(tiny, tiny, 10.0, distCol="d").count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -31,6 +55,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    _warm_ml_classes(spark)
 
     for name in sorted(qs):
         fn = qs[name]

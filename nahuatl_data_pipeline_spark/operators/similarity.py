@@ -26,6 +26,27 @@ from pyspark.sql import functions as F
 # corpus) blows past it and must NOT be collected to the driver.
 BROADCAST_MAX_QUERY_ROWS = 100_000
 
+# Generation-based cache pool (fuzzy_dedup.py:37-51 pattern): each
+# similarity call releases the previous call's persisted corpus-side
+# intermediates and registers its own, so a long-lived session holds at
+# most one call's caches while the current result stays valid however
+# the caller derives from it.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_similarity_caches() -> None:
+    """Unpersist intermediates cached by earlier similarity calls."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def _rotate_caches(*cached: DataFrame) -> None:
+    release_similarity_caches()
+    _LIVE_CACHES.extend(cached)
+
 
 def _gated(df: DataFrame, n_rows: int, max_rows: int):
     """fuzzy_dedup.py:227 pattern: broadcast small sides, shuffle big ones."""
@@ -182,11 +203,18 @@ def lsh_topk(
             array_to_vector(F.transform(arr, lambda x: x / nrm)).alias(out),
         )
 
+    from pyspark.storagelevel import StorageLevel
+
     qn = normed(queries, "features")
-    cn = normed(corpus, "features")
+    # The corpus side is consumed by fit's input-dim probe AND the
+    # similarity join; persist so normalization + vector conversion run
+    # once (and the emptiness probe below is a cheap cached lookup).
+    cn = normed(corpus, "features").persist(StorageLevel.MEMORY_AND_DISK)
+    _rotate_caches(cn)
     # fit on an empty corpus throws; an empty result is the right answer
     # (a date-filtered corpus partition can legitimately be empty)
     if cn.isEmpty():
+        release_similarity_caches()
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
