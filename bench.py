@@ -6,6 +6,12 @@ Prints ONE JSON line:
 Per-query timing = full plan execution to a count-style action (results are
 materialized but not shipped to the driver — we measure engine throughput,
 not toPandas serialization).
+
+``python bench.py --pipeline`` instead times the end-to-end curation
+pipeline (redact → C4/Gopher gates → cluster near-dup dedup →
+decontaminate → gold parquet write) on the same documents table and
+reports rows/s — comparable to the reference's marquee "50k records
+LSH-deduped in 80 s" ≈ 625 rows/s single-node number.
 """
 
 from __future__ import annotations
@@ -45,6 +51,59 @@ def _warm_ml_classes(spark) -> None:
         m.approxSimilarityJoin(tiny, tiny, 10.0, distCol="d").count()
 
 
+def pipeline_main() -> None:
+    """Time run_curation_pipeline end-to-end on $SPARK_GRAFT_SF_DIR's
+    documents table (eval split = doc_id % 97 == 0, the q61 convention)
+    and print one JSON line with wall seconds + rows/s."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+        run_curation_pipeline,
+    )
+    from nahuatl_data_pipeline_spark.schemas import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="nahuatl-bench-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # The synthetic documents lack terminal punctuation, so raw text
+    # would fail C4's sentence rule for every row and the gold write
+    # would be empty. Append a period (q62's planting convention) so the
+    # bench exercises the realistic mixed keep/drop path end to end.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
+    )
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    n_input = train.count()  # also warms JVM + parquet footers
+
+    out = tempfile.mkdtemp(prefix="bench_curation_")
+    try:
+        t0 = time.perf_counter()
+        stats = run_curation_pipeline(spark, train, out, evalset=evalset)
+        wall = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "curation_pipeline_rows_per_sec",
+                "value": round(n_input / wall, 1),
+                "unit": "rows/sec",
+                "wall_sec": wall,
+                "input_rows": n_input,
+                "stats": stats,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -79,4 +138,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--pipeline" in sys.argv[1:]:
+        pipeline_main()
+    else:
+        main()
