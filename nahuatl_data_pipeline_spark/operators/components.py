@@ -53,9 +53,16 @@ def connected_components(
     sym = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )
-    sym = sym.unionByName(
-        sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
+    # Materialize the symmetrized edge list ONCE: every round's join
+    # re-reads it, and without this checkpoint each round would re-run
+    # the entire upstream pair computation (a banded-Jaccard query at
+    # corpus scale) — the sf1 self-run measured q58 at 72 s from exactly
+    # that recompute, vs the edges-once cost plus cheap rounds after.
+    sym = (
+        sym.unionByName(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         sym.select(F.col("s").alias("id"))
