@@ -46,9 +46,20 @@ def release_fuzzy_caches() -> None:
             pass  # session already stopped
 
 
-def _rotate_caches(*cached: DataFrame) -> None:
-    release_fuzzy_caches()
+def _register_caches(*cached: DataFrame) -> None:
     _LIVE_CACHES.extend(cached)
+
+
+# IMPORTANT ordering contract: release_fuzzy_caches() must run at the
+# START of each call, BEFORE the call creates its own persists. Spark's
+# CacheManager matches cached plans by canonical form, so if call N+1
+# persists a plan identical to call N's (same corpus, same params) and
+# THEN unpersists call N's handle, the shared cache entry dies and call
+# N+1 executes fully uncached — with the shingle pandas_udf recomputed
+# per join leg (measured: 14 s → 78 s on back-to-back sf1 q38 runs).
+# Persisted frames are also materialized EAGERLY (a count) before being
+# wired into self-joins: two legs of one job racing to populate a lazy
+# cache each recompute the partitions the other hasn't finished.
 
 
 # --------------------------------------------------------------------------
@@ -112,6 +123,7 @@ def minhash_lsh_pairs(
     from pyspark.ml.feature import HashingTF
     from pyspark.storagelevel import StorageLevel
 
+    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
     tokens = word_shingles(text_col, n=shingle_n)
     prepared = df.filter(F.col(text_col).isNotNull()).withColumn(
         "__tokens", tokens
@@ -123,7 +135,8 @@ def minhash_lsh_pairs(
     prepared = tf.transform(prepared.filter(F.size("__tokens") > 0)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _rotate_caches(prepared)
+    prepared.count()  # eager: both self-join legs read the cache
+    _register_caches(prepared)
     model = _minhash_model(prepared, num_features, num_hash_tables, seed)
     joined = model.approxSimilarityJoin(
         prepared, prepared, threshold, distCol="distance"
@@ -185,6 +198,7 @@ def banded_minhash_pairs(
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
 
+    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
     # Shingling via nested array lambdas is interpreted (no codegen) and
     # costs ~1 ms/doc — compute it ONCE and cache; every downstream leg
     # (signatures + both Jaccard sides) reuses it.
@@ -196,6 +210,7 @@ def banded_minhash_pairs(
         .filter(F.size("__sh") > 0)
         .persist()
     )
+    shd.count()  # eager: signature leg + both Jaccard sides read the cache
 
     # Signatures from EXPLODED shingles: md5+hex-parse runs ONCE per token
     # inside whole-stage codegen (nested array lambdas are interpreted and
@@ -270,7 +285,7 @@ def banded_minhash_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    _rotate_caches(shd, cands)
+    _register_caches(shd, cands)
     return out
 
 
@@ -290,6 +305,7 @@ def ngram_jaccard_pairs(
     candidates; no n²."""
     from nahuatl_data_pipeline_spark.functions.hashing import hash64
 
+    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
     sh = word_shingles(text_col, n=shingle_n)
     # shingling is the expensive projection — compute it ONCE, cache, and
     # let BOTH consumers (the bucket-key groupBy leg and the docs side of
@@ -300,6 +316,7 @@ def ngram_jaccard_pairs(
         .filter(F.size("__sh") > 0)
         .persist()
     )
+    docs.count()  # eager: keys leg + join leg read the cache
     # bucket key via explode: md5 in codegen, min in a partial-agg groupBy
     keys = (
         docs.select("__id", F.explode("__sh").alias("__s"))
@@ -307,6 +324,7 @@ def ngram_jaccard_pairs(
         .agg(F.min(hash64(F.col("__s"))).alias("__key"))
     )
     keyed = docs.join(keys, "__id").persist()
+    keyed.count()  # eager: both self-join legs read the cache
     a = keyed.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "__key"
     )
@@ -325,7 +343,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    _rotate_caches(docs, keyed)
+    _register_caches(docs, keyed)
     return out
 
 

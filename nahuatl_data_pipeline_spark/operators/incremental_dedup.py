@@ -43,7 +43,10 @@ from nahuatl_data_pipeline_spark.functions.hashing import (
     word_shingles,
 )
 from nahuatl_data_pipeline_spark.functions.normalize import dedup_key
-from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import _rotate_caches
+from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+    _register_caches,
+    release_fuzzy_caches,
+)
 
 
 class SnapshotIndex(NamedTuple):
@@ -141,6 +144,9 @@ def dedup_against_snapshot(
     """
     if (seen is None) == (index is None):
         raise ValueError("pass exactly one of `seen` or `index`")
+    release_fuzzy_caches()  # BEFORE persisting (fuzzy_dedup ordering
+    # contract: unpersisting an identical canonical plan AFTER creating
+    # this call's persist would evict the shared cache entry)
     own_index = index is None
     if own_index:
         idx = snapshot_index(seen, id_col, text_col, shingle_n, num_perms)
@@ -156,15 +162,17 @@ def dedup_against_snapshot(
     # shingles feed both the bucket agg and the verify join — persist so
     # the Arrow shingling pandas_udf runs once per side, not twice
     nsh = _shingles(survivors, id_col, text_col, shingle_n, "__nid", "__nsh").persist()
+    nsh.count()  # eager: bucket leg + verify join read the cache
     nbk = _bucket_keys(nsh, "__nid", "__nsh", num_perms)
     if own_index:
         ssh = idx.shingles.persist()
+        ssh.count()
         sbk = _bucket_keys(ssh, "__sid", "__ssh", num_perms)
-        _rotate_caches(nsh, ssh)
+        _register_caches(nsh, ssh)
     else:
         ssh = idx.shingles
         sbk = idx.buckets
-        _rotate_caches(nsh)
+        _register_caches(nsh)
 
     cand = (
         nbk.join(sbk, ["__p", "__b"]).select("__nid", "__sid").distinct()

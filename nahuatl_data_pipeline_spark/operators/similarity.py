@@ -43,8 +43,11 @@ def release_similarity_caches() -> None:
             pass  # session already stopped
 
 
-def _rotate_caches(*cached: DataFrame) -> None:
-    release_similarity_caches()
+def _register_caches(*cached: DataFrame) -> None:
+    # NOTE: release_similarity_caches() must run BEFORE a call creates
+    # its own persists (fuzzy_dedup.py ordering contract: Spark's
+    # CacheManager matches plans canonically, so unpersisting an
+    # identical plan after re-persisting it evicts the shared entry).
     _LIVE_CACHES.extend(cached)
 
 
@@ -261,12 +264,13 @@ def lsh_topk(
 
     from pyspark.storagelevel import StorageLevel
 
+    release_similarity_caches()  # before persisting (see _register_caches)
     qn = normed(queries, "features")
     # The corpus side is consumed by fit's input-dim probe AND the
     # similarity join; persist so normalization + vector conversion run
     # once (and the emptiness probe below is a cheap cached lookup).
     cn = normed(corpus, "features").persist(StorageLevel.MEMORY_AND_DISK)
-    _rotate_caches(cn)
+    _register_caches(cn)
     # fit on an empty corpus throws; an empty result is the right answer
     # (a date-filtered corpus partition can legitimately be empty)
     if cn.isEmpty():
