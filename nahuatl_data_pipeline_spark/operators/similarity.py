@@ -368,9 +368,20 @@ def ivf_topk(
             F.transform(arr, lambda x: x / nrm).alias(vec_out),
         )
 
-    cn = normed(corpus, "neighbor_id", "__cv")
-    n_rows = cn.count()
+    from pyspark.storagelevel import StorageLevel
+
+    release_similarity_caches()  # before persisting (see _register_caches)
+    # The normalized corpus feeds THREE consumers (row count, the driver
+    # fit sample, cell assignment + the final join side) — persist and
+    # materialize once; the interpreted array-normalization lambdas are
+    # the expensive projection here.
+    cn = normed(corpus, "neighbor_id", "__cv").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_rows = cn.count()  # eager cache population doubles as the row count
+    _register_caches(cn)
     if n_rows == 0:
+        release_similarity_caches()
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
