@@ -573,16 +573,63 @@ def q45_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation_report(pairs, "hyp", "ref")
 
 
-@register("q41_chunked_docs", None)  # greedy fold — Arrow pandas_udf path
+_Q41_SQL = """
+    WITH RECURSIVE sents_raw AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(a) + 1),
+                    i -> {'pos': i, 's': TRIM(a[i])})) AS u
+      FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(text, '[^.!?]+[.!?]*') AS a
+            FROM documents WHERE doc_id < 1000)
+    ),
+    sents AS (
+      SELECT doc_id, u.s AS s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS r
+      FROM sents_raw WHERE u.s <> ''
+    ),
+    fold AS (
+      SELECT doc_id, r, s, 0 AS chunk_id, LEN(s) AS cur_len
+      FROM sents WHERE r = 1
+      UNION ALL
+      SELECT n.doc_id, n.r, n.s,
+             CASE WHEN f.cur_len + 1 + LEN(n.s) <= 200
+                  THEN f.chunk_id ELSE f.chunk_id + 1 END,
+             CASE WHEN f.cur_len + 1 + LEN(n.s) <= 200
+                  THEN f.cur_len + 1 + LEN(n.s) ELSE LEN(n.s) END
+      FROM fold f JOIN sents n ON n.doc_id = f.doc_id AND n.r = f.r + 1
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, STRING_AGG(s, ' ' ORDER BY r) AS chunk
+      FROM fold GROUP BY doc_id, chunk_id
+    )
+    SELECT d.doc_id,
+           CAST(c.chunk_id AS BIGINT) AS chunk_id,
+           c.chunk,
+           CAST(LENGTH(c.chunk) AS BIGINT) AS chunk_n_chars
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+    LEFT JOIN chunks c USING (doc_id)
+"""
+
+
+@register("q41_chunked_docs", _Q41_SQL)
 def q41_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14 chunk packing (gemini_distiller.py:38-55): greedy ≤200-char
-    sentence packing per document via Arrow-batched pandas_udf + posexplode.
-    Sequential-fold semantics → no SQL oracle; invariants tested in
-    tests/test_segmentation.py."""
+    sentence packing per document via Arrow-batched pandas_udf +
+    posexplode_outer (chunk-less docs keep a null row). The sequential
+    greedy fold IS SQL-expressible after all: the oracle walks each
+    document's ranked sentences with a recursive CTE carrying
+    (chunk_id, cur_len) state — same transition rule, same ' ' joins —
+    and hash-matches exactly (sentence-extraction parity is q40's).
+    Invariants additionally tested in tests/test_segmentation.py."""
     from nahuatl_data_pipeline_spark.functions.segmentation import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return chunk_documents(docs, "doc_id", "text", max_chars=200)
+    out = chunk_documents(docs, "doc_id", "text", max_chars=200)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk",
+        F.col("chunk_n_chars").cast("long").alias("chunk_n_chars"),
+    )
 
 
 # ---------------------------------------------------------------------------
