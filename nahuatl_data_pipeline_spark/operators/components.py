@@ -16,10 +16,11 @@ near-dup clusters are near-cliques with tiny diameters, so 2-4 rounds
 is typical (``max_iter`` guards pathological chains). Lineage is
 truncated every round with ``localCheckpoint`` — without it the
 iterative plan nests one join-aggregate layer per round and analysis
-time explodes. For graphs with genuinely large diameters switch to the
-large-star/small-star formulation (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SOCC'14), which converges in
-O(log n) rounds at the cost of a more complex per-round plan.
+time explodes. For graphs with genuinely large diameters use
+:func:`connected_components_star` below — the large-star/small-star
+formulation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SOCC'14), which converges in O(log n) rounds at the cost of a
+more complex per-round plan.
 
 Fully deterministic: labels are vertex-id minima, independent of
 partitioning and iteration interleave.
@@ -112,3 +113,99 @@ def duplicate_clusters(
         F.col("comp").alias("component"),
         (F.col("comp") == F.col("id")).alias("is_canonical"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    O(log n)-round formulation for graphs whose diameter breaks plain
+    min-label propagation (social graphs, long chains). Near-dup dedup
+    graphs are near-cliques, so :func:`connected_components` stays the
+    default; use this when the graph's diameter is unknown or large.
+
+    Per round:
+
+    * **large-star**: every node ``u`` connects each strictly greater
+      neighbor to ``min(Γ(u) ∪ {u})`` — one groupBy for the min, one
+      join back, filter ``v > u``.
+    * **small-star**: every node ``u`` connects its not-greater
+      neighbors and itself to ``min(Γ⁻(u) ∪ {u})`` over those.
+
+    Both steps are a join + partial-agg groupBy on the node id — the
+    identical shuffle shape as one propagation round — but the edge set
+    contracts toward stars doubly-exponentially. Convergence = the
+    canonical edge set reaches a fixed point (checked with a distributed
+    ``exceptAll`` emptiness probe, never a driver collect). Returns
+    ``(id, component)``, component = min id of the cluster, exactly like
+    :func:`connected_components` (asserted equal in tests).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"),
+            F.col(dst).cast("long").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not e.take(1):
+        return e.sparkSession.createDataFrame([], "id long, component long")
+
+    for _ in range(max_iter):
+        # ---- large-star: (u, v>u) -> (v, min(Γ(u) ∪ {u}))
+        nbrs = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        m = nbrs.groupBy("s").agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+        large = (
+            nbrs.join(m, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("m").alias("s"), F.col("d").alias("d"))
+        )
+        # ---- small-star over the large-star output
+        ls = large.filter(F.col("s") != F.col("d")).select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        ).distinct()
+        # neighbors v <= u seen from the greater endpoint u (= column d)
+        low = ls.select(F.col("d").alias("u"), F.col("s").alias("v"))
+        m2 = low.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            low.join(m2, "u")
+            .select(F.col("m").alias("s"), F.col("v").alias("d"))
+            .unionByName(
+                m2.select(F.col("m").alias("s"), F.col("u").alias("d"))
+            )
+        )
+        new_e = (
+            small.filter(F.col("s") != F.col("d"))
+            .select(
+                F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_e.exceptAll(e).take(1) == [] and e.exceptAll(new_e).take(1) == []
+        )
+        e = new_e
+        if converged:
+            break
+    else:
+        raise ValueError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    members = e.select(F.col("d").alias("id"), F.col("s").alias("component"))
+    roots = e.select(F.col("s").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.unionByName(roots).distinct()

@@ -68,3 +68,63 @@ def test_duplicate_clusters_keep_rule(spark):
         "left_anti",
     )
     assert sorted(r["doc_id"] for r in keep.collect()) == [0, 1, 4, 5, 6, 7, 9]
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star (SOCC'14) — the O(log n) long-diameter escape
+# ---------------------------------------------------------------------------
+
+
+def _star_labels(spark, edges):
+    from nahuatl_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+
+
+def _plain_labels(spark, edges, max_iter=15):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: r["comp"]
+        for r in connected_components(df, max_iter=max_iter).collect()
+    }
+
+
+def test_star_matches_plain_on_mixed_graph(spark):
+    edges = (
+        [(1, 2), (2, 3), (3, 1)]          # triangle
+        + [(10, 11), (11, 12)]            # path
+        + [(20, 21)]                      # pair
+        + [(30, 31), (31, 32), (32, 33), (30, 33), (31, 33)]  # dense
+        + [(40, 41), (41, 40), (40, 41)]  # dup / reversed edges
+    )
+    assert _star_labels(spark, edges) == _plain_labels(spark, edges)
+
+
+def test_star_handles_long_chain_plain_cannot(spark):
+    """A 120-node path has diameter 119: plain propagation would need
+    ~120 rounds (it raises at max_iter=15); star contraction converges
+    in O(log n) rounds and labels the whole chain with its min id."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(120)]
+    with pytest.raises(ValueError, match="did not converge"):
+        _plain_labels(spark, chain, max_iter=5)
+    labels = _star_labels(spark, chain)
+    assert set(labels) == set(range(121))
+    assert set(labels.values()) == {0}
+
+
+def test_star_empty_and_self_loops(spark):
+    assert _star_labels(spark, [(7, 7)]) == {}
+    from nahuatl_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
