@@ -156,7 +156,8 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if not e.take(1):
+    n_edges = e.count()
+    if n_edges == 0:
         return e.sparkSession.createDataFrame([], "id long, component long")
 
     for _ in range(max_iter):
@@ -194,10 +195,15 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # both sides are distinct SETS, so |new| == |old| plus one empty
+        # set-difference proves equality — half the probe cost of a
+        # bidirectional exceptAll; the count doubles as the next round's
+        # cardinality
+        n_new = new_e.count()
         converged = (
-            new_e.exceptAll(e).take(1) == [] and e.exceptAll(new_e).take(1) == []
+            n_new == n_edges and new_e.exceptAll(e).take(1) == []
         )
-        e = new_e
+        e, n_edges = new_e, n_new
         if converged:
             break
     else:

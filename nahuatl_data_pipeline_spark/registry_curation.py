@@ -658,3 +658,53 @@ def q69_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count_event_id").alias("n_events"),
         F.col("max_ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q70: long-diameter components via large-star/small-star (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_Q70_SQL = """
+    WITH RECURSIVE e0 AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 100 <> 99
+    ),
+    edges AS (
+      SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+    ),
+    reach AS (
+      SELECT s AS id, s AS r FROM edges
+      UNION
+      SELECT e.d AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.s
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+"""
+
+
+@register("q70_chain_components_star", _Q70_SQL)
+def q70_chain_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a LONG-DIAMETER graph via the SOCC'14
+    large-star/small-star contraction (`operators/components.py:
+    connected_components_star`). The planted graph chains consecutive
+    doc_ids within 100-id blocks — diameter ~99, the regime where plain
+    O(diameter) min-label propagation (q58's near-clique default) would
+    need ~99 rounds and this formulation needs O(log n). The oracle
+    computes the identical closure with a recursive CTE."""
+    from nahuatl_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    nxt = ids.select((F.col("doc_id")).alias("id_b"))
+    edges = (
+        ids.filter(F.col("doc_id") % 100 != 99)
+        .select(F.col("doc_id").alias("id_a"))
+        .join(nxt, F.col("id_b") == F.col("id_a") + 1)
+    )
+    comp = connected_components_star(edges, "id_a", "id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").cast("long").alias("component")
+    )
