@@ -184,3 +184,44 @@ def test_repeated_calls_bound_persisted_storage(spark, docs):
     assert jsc.getPersistentRDDs().size() <= base + 2
     release_fuzzy_caches()
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_cache_rotation_keeps_current_call_cached(spark):
+    """Ordering contract (fuzzy_dedup._register_caches): repeated calls
+    with IDENTICAL plans must not evict their own cache — Spark's
+    CacheManager matches plans canonically, so releasing the previous
+    call's handles AFTER re-persisting the same plan would kill the
+    shared entry (measured 14 s -> 78 s on back-to-back sf1 runs)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from nahuatl_data_pipeline_spark.operators import fuzzy_dedup as fd
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out1 = fd.ngram_jaccard_pairs(df, "doc_id", "text")
+    out1.count()
+    live_before = list(fd._LIVE_CACHES)
+    assert live_before and all(
+        c.storageLevel != StorageLevel.NONE for c in live_before
+    )
+
+    out2 = fd.ngram_jaccard_pairs(df, "doc_id", "text")  # identical plan
+    out2.count()
+    live_after = list(fd._LIVE_CACHES)
+    # the regression: with release-after-persist ordering, the second
+    # call's identical canonical plan lost its cache entry here
+    assert live_after and all(
+        c.storageLevel != StorageLevel.NONE for c in live_after
+    )
+    # (storageLevel resolves through the CacheManager by canonical plan,
+    # so the old handles alias the new entry — eviction of a PREVIOUS
+    # generation is observable only across different plans:)
+    df2 = df.filter(F.col("doc_id") < 20)
+    fd.ngram_jaccard_pairs(df2, "doc_id", "text").count()
+    assert all(c.storageLevel == StorageLevel.NONE for c in live_after)
+    assert all(
+        c.storageLevel != StorageLevel.NONE for c in fd._LIVE_CACHES
+    )
+    fd.release_fuzzy_caches()
