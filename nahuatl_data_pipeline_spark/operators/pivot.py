@@ -1,0 +1,76 @@
+"""Pivot / rollup reshaping operators.
+
+Wide-format reporting views over long-format facts. The reference ships
+these shapes as pandas ``pivot_table`` calls in its stats notebooks
+(benchmark/generate_stats.py:150-170 builds per-status monthly matrices
+driver-side); here they are distributed aggregates:
+
+- ``pivot_agg`` — ``groupBy().pivot()`` with an EXPLICIT value list.
+  Passing the values is not a convenience: without them Spark runs an
+  EAGER distinct-scan job over the pivot column before it can even plan
+  the aggregate, which at 100 TB is a full extra pass purely to
+  discover category labels the caller already knows. With values
+  supplied the build is lazy and the plan is two map-side-combined
+  aggregates — the (keys, pivot) pre-aggregate and the per-key
+  ``pivotfirst`` fold — so each shuffle carries one row per (group,
+  category), never raw rows.
+- ``rollup_agg`` — ``df.rollup()`` subtotal/grand-total aggregates with
+  a ``grouping_id`` disambiguator. Rollup is evaluated as ONE shuffle
+  producing all grouping sets (Spark expands sets map-side), so the
+  subtotal levels cost far less than re-aggregating per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    agg: Column,
+    prefix: str = "",
+) -> DataFrame:
+    """Wide aggregate: one row per ``group_cols``, one column per value
+    in ``pivot_values`` (prefixed for schema stability), cells from
+    ``agg``.
+
+    ``pivot_values`` is required (see module docstring). Values absent
+    from the data still yield columns (null cells) — the output schema
+    is fixed by the call, never by data content, which is what a
+    downstream contract needs.
+    """
+    out = df.groupBy(*group_cols).pivot(pivot_col, pivot_values).agg(agg)
+    for v in pivot_values:
+        out = out.withColumnRenamed(str(v), f"{prefix}{v}")
+    return out
+
+
+def rollup_agg(
+    df: DataFrame,
+    rollup_cols: list[str],
+    aggs: list[Column],
+    total_label: str = "ALL",
+) -> DataFrame:
+    """Hierarchical subtotals: one output row per prefix level of
+    ``rollup_cols`` (detail → subtotal → grand total) plus a
+    ``grouping_level`` bitmask (``F.grouping_id()`` — bit i set means
+    rollup_cols[i] is rolled up; identical semantics to ANSI
+    ``GROUPING()`` bit concatenation, so SQL oracles can reproduce it).
+    Rolled-up key columns are coalesced to ``total_label`` so the output
+    contains no ambiguous nulls (a null data value and a subtotal row
+    would otherwise be indistinguishable).
+    """
+    out = (
+        df.rollup(*rollup_cols)
+        .agg(F.grouping_id().alias("grouping_level"), *aggs)
+    )
+    for c in rollup_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(total_label)))
+    cols = rollup_cols + ["grouping_level"] + [
+        c for c in out.columns if c not in rollup_cols + ["grouping_level"]
+    ]
+    return out.select(*cols)

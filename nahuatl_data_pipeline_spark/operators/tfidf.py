@@ -1,0 +1,76 @@
+"""TF-IDF term scoring over a document corpus.
+
+The reference computes per-corpus token frequency tables driver-side
+(benchmark/generate_stats.py:57-80, pandas value_counts); this is the
+distributed generalization to tf-idf with per-document top-k terms —
+the standard relevance/keyword-extraction primitive a curation
+pipeline uses for topic tagging and boilerplate spotting.
+
+Plan shape (all codegen, no Python):
+  tokenize (split+explode projection)
+    → tf: groupBy(doc, term) map-side-combined count      [shuffle 1]
+    → df: groupBy(term) count over the tf rows (already
+      one row per (doc,term), so document frequency is a
+      plain count)                                        [shuffle 2]
+    → N: 1-row corpus count, crossJoin-broadcast — the
+      scalar never touches the driver
+    → score = tf * ln((1+N)/(1+df)) (smoothed idf)
+    → per-doc top-k via rank window partitioned by doc    [shuffle 3]
+
+Three key-partitioned shuffles, each behind a partial aggregate;
+nothing global, nothing driver-side — the same plan at 100 TB just
+has more reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, token): whitespace split, empties dropped.
+    Pure projection + generator — stays in whole-stage codegen."""
+    return docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed tf-idf.
+
+    ``score = tf * ln((1 + N) / (1 + df))``, rounded to ``round_to``
+    decimals; ties broken by term ascending so the top-k set is fully
+    deterministic (required for oracle hashing and for reproducible
+    feature extraction).
+    """
+    toks = tokenize(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((1 + F.col("__n")) / (1 + F.col("df"))),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

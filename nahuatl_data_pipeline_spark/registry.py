@@ -1102,3 +1102,4 @@ def q33_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension queries (q34+) register themselves on import
 from nahuatl_data_pipeline_spark import registry_ext  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_curation  # noqa: E402,F401
+from nahuatl_data_pipeline_spark import registry_round5  # noqa: E402,F401

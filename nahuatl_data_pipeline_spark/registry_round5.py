@@ -1,0 +1,333 @@
+"""Registry: reshaping / merge / IR queries added in round 5.
+
+Pivot + rollup reporting shapes (operators/pivot.py), SCD2 snapshot
+merge (operators/merge.py), hopping event windows
+(streaming/incremental.py), tf-idf keyword extraction
+(operators/tfidf.py), and quantile-bucket profiling — each with an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.schemas import load_table
+
+
+# ---------------------------------------------------------------------------
+# q71: monthly revenue pivoted by order status
+# ---------------------------------------------------------------------------
+
+_Q71_SQL = """
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+           ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS rev_F,
+           ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS rev_O,
+           ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS rev_P
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@register("q71_status_pivot", _Q71_SQL)
+def q71_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide monthly-revenue matrix via ``pivot_agg`` with an EXPLICIT
+    status list — no eager distinct-discovery job over the pivot
+    column; both shuffles ride partial aggregates (see
+    operators/pivot.py). Reference anchor: the pandas pivot_table in
+    benchmark/generate_stats.py:150-170."""
+    from nahuatl_data_pipeline_spark.operators.pivot import pivot_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return pivot_agg(
+        orders,
+        ["month"],
+        "o_orderstatus",
+        ["F", "O", "P"],
+        F.round(F.sum("o_totalprice"), 2),
+        prefix="rev_",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72: revenue rollup region → nation → grand total
+# ---------------------------------------------------------------------------
+
+_Q72_SQL = """
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS grouping_level,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+@register("q72_revenue_rollup", _Q72_SQL)
+def q72_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal hierarchy via ``rollup_agg``: detail, per-region, and
+    grand-total rows from ONE shuffle (Spark expands grouping sets
+    map-side). Dimensions reach the fact scan as broadcasts — the
+    orders side never shuffles before the aggregate. ``grouping_level``
+    = F.grouping_id() = the ANSI GROUPING() bitmask, reproduced in the
+    oracle."""
+    from nahuatl_data_pipeline_spark.operators.pivot import rollup_agg
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "o_totalprice",
+        )
+    )
+    return rollup_agg(
+        joined,
+        ["region_name", "nation_name"],
+        [
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73: SCD2 customer snapshot merge
+# ---------------------------------------------------------------------------
+
+# Update batch planted from key arithmetic: every custkey % 7 == 0 row
+# arrives in the CDC batch, but the % 14 == 0 half is a NO-OP re-send
+# (identical acctbal) that must NOT create a version; the others get
+# acctbal + 100 (exact in IEEE doubles, so both engines agree
+# bit-for-bit). New key 99999991 exercises the insert path.
+_Q73_SQL = """
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 14 = 0 THEN c_acctbal
+                  ELSE c_acctbal + 100 END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT 99999991, 'Customer#99999991', 0, 0.0, 'BUILDING'
+    ),
+    changed AS (
+      SELECT u.c_custkey FROM upd u
+      JOIN customer c USING (c_custkey)
+      WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+           c.c_mktsegment, 1 AS version,
+           c.c_custkey NOT IN (SELECT c_custkey FROM changed) AS is_current
+    FROM customer c
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal,
+           u.c_mktsegment, 2 AS version, TRUE AS is_current
+    FROM upd u
+    WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+       OR u.c_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+@register("q73_scd2_customers", _Q73_SQL)
+def q73_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/merge.py:scd2_merge) of a planted
+    CDC batch into the customer snapshot: changed rows are superseded
+    (v1, is_current=false) and re-inserted (v2, true); no-op re-sends
+    create no version; a brand-new key inserts. The base table crosses
+    no shuffle — change detection and tagging ride broadcast key sets.
+    Reference anchor: row-wise INSERT OR REPLACE registry upkeep,
+    src/registry/store.py:41-66 (history-free; SCD2 is the scale
+    extension)."""
+    import pandas as pd
+
+    from nahuatl_data_pipeline_spark.operators.merge import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    # pandas → Arrow → LocalTableScan, per the house rule for local seed
+    # frames (operators/synthetic.py:seed_dataframe).
+    new_row = spark.createDataFrame(
+        pd.DataFrame(
+            [[99999991, "Customer#99999991", 0, 0.0, "BUILDING"]],
+            columns=cust.columns,
+        ),
+        schema=cust.schema,
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 14 == 0, F.col("c_acctbal")
+            ).otherwise(F.col("c_acctbal") + 100),
+        )
+        .unionByName(new_row)
+    )
+    out = scd2_merge(
+        cust, updates, keys=["c_custkey"], tracked=["c_acctbal"]
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        "version",
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74: hopping-window event counts (2 h window, 1 h slide)
+# ---------------------------------------------------------------------------
+
+# Every event lands in exactly two windows: the one starting at its
+# truncated hour and the one starting an hour earlier (window/slide =
+# 2). The oracle materializes that fan-out with a UNION ALL.
+_Q74_SQL = """
+    WITH slots AS (
+      SELECT DATE_TRUNC('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM slots
+    GROUP BY 1, 2
+"""
+
+
+@register("q74_hopping_event_counts", _Q74_SQL)
+def q74_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windowed aggregation: the q43 streaming
+    transformation with ``slide_duration`` < ``window_duration`` —
+    ``F.window`` expands each event into its two containing windows
+    inside the scan stage (a generator, not a shuffle), then the same
+    map-side-combined aggregate runs per (window, type). Identical
+    transformation object serves readStream (state bounded by the
+    watermark × window/slide factor)."""
+    from nahuatl_data_pipeline_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(
+        events, "2 hours", "2 hours", slide_duration="1 hour"
+    )
+    return out.withColumn(
+        "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75: tf-idf top terms per document
+# ---------------------------------------------------------------------------
+
+_Q75_SQL = """
+    WITH scope AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM scope
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n FROM scope),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * LN((1 + n.n) / (1.0 + dfreq.df)), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
+@register("q75_tfidf_terms", _Q75_SQL)
+def q75_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (operators/tfidf.py): three
+    key-partitioned shuffles (tf, df, per-doc rank), corpus size N as a
+    broadcast 1-row aggregate — fully codegen, no Python, no driver
+    scalar. Reference anchor: driver-side token frequency tables,
+    benchmark/generate_stats.py:57-80."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76: document length quartiles (ntile profiling)
+# ---------------------------------------------------------------------------
+
+_Q76_SQL = """
+    WITH b AS (
+      SELECT source, n_chars,
+             NTILE(4) OVER (ORDER BY n_chars, doc_id) AS quartile
+      FROM documents
+    )
+    SELECT CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM b GROUP BY quartile
+"""
+
+
+@register("q76_length_quartiles", _Q76_SQL)
+def q76_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population length buckets: ntile(4) over a TOTAL ordering
+    (n_chars, doc_id — ties must be broken or bucket membership is
+    nondeterministic), then per-quartile profile stats.
+
+    Scale note: a global ntile is a single-partition window — fine for
+    profiling runs, wrong in a hot path; the 100 TB formulation swaps
+    it for percentile_approx cut points + a bucketing join (the
+    documented pattern in operators/quality.py). This query exists to
+    pin the exact-ntile semantics the approximate path is measured
+    against."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    b = docs.select(
+        "source", "n_chars", F.ntile(4).over(w).alias("quartile")
+    )
+    return b.groupBy(F.col("quartile").cast("int").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )

@@ -48,6 +48,7 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide_duration: str | None = None,
 ) -> DataFrame:
     """Event-time windowed counts + value stats with late-data tolerance.
 
@@ -55,10 +56,22 @@ def windowed_event_counts(
     watermark) are finalized and evicted, so state size is O(active
     windows), not O(stream length) — the only way a windowed agg survives
     an unbounded stream.
+
+    ``slide_duration`` < ``window_duration`` turns the tumbling window
+    into a HOPPING window: each event lands in window/slide overlapping
+    windows (``F.window`` expands them before the aggregate, so the
+    fan-out is a generator inside the scan stage, not extra shuffles),
+    and streaming state grows by the same window/slide factor — the
+    watermark still evicts finalized windows.
     """
+    win = (
+        F.window(ts_col, window_duration, slide_duration)
+        if slide_duration is not None
+        else F.window(ts_col, window_duration)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window_duration), "event_type")
+        .groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),

@@ -1,0 +1,79 @@
+"""SCD1 upsert / SCD2 merge unit tests (operators/merge.py): change
+detection, no-op re-sends, inserts, null transitions, and the
+broadcast-only plan contract."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.merge import scd2_merge, upsert
+
+SCHEMA = "k long, attr string, val double"
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "attr", "val"])
+    return spark.createDataFrame(pdf, schema=SCHEMA)
+
+
+def test_upsert_updates_win_and_inserts(spark):
+    base = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+    updates = _df(spark, [(2, "B", 20.0), (4, "d", 4.0)])
+    got = sorted(map(tuple, upsert(base, updates, ["k"]).collect()))
+    assert got == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)]
+
+
+def test_scd2_versions_only_real_changes(spark):
+    base = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+    updates = _df(
+        spark,
+        [
+            (1, "a", 1.0),  # no-op re-send: must NOT version
+            (2, "b", 20.0),  # tracked change
+            (9, "new", 9.0),  # brand-new key
+        ],
+    )
+    out = scd2_merge(base, updates, keys=["k"], tracked=["val"])
+    got = sorted(map(tuple, out.select("k", "val", "version", "is_current").collect()))
+    assert got == [
+        (1, 1.0, 1, True),  # no-op: single current v1
+        (2, 2.0, 1, False),  # superseded history row
+        (2, 20.0, 2, True),  # new current version
+        (3, 3.0, 1, True),  # untouched
+        (9, 9.0, 2, True),  # insert, no history row
+    ]
+
+
+def test_scd2_null_transitions_are_changes(spark):
+    base = _df(spark, [(1, "a", None), (2, "b", 2.0)])
+    updates = _df(spark, [(1, "a", 1.0), (2, "b", None)])
+    out = scd2_merge(base, updates, keys=["k"], tracked=["val"])
+    current = {
+        r["k"]: r["val"]
+        for r in out.filter(F.col("is_current")).collect()
+    }
+    assert current == {1: 1.0, 2: None}
+    assert out.filter(~F.col("is_current")).count() == 2
+
+
+def test_scd2_untracked_change_is_noop(spark):
+    base = _df(spark, [(1, "a", 1.0)])
+    updates = _df(spark, [(1, "DIFFERENT", 1.0)])  # attr not tracked
+    out = scd2_merge(base, updates, keys=["k"], tracked=["val"])
+    assert out.count() == 1
+    assert out.first()["is_current"] is True
+
+
+def test_merge_plans_broadcast_not_sortmerge(spark):
+    """The base side must never shuffle: every join in both merges rides
+    a broadcast of the (small) update-derived side."""
+    base = _df(spark, [(i, "a", float(i)) for i in range(100)])
+    updates = _df(spark, [(1, "a", 100.0)])
+    for out in (
+        upsert(base, updates, ["k"]),
+        scd2_merge(base, updates, keys=["k"], tracked=["val"]),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -1,0 +1,88 @@
+"""pivot_agg / rollup_agg unit tests (operators/pivot.py): fixed output
+schema, subtotal semantics, grouping_id bitmask, and the one-shuffle
+Expand plan for rollup."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.pivot import pivot_agg, rollup_agg
+
+
+def _sales(spark):
+    pdf = pd.DataFrame(
+        [
+            ("r1", "n1", "A", 10.0),
+            ("r1", "n1", "B", 20.0),
+            ("r1", "n2", "A", 5.0),
+            ("r2", "n3", "B", 7.0),
+        ],
+        columns=["region", "nation", "status", "amount"],
+    )
+    return spark.createDataFrame(
+        pdf, schema="region string, nation string, status string, amount double"
+    )
+
+
+def test_pivot_schema_fixed_by_call_not_data(spark):
+    out = pivot_agg(
+        _sales(spark),
+        ["region"],
+        "status",
+        ["A", "B", "C"],  # C absent from the data → still a column
+        F.sum("amount"),
+        prefix="amt_",
+    )
+    assert out.columns == ["region", "amt_A", "amt_B", "amt_C"]
+    rows = {r["region"]: r for r in out.collect()}
+    assert rows["r1"]["amt_A"] == 15.0
+    assert rows["r1"]["amt_B"] == 20.0
+    assert rows["r1"]["amt_C"] is None
+    assert rows["r2"]["amt_B"] == 7.0
+
+
+def test_pivot_no_discovery_job_and_partial_agged_plan(spark):
+    """Explicit values keep pivot LAZY (no eager distinct job over the
+    pivot column — proven by pivoting a column whose evaluation would
+    raise) and the plan is two map-side-combined aggregates: the
+    (keys, pivot) pre-aggregate and the pivotfirst fold."""
+
+    @F.udf("string")
+    def boom(x):
+        raise RuntimeError("pivot-column evaluation must not run eagerly")
+
+    poisoned = _sales(spark).withColumn("status", boom("status"))
+    # must not raise: with values supplied, nothing executes at build time
+    pivot_agg(poisoned, ["region"], "status", ["A", "B"], F.sum("amount"))
+
+    out = pivot_agg(
+        _sales(spark), ["region"], "status", ["A", "B"], F.sum("amount")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "pivotfirst" in plan
+    assert plan.count("Exchange") == 2
+    assert plan.count("partial_") == 2  # both shuffles behind partial aggs
+
+
+def test_rollup_levels_and_bitmask(spark):
+    out = rollup_agg(
+        _sales(spark),
+        ["region", "nation"],
+        [F.sum("amount").alias("amount"), F.count(F.lit(1)).alias("n")],
+    )
+    got = {
+        (r["region"], r["nation"]): (r["grouping_level"], r["amount"], r["n"])
+        for r in out.collect()
+    }
+    assert got[("r1", "n1")] == (0, 30.0, 2)  # detail
+    assert got[("r1", "ALL")] == (1, 35.0, 3)  # per-region subtotal
+    assert got[("ALL", "ALL")] == (3, 42.0, 4)  # grand total
+    assert ("ALL", "n1") not in got  # rollup, not cube: no such set
+
+
+def test_rollup_is_one_expand_one_shuffle(spark):
+    out = rollup_agg(_sales(spark), ["region", "nation"], [F.sum("amount").alias("s")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1  # all grouping sets share one shuffle

@@ -48,6 +48,30 @@ def test_stream_equals_batch_windowed_counts(spark, event_dir):
     assert got == want and len(got) >= 3
 
 
+def test_stream_equals_batch_hopping_counts(spark, event_dir):
+    """Hopping variant (2 h window / 1 h slide): every event lands in
+    exactly two windows, and stream output equals the batch run."""
+    batch = windowed_event_counts(
+        spark.read.schema(EVENT_SCHEMA).parquet(event_dir),
+        "2 hours",
+        "4 hours",
+        slide_duration="1 hour",
+    )
+    stream = windowed_event_counts(
+        read_event_stream(spark, event_dir),
+        "2 hours",
+        "4 hours",
+        slide_duration="1 hour",
+    )
+    run_stream_to_memory(stream, "hop_test", output_mode="complete")
+    got = sorted(map(tuple, spark.table("hop_test").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    # fan-out check: Σ n_events = 2 × input rows (window/slide = 2)
+    total = sum(r[2] for r in want)
+    assert total == 2 * 6
+
+
 def test_streaming_dedup_drops_duplicate_events(spark, event_dir):
     stream = streaming_dedup(
         read_event_stream(spark, event_dir), keys=["event_id"], watermark="4 hours"

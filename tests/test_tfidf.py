@@ -1,0 +1,58 @@
+"""tf-idf unit tests (operators/tfidf.py): hand-computed scores,
+deterministic tie-breaks, and the no-driver-scalar plan contract."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.tfidf import tfidf_top_terms, tokenize
+
+
+def _docs(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf, schema="doc_id long, text string")
+
+
+def test_tokenize_drops_empties(spark):
+    docs = _docs(spark, [(1, "a  b "), (2, "")])
+    got = sorted(map(tuple, tokenize(docs, "doc_id", "text").collect()))
+    assert got == [(1, "a"), (1, "b")]
+
+
+def test_scores_hand_computed(spark):
+    # 3 docs; "rare" appears twice in doc 1 only; "common" in all three.
+    docs = _docs(
+        spark,
+        [
+            (1, "rare rare common"),
+            (2, "common x"),
+            (3, "common y"),
+        ],
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    d1 = {r["term"]: r for r in out.filter(F.col("doc_id") == 1).collect()}
+    assert d1["rare"]["tf"] == 2 and d1["rare"]["df"] == 1
+    assert d1["rare"]["score"] == round(2 * math.log((1 + 3) / (1 + 1)), 6)
+    assert d1["common"]["score"] == round(1 * math.log((1 + 3) / (1 + 3)), 6) == 0.0
+    # rare ranks above common in doc 1
+    assert d1["rare"]["rank"] < d1["common"]["rank"]
+
+
+def test_ties_break_by_term_ascending(spark):
+    docs = _docs(spark, [(1, "b a"), (2, "a b")])  # identical tf and df
+    out = tfidf_top_terms(docs, "doc_id", "text", k=1)
+    got = {r["doc_id"]: r["term"] for r in out.collect()}
+    assert got == {1: "a", 2: "a"}
+
+
+def test_corpus_size_stays_distributed(spark):
+    """N rides a broadcast 1-row aggregate — no collect()/driver scalar
+    baked into the plan (the plan must contain the N-side aggregate)."""
+    docs = _docs(spark, [(1, "a b"), (2, "b c")])
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N crossJoin
+    assert out.count() == 4
