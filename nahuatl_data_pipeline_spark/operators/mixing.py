@@ -63,3 +63,47 @@ def stratified_mix(
     for s, r in rates.items():
         rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
     return df.filter(sample_bucket(F.col(key), seed) < rate)
+
+
+def weighted_sample(
+    df: DataFrame, key: str, rate: Column, seed: int = 42
+) -> DataFrame:
+    """Per-ROW keep probability (importance sampling): ``rate`` is any
+    column expression in [0,1] — typically a quality score, so higher-
+    quality documents survive at higher rates (the DCLM/quality-weighted
+    mixing recipe). Membership stays a pure content-hash function, so
+    re-running with the same seed reproduces the exact subset whatever
+    the partitioning. Values outside [0,1] are clamped. One narrow
+    filter, zero shuffle."""
+    r = F.least(F.greatest(rate.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(sample_bucket(F.col(key), seed) < r)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, key: str, cap: int, seed: int = 42
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by content-hash order
+    (the RefinedWeb/C4 per-domain cap: no single source may dominate the
+    mix). The hash order makes the retained subset a deterministic
+    uniform sample of each group — not "first N by ingestion order",
+    which would bias toward old crawls.
+
+    One shuffle (rank window partitioned by ``group_col``; ties broken
+    by ``key`` so the cut is total). A pathologically hot group
+    concentrates its rank in one task — for that regime pre-filter with
+    ``weighted_sample`` at rate ≈ cap / approx group count (one scan to
+    estimate, then a narrow filter) and apply this exact cap to the
+    survivors; the window then ranks ~cap rows per group, not the
+    original group size.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(str(seed) + ":"), F.col(key).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= cap)
+        .drop("__r")
+    )

@@ -331,3 +331,64 @@ def q76_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q77: per-source document cap (RefinedWeb/C4-style domain balancing)
+# ---------------------------------------------------------------------------
+
+_Q77_SQL = """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS r
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE r <= 10
+"""
+
+
+@register("q77_source_cap", _Q77_SQL)
+def q77_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap (operators/mixing.py:cap_per_group): at most 10
+    docs per source, chosen by content-hash order so the retained
+    subset is a deterministic uniform sample of each source — not
+    first-N-by-ingestion, which would bias toward old crawls. One rank
+    window on source; the hot-group escape (weighted_sample prefilter)
+    is documented at the operator."""
+    from nahuatl_data_pipeline_spark.operators.mixing import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", key="doc_id", cap=10, seed=42).select(
+        "doc_id", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78: quality-weighted sampling (per-row keep probability)
+# ---------------------------------------------------------------------------
+
+_Q78_SQL = """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE CAST(('0x' || SUBSTRING(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0
+          < LEAST(n_chars / 400.0, 1.0)
+"""
+
+
+@register("q78_quality_weighted_mix", _Q78_SQL)
+def q78_quality_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling (operators/mixing.py:weighted_sample): each
+    document's keep probability is its own quality proxy (length/400,
+    clamped to 1), so higher-quality rows survive at higher rates — the
+    quality-weighted mixing recipe. Membership is a pure content hash:
+    zero shuffle, reproducible across runs/partitionings/engines."""
+    from nahuatl_data_pipeline_spark.operators.mixing import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, key="doc_id", rate=F.col("n_chars") / 400.0, seed=7
+    ).select("doc_id", "source", "n_chars")

@@ -82,3 +82,54 @@ def test_null_keys_are_dropped_like_sql(spark):
     assert stratified_mix(
         df.withColumn("s", F.lit("x")), "s", {"x": 1.0}, key="k"
     ).filter(F.col("k").isNull()).count() == 0
+
+
+def test_weighted_sample_rate_column_and_clamp(spark):
+    import pandas as pd
+
+    from nahuatl_data_pipeline_spark.operators.mixing import weighted_sample
+
+    pdf = pd.DataFrame(
+        {"id": range(3000), "q": [0.0] * 1000 + [0.5] * 1000 + [5.0] * 1000}
+    )
+    df = spark.createDataFrame(pdf, schema="id long, q double")
+    out = weighted_sample(df, "id", F.col("q"), seed=7)
+    got = out.groupBy("q").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {r["q"]: r["n"] for r in got}
+    assert 0.0 not in counts                 # rate 0 drops all
+    assert 400 < counts[0.5] < 600           # ~50%
+    assert counts[5.0] == 1000               # clamped to 1.0 keeps all
+
+
+def test_weighted_sample_partition_independent(spark):
+    from nahuatl_data_pipeline_spark.operators.mixing import weighted_sample
+
+    df = spark.range(2000).withColumn("q", F.lit(0.3))
+    a = set(r["id"] for r in weighted_sample(df, "id", F.col("q")).collect())
+    b = set(
+        r["id"]
+        for r in weighted_sample(df.repartition(17), "id", F.col("q")).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_cap_per_group_exact_and_deterministic(spark):
+    import pandas as pd
+
+    from nahuatl_data_pipeline_spark.operators.mixing import cap_per_group
+
+    pdf = pd.DataFrame(
+        {"id": range(900), "g": [f"g{i % 3}" for i in range(900)]}
+    )
+    df = spark.createDataFrame(pdf, schema="id long, g string")
+    out = cap_per_group(df, "g", key="id", cap=50)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"g0": 50, "g1": 50, "g2": 50}
+    # deterministic subset, independent of partitioning
+    again = cap_per_group(df.repartition(13), "g", key="id", cap=50)
+    assert set(map(tuple, out.collect())) == set(map(tuple, again.collect()))
+    # small groups pass through untouched
+    assert cap_per_group(df, "g", key="id", cap=1000).count() == 900
+    with pytest.raises(ValueError):
+        cap_per_group(df, "g", key="id", cap=-1)
