@@ -49,6 +49,30 @@ def pivot_agg(
     return out
 
 
+def cube_agg(
+    df: DataFrame,
+    cube_cols: list[str],
+    aggs: list[Column],
+    total_label: str = "ALL",
+) -> DataFrame:
+    """All 2^k grouping-set combinations of ``cube_cols`` (the full
+    cross-tab, vs :func:`rollup_agg`'s prefix hierarchy). Same
+    one-shuffle Expand plan and ``grouping_level`` bitmask contract as
+    ``rollup_agg`` — the Expand factor is 2^k rows per input row, so
+    keep k small at scale (2-3 dimensions; beyond that, aggregate the
+    detail level once and roll up the tiny result instead)."""
+    out = (
+        df.cube(*cube_cols)
+        .agg(F.grouping_id().alias("grouping_level"), *aggs)
+    )
+    for c in cube_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(total_label)))
+    cols = cube_cols + ["grouping_level"] + [
+        c for c in out.columns if c not in cube_cols + ["grouping_level"]
+    ]
+    return out.select(*cols)
+
+
 def rollup_agg(
     df: DataFrame,
     rollup_cols: list[str],

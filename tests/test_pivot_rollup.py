@@ -86,3 +86,25 @@ def test_rollup_is_one_expand_one_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
     assert plan.count("Exchange") == 1  # all grouping sets share one shuffle
+
+
+def test_cube_has_all_grouping_sets(spark):
+    from nahuatl_data_pipeline_spark.operators.pivot import cube_agg
+
+    out = cube_agg(
+        _sales(spark), ["region", "nation"], [F.sum("amount").alias("amount")]
+    )
+    got = {
+        (r["region"], r["nation"]): (r["grouping_level"], r["amount"])
+        for r in out.collect()
+    }
+    assert got[("r1", "n1")] == (0, 30.0)
+    assert got[("r1", "ALL")] == (1, 35.0)
+    assert got[("ALL", "n1")] == (2, 30.0)  # the set rollup lacks
+    assert got[("ALL", "ALL")] == (3, 42.0)
+    # plan read on a fresh frame: AQE rewrites executedPlan after an action
+    fresh = cube_agg(
+        _sales(spark), ["region", "nation"], [F.sum("amount").alias("amount")]
+    )
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and plan.count("Exchange") == 1

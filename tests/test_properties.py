@@ -116,3 +116,51 @@ def test_asof_join_matches_pandas_merge_asof(spark, pts, rhs):
         for r in expected_df.itertuples()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # base snapshot: unique keys with (attr, tracked val)
+        st.tuples(st.integers(0, 30), st.integers(0, 3)),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(  # update batch: unique keys, possibly overlapping base
+        st.tuples(st.integers(0, 40), st.integers(0, 3)),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_merge_matches_dict_model(spark, base_rows, upd_rows):
+    """scd2_merge == the obvious single-threaded dict model: changed
+    keys get (v1 history, v2 current), no-ops and untouched keys keep
+    one current v1, new keys insert one current v2."""
+    from nahuatl_data_pipeline_spark.operators.merge import scd2_merge
+
+    base = spark.createDataFrame(
+        [(k, float(v)) for k, v in base_rows], "k long, val double"
+    )
+    upd = spark.createDataFrame(
+        [(k, float(v)) for k, v in upd_rows], "k long, val double"
+    )
+    got = sorted(
+        map(
+            tuple,
+            scd2_merge(base, upd, keys=["k"], tracked=["val"])
+            .select("k", "val", "version", "is_current")
+            .collect(),
+        )
+    )
+    b, u = dict(base_rows), dict(upd_rows)
+    want = []
+    for k, v in b.items():
+        changed = k in u and u[k] != v
+        want.append((k, float(v), 1, not changed))
+        if changed:
+            want.append((k, float(u[k]), 2, True))
+    for k, v in u.items():
+        if k not in b:
+            want.append((k, float(v), 2, True))
+    assert got == sorted(want)
