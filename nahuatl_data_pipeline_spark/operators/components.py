@@ -156,8 +156,24 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = e.count()
-    if n_edges == 0:
+
+    def _sig(df: DataFrame) -> tuple:
+        """(count, order-independent hash-xor) in ONE job — the cheap
+        fixed-point gate. Star contraction preserves edge counts from
+        very early rounds (every component is nodes-1 edges once it
+        stars), so gating the exact probe on count alone runs the
+        expensive exceptAll EVERY round; the xor-fold makes the gate
+        pass only when the sets are almost surely equal, and the exact
+        probe then confirms (never trusts) it. bit_xor, not sum:
+        order-independent AND overflow-free under ANSI mode."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("s", "d")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    if sig[0] == 0:
         return e.sparkSession.createDataFrame([], "id long, component long")
 
     for _ in range(max_iter):
@@ -195,15 +211,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # both sides are distinct SETS, so |new| == |old| plus one empty
-        # set-difference proves equality — half the probe cost of a
-        # bidirectional exceptAll; the count doubles as the next round's
-        # cardinality
-        n_new = new_e.count()
-        converged = (
-            n_new == n_edges and new_e.exceptAll(e).take(1) == []
-        )
-        e, n_edges = new_e, n_new
+        # both sides are distinct SETS, so equal count plus one empty
+        # set-difference proves equality. The signature (count +
+        # order-independent hash-sum, one job) gates the probe: it
+        # differs on every non-converged round in practice, so the
+        # shuffle-heavy exceptAll runs ~once per call instead of every
+        # round — at corpus scale that probe is a full compare of two
+        # big edge sets and must not be a per-round tax.
+        new_sig = _sig(new_e)
+        converged = new_sig == sig and new_e.exceptAll(e).take(1) == []
+        e, sig = new_e, new_sig
         if converged:
             break
     else:
