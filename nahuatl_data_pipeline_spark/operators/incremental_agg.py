@@ -1,0 +1,81 @@
+"""Incremental aggregate-state maintenance (mergeable partial stats).
+
+A pipeline that recomputes per-source / per-type statistics over the
+whole corpus on every ingestion batch re-reads history forever — the
+reference does exactly that, re-running its stats pass over the full
+dataset per run (benchmark/generate_stats.py is whole-corpus by
+construction). The scalable form keeps a small STATE table of
+decomposable partial aggregates (sum / count / min / max per key) and
+folds each new batch in:
+
+    state_{t+1} = merge(state_t, partial_agg(batch_t))
+
+Both steps are cheap at any history size: the batch aggregate is
+map-side-combined on the batch only, and the merge is a key-equi full
+outer join of two already-aggregated tables (state rows ≈ #distinct
+keys, not #events — broadcastable in most deployments, and the merge
+result is bit-recombinable because sum/count/min/max are associative).
+Derived metrics (avg = sum/count) are computed AT READ TIME from the
+state, never stored, so they stay exact under further merges.
+
+The same state-table contract serves batch backfill (fold many batches)
+and streaming (foreachBatch folding micro-batches into a sink table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Partial-aggregate state of ``df`` per ``keys``: columns
+    ``sum_<v>, cnt_<v>, min_<v>, max_<v>`` — each decomposable, so any
+    two states over disjoint row sets merge exactly."""
+    v = value_col
+    return df.groupBy(*keys).agg(
+        F.sum(v).alias(f"sum_{v}"),
+        F.count(v).alias(f"cnt_{v}"),
+        F.min(v).alias(f"min_{v}"),
+        F.max(v).alias(f"max_{v}"),
+    )
+
+
+def merge_group_states(
+    state: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold ``delta`` (a :func:`group_state` of a new batch) into
+    ``state``. Keys present in only one side pass through; shared keys
+    combine: sums/counts add, min/max take least/greatest. The join is
+    key-equi over two aggregated tables; Catalyst broadcasts whichever
+    side is small (typically the delta — one batch's key set)."""
+    stat_cols = [c for c in state.columns if c not in keys]
+    if stat_cols != [c for c in delta.columns if c not in keys]:
+        raise ValueError(
+            f"state/delta stat columns differ: {stat_cols} vs "
+            f"{[c for c in delta.columns if c not in keys]}"
+        )
+    s = state.select(
+        *keys, *[F.col(c).alias(f"__s_{c}") for c in stat_cols]
+    )
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in stat_cols]
+    )
+    merged = s.join(d, keys, "full_outer")
+    combiners = {
+        "sum": lambda a, b: F.when(a.isNull(), b)
+        .when(b.isNull(), a)
+        .otherwise(a + b),
+        "cnt": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+        "min": F.least,
+        "max": F.greatest,
+    }
+    exprs = []
+    for c in stat_cols:
+        kind = c.split("_", 1)[0]
+        if kind not in combiners:
+            raise ValueError(f"unmergeable state column {c!r}")
+        exprs.append(
+            combiners[kind](F.col(f"__s_{c}"), F.col(f"__d_{c}")).alias(c)
+        )
+    return merged.select(*keys, *exprs)

@@ -206,3 +206,45 @@ def write_validation_report(
     with open(path, "w", encoding="utf-8") as f:
         json.dump(report, f, ensure_ascii=False, indent=2)
     return report
+
+
+def approx_quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 4,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equal-population-ish bucketing via sketch cut points — the
+    100 TB replacement for a global ``ntile`` window (q76), which
+    funnels every row through ONE task to rank it.
+
+    Plan: one mergeable percentile_approx aggregate (map-side partials,
+    1-row result), broadcast-crossJoined back, then a narrow projection
+    assigns ``1 + Σ [col > cutᵢ]``. No wide shuffle ever touches the
+    rows. The comparisons are statically unrolled per bucket (array
+    HOFs like F.aggregate stay interpreted; indexed comparisons stay in
+    whole-stage codegen).
+
+    Semantics: cut points are actual data values (rank statistics), so
+    heavy ties can make neighboring buckets collapse — populations are
+    approximately equal, not exactly (that is the accepted trade vs the
+    exact window; at accuracy=10000 cuts are exact below 10k rows, the
+    q64 sketch-oracle argument). Deterministic for a given input.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(F.col(col), probs, accuracy).alias("__cuts")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + F.when(
+            F.col(col) > F.col("__cuts")[i], 1
+        ).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("__cuts")
+    )

@@ -392,3 +392,103 @@ def q78_quality_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs, key="doc_id", rate=F.col("n_chars") / 400.0, seed=7
     ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q79: approx-quantile bucketing (the 100 TB path q76 documents)
+# ---------------------------------------------------------------------------
+
+_Q79_SQL = """
+    WITH cuts AS (
+      SELECT quantile_disc(n_chars, 0.25) AS c1,
+             quantile_disc(n_chars, 0.5)  AS c2,
+             quantile_disc(n_chars, 0.75) AS c3
+      FROM documents
+    ),
+    b AS (
+      SELECT d.source, d.n_chars,
+             1 + CAST(d.n_chars > c.c1 AS INT)
+               + CAST(d.n_chars > c.c2 AS INT)
+               + CAST(d.n_chars > c.c3 AS INT) AS bucket
+      FROM documents d CROSS JOIN cuts c
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY bucket
+"""
+
+
+@register("q79_approx_length_buckets", _Q79_SQL)
+def q79_approx_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-cut bucketing (operators/quality.py:approx_quantile_buckets)
+    — q76's exact global-ntile profile re-expressed for scale: one
+    mergeable percentile aggregate + broadcast cuts + narrow projection;
+    no row ever crosses a wide shuffle. Hash-matches DuckDB's exact
+    quantile_disc cuts because accuracy=10000 is exact at sf<=0.1 row
+    counts (the q64 sketch-oracle argument)."""
+    from nahuatl_data_pipeline_spark.operators.quality import (
+        approx_quantile_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    b = approx_quantile_buckets(docs, "n_chars", n_buckets=4)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80: incremental aggregate-state merge
+# ---------------------------------------------------------------------------
+
+# The planted split (event_id % 3) stands in for "history vs new batch";
+# the merged state must equal the whole-corpus aggregate — which is the
+# oracle. Sums are rounded (summation order differs between the
+# single-pass oracle and the two-state merge).
+_Q80_SQL = """
+    SELECT event_type,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(COUNT(value) AS BIGINT) AS cnt_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("q80_incremental_agg_state", _Q80_SQL)
+def q80_incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stats maintenance (operators/incremental_agg.py):
+    history and a new batch are aggregated SEPARATELY into partial
+    states (sum/count/min/max — decomposable), then folded with one
+    key-equi merge of two already-aggregated tables. The oracle is the
+    whole-corpus aggregate the merge must reproduce — at scale the
+    state table replaces ever re-reading history (the reference reruns
+    its stats over the full dataset per run,
+    benchmark/generate_stats.py)."""
+    from nahuatl_data_pipeline_spark.operators.incremental_agg import (
+        group_state,
+        merge_group_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    history = ev.filter(F.col("event_id") % 3 != 0)
+    batch = ev.filter(F.col("event_id") % 3 == 0)
+    merged = merge_group_states(
+        group_state(history, ["event_type"], "value"),
+        group_state(batch, ["event_type"], "value"),
+        ["event_type"],
+    )
+    return merged.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.col("cnt_value").cast("long").alias("cnt_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )

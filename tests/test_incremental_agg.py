@@ -1,0 +1,85 @@
+"""Incremental aggregate-state tests (operators/incremental_agg.py):
+merge == whole-corpus aggregate, key pass-through, contract errors —
+plus the approx_quantile_buckets scale-path contract (quality.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.incremental_agg import (
+    group_state,
+    merge_group_states,
+)
+from nahuatl_data_pipeline_spark.operators.quality import (
+    approx_quantile_buckets,
+)
+
+
+def _events(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    return spark.createDataFrame(pdf, schema="k string, v double")
+
+
+def test_merge_equals_whole_aggregate(spark):
+    df = _events(
+        spark,
+        [("a", 1.0), ("a", 5.0), ("b", -2.0), ("b", 7.0), ("c", 0.0)],
+    )
+    merged = merge_group_states(
+        group_state(df.filter(F.col("v") > 0), ["k"], "v"),
+        group_state(df.filter(F.col("v") <= 0), ["k"], "v"),
+        ["k"],
+    )
+    whole = group_state(df, ["k"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_merge_disjoint_keys_pass_through(spark):
+    a = group_state(_events(spark, [("x", 1.0)]), ["k"], "v")
+    b = group_state(_events(spark, [("y", 2.0)]), ["k"], "v")
+    got = {r["k"]: (r["sum_v"], r["cnt_v"]) for r in
+           merge_group_states(a, b, ["k"]).collect()}
+    assert got == {"x": (1.0, 1), "y": (2.0, 1)}
+
+
+def test_merge_is_associative_over_three_batches(spark):
+    df = _events(spark, [(f"k{i % 4}", float(i)) for i in range(60)])
+    thirds = [df.filter(F.col("v") % 3 == i) for i in range(3)]
+    states = [group_state(t, ["k"], "v") for t in thirds]
+    left = merge_group_states(
+        merge_group_states(states[0], states[1], ["k"]), states[2], ["k"]
+    )
+    right = merge_group_states(
+        states[0], merge_group_states(states[1], states[2], ["k"]), ["k"]
+    )
+    assert sorted(map(tuple, left.collect())) == sorted(
+        map(tuple, right.collect())
+    )
+
+
+def test_merge_rejects_mismatched_state_columns(spark):
+    a = group_state(_events(spark, [("x", 1.0)]), ["k"], "v")
+    b = group_state(
+        _events(spark, [("x", 1.0)]).withColumnRenamed("v", "w"), ["k"], "w"
+    )
+    with pytest.raises(ValueError):
+        merge_group_states(a, b, ["k"])
+
+
+def test_quantile_buckets_values_and_plan(spark):
+    pdf = pd.DataFrame({"x": list(range(1, 101))})
+    df = spark.createDataFrame(pdf, schema="x long")
+    out = approx_quantile_buckets(df, "x", n_buckets=4)
+    counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}  # exact at 100 rows
+    # scale contract: rows reach their bucket via a broadcast of the
+    # 1-row cuts aggregate, never a wide exchange of the row stream
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    with pytest.raises(ValueError):
+        approx_quantile_buckets(df, "x", n_buckets=1)
