@@ -83,3 +83,40 @@ def test_quantile_buckets_values_and_plan(spark):
     assert "BroadcastNestedLoopJoin" in plan
     with pytest.raises(ValueError):
         approx_quantile_buckets(df, "x", n_buckets=1)
+
+
+def test_foreachbatch_state_fold_equals_batch(spark, tmp_path):
+    """The streaming leg of the state contract: micro-batches folded via
+    foreachBatch reproduce the whole-corpus aggregate exactly."""
+    pdf = pd.DataFrame(
+        {"k": [f"k{i % 3}" for i in range(90)], "v": [float(i) for i in range(90)]}
+    )
+    df = spark.createDataFrame(pdf, schema="k string, v double")
+    path = str(tmp_path / "in")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    df.repartition(4).write.parquet(path)
+
+    state = {"df": None}
+
+    def fold(batch_df, _bid):
+        delta = group_state(batch_df, ["k"], "v")
+        if state["df"] is None:
+            state["df"] = delta.localCheckpoint(eager=True)
+        else:
+            state["df"] = merge_group_states(
+                state["df"], delta, ["k"]
+            ).localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    whole = group_state(df, ["k"], "v")
+    assert sorted(map(tuple, state["df"].collect())) == sorted(
+        map(tuple, whole.collect())
+    )
