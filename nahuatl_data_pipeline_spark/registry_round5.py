@@ -492,3 +492,54 @@ def q80_incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q81: hypertable-style time rollup (hour → day → month in one pass)
+# ---------------------------------------------------------------------------
+
+_Q81_SQL = """
+    SELECT COALESCE(STRFTIME(DATE_TRUNC('month', ts), '%Y-%m'), 'ALL') AS month,
+           COALESCE(STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COALESCE(STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00'), 'ALL')
+             AS hour,
+           GROUPING(DATE_TRUNC('month', ts)) * 4
+             + GROUPING(DATE_TRUNC('day', ts)) * 2
+             + GROUPING(DATE_TRUNC('hour', ts)) AS grouping_level,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(DATE_TRUNC('month', ts), DATE_TRUNC('day', ts),
+                    DATE_TRUNC('hour', ts))
+"""
+
+
+@register("q81_time_rollup", _Q81_SQL)
+def q81_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly, daily,
+    monthly, and grand-total event stats from ONE Expand shuffle
+    (operators/pivot.py:rollup_agg over derived time buckets) — the
+    batch form of the materialized multi-granularity rollups a
+    time-series store keeps. Because the time buckets nest (hour ⊂ day
+    ⊂ month), the rollup hierarchy is exactly the prefix hierarchy
+    rollup_agg produces; each coarser level is the decomposable
+    re-combination of the finer one, computed map-side, so 100 TB of
+    events shuffles one row per (hour, type-less) group, not raw rows."""
+    from nahuatl_data_pipeline_spark.operators.pivot import rollup_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        ),
+        "value",
+    )
+    return rollup_agg(
+        ev,
+        ["month", "day", "hour"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
