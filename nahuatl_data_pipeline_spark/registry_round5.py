@@ -543,3 +543,51 @@ def q81_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# q82: fixed-width histogram (width_bucket profiling)
+# ---------------------------------------------------------------------------
+
+# Bounds (0, 600, 12 buckets) give width-50 bins: n_chars is an integer
+# and 600/12 = 50 is exact in doubles, so Spark's width_bucket and the
+# oracle's floor-arithmetic emulation agree bit-for-bit at boundaries.
+_Q82_SQL = """
+    WITH b AS (
+      SELECT CASE WHEN n_chars < 0 THEN 0
+                  WHEN n_chars >= 600 THEN 13
+                  ELSE 1 + CAST(FLOOR(n_chars / 50.0) AS INT)
+             END AS bucket,
+             n_chars
+      FROM documents
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST((bucket - 1) * 50 AS BIGINT) AS lo_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY bucket
+"""
+
+
+@register("q82_length_histogram", _Q82_SQL)
+def q82_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram via ``F.width_bucket`` —
+    the constant-memory profiling primitive (vs q76/q79's
+    equal-population buckets): bucket assignment is a pure projection,
+    so the only shuffle carries one row per bucket. Underflow→0,
+    overflow→n+1 per ANSI width_bucket semantics, emulated exactly by
+    the oracle's floor arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.width_bucket("n_chars", F.lit(0.0), F.lit(600.0), F.lit(12))
+        .cast("int")
+        .alias("bucket"),
+        "n_chars",
+    )
+    return b.groupBy("bucket").agg(
+        ((F.col("bucket") - 1) * 50).cast("long").alias("lo_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
