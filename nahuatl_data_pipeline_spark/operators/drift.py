@@ -1,0 +1,91 @@
+"""Corpus drift monitoring: token-distribution divergence between two
+document sets (e.g. the existing snapshot vs a new crawl batch).
+
+A training-data pipeline needs a cheap tripwire for "this batch does
+not look like the corpus" — vocabulary shift, language drift, a scraper
+suddenly emitting boilerplate. The standard signal is the divergence
+between the two token distributions; we compute smoothed KL in both
+directions plus their average on the shared support (a symmetric
+drift score; 0 = identical distributions).
+
+Plan shape (all codegen, no Python):
+  tokenize each side (split+explode projection)
+    → per-side token counts (map-side-combined groupBy)   [shuffle/side]
+    → FULL OUTER join of the two count tables on token — these are
+      vocabulary-sized (one row per distinct token), orders of
+      magnitude smaller than the corpora
+    → per-side totals as broadcast 1-row aggregates
+    → one final aggregate folds Σ p·ln(p/q) terms
+Additive (Laplace) smoothing over the UNION vocabulary keeps
+absent-token terms finite and makes the score well-defined for any
+pair of corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.tfidf import tokenize
+
+
+def _counts(df: DataFrame, id_col: str, text_col: str, name: str) -> DataFrame:
+    return (
+        tokenize(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
+
+
+def token_drift(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """One-row drift report between corpora ``a`` and ``b``.
+
+    Columns: ``vocab_a``, ``vocab_b``, ``vocab_union``, ``kl_ab``,
+    ``kl_ba`` (nats, Laplace-smoothed with ``alpha`` over the union
+    vocabulary), ``drift_score`` (their mean — symmetric). Rounded to 6
+    decimals so cross-engine float folds hash-stably.
+    """
+    ca = _counts(a, id_col, text_col, "na")
+    cb = _counts(b, id_col, text_col, "nb")
+    vocab = ca.join(cb, "term", "full_outer").select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    # per-token smoothed probabilities need the totals + union vocab
+    # size; both are 1-row aggregates broadcast back via crossJoin
+    totals = vocab.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    terms = vocab.crossJoin(F.broadcast(totals)).select(
+        "na",
+        "nb",
+        ((F.col("na") + alpha) / (F.col("ta") + alpha * F.col("v"))).alias("pa"),
+        ((F.col("nb") + alpha) / (F.col("tb") + alpha * F.col("v"))).alias("pb"),
+    )
+    return terms.agg(
+        F.sum((F.col("na") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("nb") > 0).cast("long")).alias("vocab_b"),
+        F.count(F.lit(1)).alias("vocab_union"),
+        F.round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6).alias(
+            "kl_ab"
+        ),
+        F.round(F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))), 6).alias(
+            "kl_ba"
+        ),
+        F.round(
+            (
+                F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb")))
+                + F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa")))
+            )
+            / 2,
+            6,
+        ).alias("drift_score"),
+    )

@@ -591,3 +591,58 @@ def q82_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q83: corpus drift (token-distribution KL divergence between snapshots)
+# ---------------------------------------------------------------------------
+
+_Q83_SQL = """
+    WITH ta AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    tb AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    ca AS (SELECT term, COUNT(*) AS na FROM ta WHERE term <> '' GROUP BY term),
+    cb AS (SELECT term, COUNT(*) AS nb FROM tb WHERE term <> '' GROUP BY term),
+    vocab AS (
+      SELECT COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+      FROM ca FULL OUTER JOIN cb USING (term)
+    ),
+    tot AS (SELECT SUM(na) AS sa, SUM(nb) AS sb, COUNT(*) AS v FROM vocab),
+    p AS (
+      SELECT na, nb,
+             (na + 0.5) / (sa + 0.5 * v) AS pa,
+             (nb + 0.5) / (sb + 0.5 * v) AS pb
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT CAST(SUM(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+           CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+           CAST(COUNT(*) AS BIGINT) AS vocab_union,
+           ROUND(SUM(pa * LN(pa / pb)), 6) AS kl_ab,
+           ROUND(SUM(pb * LN(pb / pa)), 6) AS kl_ba,
+           ROUND((SUM(pa * LN(pa / pb)) + SUM(pb * LN(pb / pa))) / 2, 6)
+             AS drift_score
+    FROM p
+"""
+
+
+@register("q83_corpus_drift", _Q83_SQL)
+def q83_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-batch drift tripwire (operators/drift.py:token_drift):
+    symmetric smoothed KL over the union vocabulary between the even-
+    and odd-doc_id halves of the corpus. The divergence fold runs over
+    VOCABULARY-sized count tables (one row per distinct token), so the
+    monitoring cost is decoupled from corpus size — the reference has
+    no drift check at all (its stats pass recomputes whole-corpus
+    frequency tables, benchmark/generate_stats.py:57-80)."""
+    from nahuatl_data_pipeline_spark.operators.drift import token_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

@@ -1,0 +1,41 @@
+"""Drift-score invariants (operators/drift.py): zero on identical
+corpora, positive and symmetric on diverged ones, vocab accounting."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from nahuatl_data_pipeline_spark.operators.drift import token_drift
+
+
+def _docs(spark, texts):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    return spark.createDataFrame(pdf, schema="doc_id long, text string")
+
+
+def test_identical_corpora_zero_drift(spark):
+    a = _docs(spark, ["the cat sat", "on the mat"])
+    r = token_drift(a, a).first()
+    assert r["kl_ab"] == 0.0 and r["kl_ba"] == 0.0 and r["drift_score"] == 0.0
+    assert r["vocab_a"] == r["vocab_b"] == r["vocab_union"] == 5
+
+
+def test_disjoint_vocab_drifts_more_than_overlap(spark):
+    base = _docs(spark, ["alpha beta gamma delta"])
+    near = _docs(spark, ["alpha beta gamma epsilon"])
+    far = _docs(spark, ["one two three four"])
+    d_near = token_drift(base, near).first()["drift_score"]
+    d_far = token_drift(base, far).first()["drift_score"]
+    assert 0 < d_near < d_far
+    assert token_drift(base, far).first()["vocab_union"] == 8
+
+
+def test_drift_is_symmetric(spark):
+    a = _docs(spark, ["x y z z"])
+    b = _docs(spark, ["x q q r"])
+    ab = token_drift(a, b).first()
+    ba = token_drift(b, a).first()
+    assert ab["drift_score"] == ba["drift_score"]
+    assert ab["kl_ab"] == ba["kl_ba"]
