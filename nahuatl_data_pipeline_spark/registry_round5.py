@@ -646,3 +646,62 @@ def q83_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# q84: z-score anomaly flags on the event stream
+# ---------------------------------------------------------------------------
+
+# Outliers are PLANTED (value * 50 on event_id % 997 == 0) because the
+# synthetic values are well-behaved; the operator under test is the
+# grouped z-score flagging. Stats are rounded to 6 before comparison in
+# both engines (see operators/anomaly.py) so the flagged set cannot be
+# flipped by summation-order ulps.
+_Q84_SQL = """
+    WITH w AS (
+      SELECT event_type,
+             CASE WHEN event_id % 997 = 0 THEN value * 50 ELSE value END AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             ROUND(AVG(v), 6) AS group_mean,
+             ROUND(STDDEV_SAMP(v), 6) AS group_std
+      FROM w GROUP BY event_type
+    )
+    SELECT w.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS(ROUND((w.v - s.group_mean) / s.group_std, 6))
+                              > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MIN(CASE WHEN ABS(ROUND((w.v - s.group_mean) / s.group_std, 6))
+                               > 3.0
+                          THEN w.v END), 4) AS min_outlier_value
+    FROM w JOIN stats s USING (event_type)
+    GROUP BY w.event_type
+"""
+
+
+@register("q84_event_anomalies", _Q84_SQL)
+def q84_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomaly counts (operators/anomaly.py:zscore_outliers,
+    |z| > 3): one broadcast stats aggregate + a narrow flagging
+    projection — no row-level shuffle before the final per-type count.
+    Complements the expectation suite (q34) with a statistical
+    detector; the reference has no outlier stage."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 997 == 0, F.col("value") * 50)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    flagged = zscore_outliers(ev, ["event_type"], "v", threshold=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(
+            F.min(F.when(F.col("is_outlier"), F.col("v"))), 4
+        ).alias("min_outlier_value"),
+    )
