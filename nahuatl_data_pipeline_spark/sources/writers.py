@@ -123,3 +123,35 @@ def convert_jsonl_to_parquet(
     spark.read.schema(LEGACY_INPUT_SCHEMA).json(src).drop(
         "_corrupt_record"
     ).write.mode("overwrite").parquet(dst)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-file-sorted parquet — the data-skipping
+    layout for read patterns that filter on ``order_col`` (time ranges,
+    id ranges).
+
+    ``repartitionByRange`` samples global range boundaries and gives
+    each output file a DISJOINT slice of the key space;
+    ``sortWithinPartitions`` then orders rows inside each file, so every
+    parquet row group carries tight min/max statistics. A later
+    filtered scan prunes whole files (footer min/max) and row groups
+    (predicate pushdown) instead of reading the dataset — the
+    clustered-layout half of partition pruning, for columns too
+    high-cardinality to be directory partitions. The range exchange is
+    the one deliberate shuffle: paid once at write, repaid on every
+    selective read.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(num_files, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

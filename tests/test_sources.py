@@ -375,3 +375,31 @@ def test_write_splits_scheme_agnostic(spark, tmp_path):
     assert pruned.count() == 2
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "split" in plan
+
+
+def test_write_range_sorted_files_are_disjoint_and_sorted(spark, tmp_path):
+    """The data-skipping layout contract: each output file owns a
+    disjoint doc_id range (footer min/max prune whole files) and rows
+    inside are sorted (tight row-group stats)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nahuatl_data_pipeline_spark.sources.writers import write_range_sorted
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "sorted")
+    write_range_sorted(df, out, "doc_id", num_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        t = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert t == sorted(t)  # sorted within file
+        if t:
+            ranges.append((min(t), max(t)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # pairwise disjoint key slices
+    # nothing lost in the re-layout
+    assert spark.read.parquet(out).count() == 10000
