@@ -705,3 +705,73 @@ def q84_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("is_outlier"), F.col("v"))), 4
         ).alias("min_outlier_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q85: per-document duplicated-span fraction (intra-corpus n-gram dup)
+# ---------------------------------------------------------------------------
+
+# Shingle construction mirrors q66's oracle (distinct 3-gram word
+# shingles; Python str.split() ≡ regexp \s+ split after trim).
+_Q85_SQL = """
+    WITH sh AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                    i -> ARRAY_TO_STRING(tk[i:i+2], ' ')))) AS s
+      FROM (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents WHERE doc_id < 2000
+      ) WHERE LEN(tk) >= 3
+    ),
+    firsts AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc < sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           ROUND(SUM(CASE WHEN f.first_doc < sh.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
+    FROM sh JOIN firsts f USING (s)
+    GROUP BY sh.doc_id
+"""
+
+
+@register("q85_duplicate_span_fraction", _Q85_SQL)
+def q85_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus duplication profile: for each document, the share
+    of its 3-gram shingles already present in an EARLIER document
+    (keep-first by doc_id) — the "duplicated fraction" quality signal
+    corpus reports use to size dedup work before running it. Distinct
+    from q38 (pairwise similarity) and q68 (sentence rewrite): this is
+    a per-doc scalar profile.
+
+    Plan: shingle once (Arrow pandas_udf) → explode → min-doc per
+    shingle via ONE map-side-combined aggregate → join back on the
+    shingle hash → per-doc ratio. Both shuffles are key-partitioned on
+    the shingle; nothing is quadratic and no driver state exists —
+    at 100 TB this is the same shape as the decontamination probe."""
+    from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", n=3)).alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")).alias(
+                "n_dup"
+            ),
+            F.round(
+                F.sum((F.col("first_doc") < F.col("doc_id")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
