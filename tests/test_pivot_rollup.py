@@ -108,3 +108,24 @@ def test_cube_has_all_grouping_sets(spark):
     )
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and plan.count("Exchange") == 1
+
+
+def test_rollup_null_data_key_disambiguated_by_grouping_level(spark):
+    """A NULL data value coalesces to the same 'ALL' label as a subtotal
+    row — grouping_level is the disambiguator (0 = real detail row with
+    null key, >0 = rolled-up). Pin that contract."""
+    pdf = pd.DataFrame(
+        [(None, "n1", 10.0), ("r1", "n1", 5.0)],
+        columns=["region", "nation", "amount"],
+    )
+    df = spark.createDataFrame(
+        pdf, schema="region string, nation string, amount double"
+    )
+    out = rollup_agg(df, ["region", "nation"], [F.sum("amount").alias("a")])
+    rows = {
+        (r["region"], r["nation"], r["grouping_level"]): r["a"]
+        for r in out.collect()
+    }
+    assert rows[("ALL", "n1", 0)] == 10.0  # null data key, detail level
+    assert rows[("ALL", "ALL", 3)] == 15.0  # true grand total
+    assert rows[("ALL", "ALL", 1)] == 10.0  # null-region subtotal
