@@ -52,6 +52,23 @@ def _build_parser() -> argparse.ArgumentParser:
                          help="write per-expectation JSON report here")
     quality.add_argument("--suite-name", default="corpus_suite")
 
+    drift = sub.add_parser(
+        "drift", help="token-distribution drift between two corpora"
+    )
+    drift.add_argument("--base", required=True, help="baseline parquet")
+    drift.add_argument("--batch", required=True, help="new-batch parquet")
+    drift.add_argument("--id-col", default="doc_id")
+    drift.add_argument("--text-col", default="text")
+
+    anomalies = sub.add_parser(
+        "anomalies", help="per-group z-score outliers in a metric column"
+    )
+    anomalies.add_argument("--input", required=True, help="parquet path")
+    anomalies.add_argument("--group-by", required=True)
+    anomalies.add_argument("--value-col", required=True)
+    anomalies.add_argument("--threshold", type=float, default=3.0)
+    anomalies.add_argument("--limit", type=int, default=50)
+
     query = sub.add_parser("query", help="run a registered engine query")
     query.add_argument("name")
     query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -157,6 +174,35 @@ def main(argv: list[str] | None = None) -> int:
 
             report = validation_report(results, args.suite_name)
         return 0 if report["success"] else 1
+
+    if args.cmd == "drift":
+        from nahuatl_data_pipeline_spark.operators.drift import token_drift
+
+        report = token_drift(
+            spark.read.parquet(args.base),
+            spark.read.parquet(args.batch),
+            id_col=args.id_col,
+            text_col=args.text_col,
+        ).first()
+        print(json.dumps(report.asDict()))
+        return 0
+
+    if args.cmd == "anomalies":
+        from pyspark.sql import functions as F
+
+        from nahuatl_data_pipeline_spark.operators.anomaly import (
+            zscore_outliers,
+        )
+
+        flagged = zscore_outliers(
+            spark.read.parquet(args.input),
+            [args.group_by],
+            args.value_col,
+            threshold=args.threshold,
+        ).filter(F.col("is_outlier"))
+        for row in flagged.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
 
     if args.cmd == "curate":
         from nahuatl_data_pipeline_spark.plans.curation_pipeline import (

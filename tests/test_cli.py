@@ -211,3 +211,37 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert 3 not in {r["doc_id"] for r in gold.collect()}
     # PII must be gone from the written corpus
     assert gold.filter(F.col("text").contains("x@y.example")).count() == 0
+
+
+def test_cli_drift_and_anomalies(spark, tmp_path, capsys):
+    import json as _json
+
+    from nahuatl_data_pipeline_spark.cli import main
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "epsilon zeta eta"), (4, "theta iota kappa")],
+        "doc_id long, text string",
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    assert main(["drift", "--base", pa, "--batch", pb]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["drift_score"] > 0 and rep["vocab_union"] == 10
+
+    m = spark.createDataFrame(
+        [("g", float(i)) for i in range(20)] + [("g", 10000.0)],
+        "grp string, v double",
+    )
+    pm = str(tmp_path / "m")
+    m.write.parquet(pm)
+    assert main(
+        ["anomalies", "--input", pm, "--group-by", "grp", "--value-col", "v"]
+    ) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 1
+    assert _json.loads(lines[0])["v"] == 10000.0
