@@ -775,3 +775,112 @@ def q85_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q86: forward-fill repair (LOCF) over per-user event streams
+# ---------------------------------------------------------------------------
+
+# Gaps are planted (value -> NULL on event_id % 5 == 0); the window
+# orders by (ts, event_id) so the fill source is total-ordered and both
+# engines pick the identical prior observation.
+_Q86_SQL = """
+    WITH gappy AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 50
+    )
+    SELECT user_id, event_id,
+           ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS v_filled,
+           (v IS NULL) AS was_gap
+    FROM gappy
+"""
+
+
+@register("q86_forward_fill", _Q86_SQL)
+def q86_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap repair (operators/repair.py:fill_forward): planted
+    nulls take the most recent prior observation of the same user —
+    one key-partitioned window shuffle, no self-join, no Python.
+    Leading gaps stay null by design (fill_backward closes them)."""
+    from nahuatl_data_pipeline_spark.operators.repair import fill_forward
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(F.col("event_id") % 5 == 0, None)
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+        .withColumn("was_gap", F.col("v").isNull())
+    )
+    # total order inside the fill window: (ts, event_id)
+    filled = fill_forward(
+        ev.withColumn(
+            "__ord",
+            F.struct(F.col("ts"), F.col("event_id")),
+        ),
+        ["user_id"],
+        "__ord",
+        ["v"],
+    )
+    return filled.select(
+        "user_id",
+        "event_id",
+        F.round("v", 4).alias("v_filled"),
+        "was_gap",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87: cohort retention over the event stream
+# ---------------------------------------------------------------------------
+
+_Q87_SQL = """
+    WITH cohorts AS (
+      SELECT user_id, DATE_TRUNC('month', MIN(ts)) AS cohort_month
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('month', ts) AS active_month
+      FROM events
+    )
+    SELECT STRFTIME(c.cohort_month, '%Y-%m') AS cohort_month,
+           CAST(DATEDIFF('month', c.cohort_month, a.active_month) AS INT)
+             AS months_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@register("q87_cohort_retention", _Q87_SQL)
+def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users bucketed by first-event
+    month, counted per months-since-cohort. Two map-side-combined
+    aggregates (cohort per user, distinct active months per user)
+    followed by a user-keyed join — both aggregates shuffle one row per
+    (user[, month]), and AQE broadcasts the cohort side when it fits.
+    The reference has no funnel/retention surface; this is the events-
+    table analytics a warehouse user expects alongside q05's monthly
+    status rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("month", "ts").alias("m"), "ts"
+    )
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = ev.select("user_id", F.col("m").alias("active_month")).distinct()
+    joined = activity.join(cohorts, "user_id")
+    return joined.groupBy(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+        F.months_between("active_month", "cohort_month")
+        .cast("int")
+        .alias("months_since"),
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
