@@ -884,3 +884,70 @@ def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("months_since"),
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+# ---------------------------------------------------------------------------
+# q88: ordered funnel conversion (signup → click → purchase)
+# ---------------------------------------------------------------------------
+
+# A user converts through step k when their earliest step-k event is
+# strictly after their earliest step-(k-1) event — the standard
+# ordered-funnel definition; conditional MIN per step keeps the whole
+# computation one map-side-combined aggregate per user.
+_Q88_SQL = """
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT user_id,
+             (t1 IS NOT NULL) AS s1,
+             (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1) AS s2,
+             (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+              AND t3 IS NOT NULL AND t3 > t2) AS s3
+      FROM steps
+    )
+    SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signup_click,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signup_click_purchase,
+           ROUND(SUM(CASE WHEN s3 THEN 1 ELSE 0 END)
+                 / CAST(NULLIF(SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 0)
+                        AS DOUBLE), 6) AS conversion_rate
+    FROM flags
+"""
+
+
+@register("q88_funnel_conversion", _Q88_SQL)
+def q88_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): per-user earliest
+    step timestamps via conditional MINs in ONE map-side-combined
+    aggregate (no per-step joins, no window), then a 1-row conversion
+    summary. 100 TB of events costs one user-keyed shuffle carrying
+    three timestamps per user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
+    flags = steps.select(
+        s1.cast("long").alias("s1"),
+        s2.cast("long").alias("s2"),
+        s3.cast("long").alias("s3"),
+    )
+    return flags.agg(
+        F.sum("s1").alias("n_signup"),
+        F.sum("s2").alias("n_signup_click"),
+        F.sum("s3").alias("n_signup_click_purchase"),
+        F.round(
+            F.sum("s3") / F.nullif(F.sum("s1"), F.lit(0)).cast("double"), 6
+        ).alias("conversion_rate"),
+    )
