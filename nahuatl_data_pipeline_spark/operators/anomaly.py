@@ -31,20 +31,44 @@ def zscore_outliers(
     value_col: str,
     threshold: float = 3.0,
     round_stats: int = 6,
+    broadcast_max_groups: int = 2_000_000,
 ) -> DataFrame:
     """Rows of ``df`` plus ``group_mean``, ``group_std``, ``zscore``
     (rounded) and ``is_outlier`` (|z| > threshold; groups with fewer
-    than 2 rows or zero variance flag nothing — z undefined)."""
+    than 2 rows or zero variance flag nothing — z undefined).
+
+    NULL group keys are real groups (a broken feed often emits them):
+    the stats join is null-safe, so those rows are scored against the
+    null-key group instead of silently vanishing. The broadcast of the
+    stats table is size-gated (``broadcast_max_groups``, checked with a
+    bounded ``limit().count()`` probe): a near-unique group column
+    falls back to a shuffle join rather than an unbounded broadcast."""
     v = F.col(value_col)
+    # stats keys live under aliased names so the join back onto the very
+    # DataFrame the stats derive from cannot hit ambiguous-lineage
+    # column resolution
     stats = df.groupBy(*keys).agg(
         F.round(F.avg(v), round_stats).alias("group_mean"),
         F.round(F.stddev_samp(v), round_stats).alias("group_std"),
+    ).select(
+        *[F.col(k).alias(f"__g_{k}") for k in keys],
+        "group_mean",
+        "group_std",
     )
+    fits = (
+        stats.limit(broadcast_max_groups + 1).count() <= broadcast_max_groups
+    )
+    stats_side = F.broadcast(stats) if fits else stats
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__g_{k}"))
+        cond = c if cond is None else (cond & c)
     z = F.round(
         (v - F.col("group_mean")) / F.col("group_std"), round_stats
     )
     return (
-        df.join(F.broadcast(stats), keys)
+        df.join(stats_side, cond)
+        .drop(*[f"__g_{k}" for k in keys])
         .withColumn(
             "zscore",
             F.when(

@@ -53,9 +53,17 @@ def token_drift(
     """
     ca = _counts(a, id_col, text_col, "na")
     cb = _counts(b, id_col, text_col, "nb")
-    vocab = ca.join(cb, "term", "full_outer").select(
-        F.coalesce("na", F.lit(0)).alias("na"),
-        F.coalesce("nb", F.lit(0)).alias("nb"),
+    # checkpoint the (vocabulary-sized, tiny) joined count table: it
+    # feeds BOTH the totals aggregate and the divergence fold, and
+    # without materialization each consumer would re-tokenize and
+    # re-shuffle both corpora
+    vocab = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .localCheckpoint(eager=True)
     )
     # per-token smoothed probabilities need the totals + union vocab
     # size; both are 1-row aggregates broadcast back via crossJoin

@@ -56,12 +56,28 @@ def merge_group_states(
             f"{[c for c in delta.columns if c not in keys]}"
         )
     s = state.select(
-        *keys, *[F.col(c).alias(f"__s_{c}") for c in stat_cols]
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in stat_cols],
     )
     d = delta.select(
-        *keys, *[F.col(c).alias(f"__d_{c}") for c in stat_cols]
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in stat_cols],
     )
-    merged = s.join(d, keys, "full_outer")
+    # eqNullSafe, not a bare key-list join: groupBy keeps a NULL-key
+    # group, and a plain equi-join would never match it (NULL != NULL),
+    # leaving duplicate null-key state rows after every fold.
+    cond = None
+    for k in keys:
+        c = F.col(f"__sk_{k}").eqNullSafe(F.col(f"__dk_{k}"))
+        cond = c if cond is None else (cond & c)
+    merged = s.join(d, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__sk_{k}"), F.col(f"__dk_{k}")).alias(k)
+            for k in keys
+        ],
+        *[F.col(f"__s_{c}") for c in stat_cols],
+        *[F.col(f"__d_{c}") for c in stat_cols],
+    )
     combiners = {
         "sum": lambda a, b: F.when(a.isNull(), b)
         .when(b.isNull(), a)

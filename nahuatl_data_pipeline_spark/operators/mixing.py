@@ -89,7 +89,10 @@ def cap_per_group(
     which would bias toward old crawls.
 
     One shuffle (rank window partitioned by ``group_col``; ties broken
-    by ``key`` so the cut is total). A pathologically hot group
+    by ``key`` and then by a full-row hash, so the cut is total up to
+    byte-identical duplicate rows — which are interchangeable, keeping
+    the retained MULTISET deterministic even on a pre-dedup feed with
+    repeated keys). A pathologically hot group
     concentrates its rank in one task — for that regime pre-filter with
     ``weighted_sample`` at rate ≈ cap / approx group count (one scan to
     estimate, then a narrow filter) and apply this exact cap to the
@@ -101,7 +104,10 @@ def cap_per_group(
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(str(seed) + ":"), F.col(key).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    row_h = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key).asc(), row_h.asc()
+    )
     return (
         df.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= cap)

@@ -243,8 +243,11 @@ def approx_quantile_buckets(
         bucket = bucket + F.when(
             F.col(col) > F.col("__cuts")[i], 1
         ).otherwise(0)
+    # NULL values have no rank: they must get a NULL bucket, not ride
+    # the otherwise(0) branches into bucket 1
+    bucket = F.when(F.col(col).isNotNull(), bucket.cast("int"))
     return (
         df.crossJoin(F.broadcast(cuts))
-        .withColumn(bucket_col, bucket.cast("int"))
+        .withColumn(bucket_col, bucket)
         .drop("__cuts")
     )

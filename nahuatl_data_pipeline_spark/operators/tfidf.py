@@ -29,10 +29,17 @@ from pyspark.sql import functions as F
 
 
 def tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per (doc, token): whitespace split, empties dropped.
-    Pure projection + generator — stays in whole-stage codegen."""
+    """One row per (doc, token): trim + lowercase + ``\\s+`` split,
+    empties dropped — the SAME tokenization contract as the dedup /
+    curation operators (functions/hashing.py:token_set), so tf-idf and
+    drift vocabularies agree with every other operator's view of the
+    corpus. Pure projection + generator — stays in whole-stage
+    codegen."""
     return docs.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+        id_col,
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
     ).filter(F.col("term") != "")
 
 

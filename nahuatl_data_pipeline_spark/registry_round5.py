@@ -248,7 +248,9 @@ _Q75_SQL = """
       SELECT doc_id, text FROM documents WHERE doc_id < 300
     ),
     toks AS (
-      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM scope
+      SELECT doc_id,
+             UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS term
+      FROM scope
     ),
     tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM toks
@@ -599,11 +601,11 @@ def q82_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q83_SQL = """
     WITH ta AS (
-      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+      SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS term
       FROM documents WHERE doc_id % 2 = 0
     ),
     tb AS (
-      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+      SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS term
       FROM documents WHERE doc_id % 2 = 1
     ),
     ca AS (SELECT term, COUNT(*) AS na FROM ta WHERE term <> '' GROUP BY term),

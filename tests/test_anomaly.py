@@ -39,3 +39,43 @@ def test_stats_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_group_keys_are_scored_not_dropped(spark):
+    rows = [(None, float(x)) for x in range(20)] + [(None, 5000.0), ("g", 1.0)]
+    out = zscore_outliers(_metrics(spark, rows), ["g"], "v")
+    assert out.count() == 22  # nothing vanishes
+    flagged = out.filter(F.col("is_outlier")).collect()
+    assert [r["v"] for r in flagged] == [5000.0]
+    assert flagged[0]["g"] is None  # scored within the null-key group
+
+
+def test_broadcast_gate_falls_back_on_many_groups(spark):
+    """With auto-broadcast disabled (the test_similarity.py pattern —
+    the planner would otherwise broadcast any test-sized side on its
+    own), a BroadcastExchange can only come from the operator's forced
+    hint; over the group cap the gate must leave none."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        df = _metrics(spark, [(str(i), float(i)) for i in range(100)])
+        plan = (
+            zscore_outliers(df, ["g"], "v", broadcast_max_groups=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" not in plan  # gate flipped to shuffle
+        gated = zscore_outliers(df, ["g"], "v", broadcast_max_groups=10)
+        assert gated.count() == 100  # fallback plan still correct
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

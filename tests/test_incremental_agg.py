@@ -120,3 +120,27 @@ def test_foreachbatch_state_fold_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, state["df"].collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_merge_null_key_groups_fold_together(spark):
+    """NULL group keys are real groups: the merge must combine them,
+    not emit duplicate null-key state rows (null-safe join contract)."""
+    a = _events(spark, [(None, 1.0), ("x", 5.0)])
+    b = _events(spark, [(None, 2.0)])
+    merged = merge_group_states(
+        group_state(a, ["k"], "v"), group_state(b, ["k"], "v"), ["k"]
+    )
+    rows = {r["k"]: (r["sum_v"], r["cnt_v"], r["min_v"], r["max_v"])
+            for r in merged.collect()}
+    assert len(rows) == 2
+    assert rows[None] == (3.0, 2, 1.0, 2.0)
+    assert rows["x"] == (5.0, 1, 5.0, 5.0)
+
+
+def test_quantile_buckets_null_values_get_null_bucket(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, None]})
+    df = spark.createDataFrame(pdf, schema="x double")
+    out = approx_quantile_buckets(df, "x", n_buckets=2)
+    got = {r["x"]: r["bucket"] for r in out.collect()}
+    assert got[None] is None          # no rank -> no bucket
+    assert got[1.0] == 1 and got[4.0] == 2

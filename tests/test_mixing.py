@@ -133,3 +133,23 @@ def test_cap_per_group_exact_and_deterministic(spark):
     assert cap_per_group(df, "g", key="id", cap=1000).count() == 900
     with pytest.raises(ValueError):
         cap_per_group(df, "g", key="id", cap=-1)
+
+
+def test_cap_per_group_deterministic_with_duplicate_keys(spark):
+    """Pre-dedup feeds repeat keys; the retained MULTISET must still be
+    deterministic under repartitioning (full-row hash tiebreak)."""
+    import pandas as pd
+
+    from nahuatl_data_pipeline_spark.operators.mixing import cap_per_group
+
+    pdf = pd.DataFrame(
+        {"id": [i % 10 for i in range(200)],
+         "g": ["g"] * 200,
+         "payload": [f"p{i % 20}" for i in range(200)]}
+    )
+    df = spark.createDataFrame(pdf, schema="id long, g string, payload string")
+    a = sorted(map(tuple, cap_per_group(df, "g", key="id", cap=7).collect()))
+    b = sorted(
+        map(tuple, cap_per_group(df.repartition(13), "g", key="id", cap=7).collect())
+    )
+    assert a == b and len(a) == 7
