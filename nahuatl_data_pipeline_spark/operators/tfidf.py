@@ -6,20 +6,24 @@ distributed generalization to tf-idf with per-document top-k terms —
 the standard relevance/keyword-extraction primitive a curation
 pipeline uses for topic tagging and boilerplate spotting.
 
-Plan shape (all codegen, no Python):
+Plan shape (all codegen, no Python) — deliberately LINEAR:
   tokenize (split+explode projection)
     → tf: groupBy(doc, term) map-side-combined count      [shuffle 1]
-    → df: groupBy(term) count over the tf rows (already
-      one row per (doc,term), so document frequency is a
-      plain count)                                        [shuffle 2]
+    → df: count window PARTITIONED BY term over the tf
+      rows (one row per (doc,term), so the window count
+      IS document frequency)                              [shuffle 2]
     → N: 1-row corpus count, crossJoin-broadcast — the
       scalar never touches the driver
     → score = tf * ln((1+N)/(1+df)) (smoothed idf)
     → per-doc top-k via rank window partitioned by doc    [shuffle 3]
 
-Three key-partitioned shuffles, each behind a partial aggregate;
-nothing global, nothing driver-side — the same plan at 100 TB just
-has more reducers.
+The df step is a window, not a groupBy-then-self-join: joining tf back
+to an aggregate OF tf duplicates the whole tokenize+aggregate subtree
+in the plan (Spark does not reuse the exchange across the two branches
+under AQE — measured), so every document would be tokenized twice. The
+window consumes tf's output in place: same shuffle-by-term cost, one
+tokenize. Three key-partitioned shuffles total; nothing global,
+nothing driver-side — the same plan at 100 TB just has more reducers.
 """
 
 from __future__ import annotations
@@ -59,10 +63,12 @@ def tfidf_top_terms(
     """
     toks = tokenize(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n = docs.select(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(df, "term")
+        with_df
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
