@@ -751,19 +751,26 @@ def q85_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-doc scalar profile.
 
     Plan: shingle once (Arrow pandas_udf) → explode → min-doc per
-    shingle via ONE map-side-combined aggregate → join back on the
-    shingle hash → per-doc ratio. Both shuffles are key-partitioned on
-    the shingle; nothing is quadratic and no driver state exists —
-    at 100 TB this is the same shape as the decontamination probe."""
+    shingle as a WINDOW over the exploded rows (a groupBy + join-back
+    would duplicate the shingling subtree in the plan) → per-doc
+    ratio. One shingle-keyed shuffle, one doc-keyed; nothing is
+    quadratic and no driver state exists — at 100 TB this is the same
+    shape as the decontamination probe."""
     from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", n=3)).alias("s")
     )
-    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    # first_doc as a window over sh, NOT groupBy + join-back: the
+    # self-join shape would duplicate the shingling pandas_udf subtree
+    # in the plan (no exchange reuse under AQE — the tfidf lesson),
+    # running the expensive Arrow shingle pass twice per corpus
+    from pyspark.sql import Window
+
+    first_doc = F.min("doc_id").over(Window.partitionBy("s"))
     return (
-        sh.join(firsts, "s")
+        sh.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
