@@ -57,7 +57,6 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     drift.add_argument("--base", required=True, help="baseline parquet")
     drift.add_argument("--batch", required=True, help="new-batch parquet")
-    drift.add_argument("--id-col", default="doc_id")
     drift.add_argument("--text-col", default="text")
 
     anomalies = sub.add_parser(
@@ -181,7 +180,6 @@ def main(argv: list[str] | None = None) -> int:
         report = token_drift(
             spark.read.parquet(args.base),
             spark.read.parquet(args.batch),
-            id_col=args.id_col,
             text_col=args.text_col,
         ).first()
         print(json.dumps(report.asDict()))
@@ -200,7 +198,14 @@ def main(argv: list[str] | None = None) -> int:
             args.value_col,
             threshold=args.threshold,
         ).filter(F.col("is_outlier"))
-        for row in flagged.limit(args.limit).collect():
+        # most-severe-first with a total order: when outliers exceed
+        # --limit, the printed subset is the worst N and reproducible
+        worst_first = flagged.orderBy(
+            F.abs(F.col("zscore")).desc(),
+            F.col(args.group_by).asc_nulls_last(),
+            F.col(args.value_col).asc(),
+        )
+        for row in worst_first.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
         return 0
 
@@ -220,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
             cfg=CurationConfig(
                 min_words=args.min_words, jaccard_threshold=args.jaccard
             ),
-            id_col=args.id_col,
+            
             text_col=args.text_col,
         )
         print(json.dumps(stats))

@@ -47,13 +47,21 @@ def zscore_outliers(
     # stats keys live under aliased names so the join back onto the very
     # DataFrame the stats derive from cannot hit ambiguous-lineage
     # column resolution
-    stats = df.groupBy(*keys).agg(
-        F.round(F.avg(v), round_stats).alias("group_mean"),
-        F.round(F.stddev_samp(v), round_stats).alias("group_std"),
-    ).select(
-        *[F.col(k).alias(f"__g_{k}") for k in keys],
-        "group_mean",
-        "group_std",
+    # localCheckpoint: the stats table is consumed twice (size probe +
+    # scoring join); without materialization each consumer would re-run
+    # the whole upstream aggregate over df
+    stats = (
+        df.groupBy(*keys)
+        .agg(
+            F.round(F.avg(v), round_stats).alias("group_mean"),
+            F.round(F.stddev_samp(v), round_stats).alias("group_std"),
+        )
+        .select(
+            *[F.col(k).alias(f"__g_{k}") for k in keys],
+            "group_mean",
+            "group_std",
+        )
+        .localCheckpoint(eager=True)
     )
     fits = (
         stats.limit(broadcast_max_groups + 1).count() <= broadcast_max_groups

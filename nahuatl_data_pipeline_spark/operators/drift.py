@@ -26,12 +26,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nahuatl_data_pipeline_spark.operators.tfidf import tokenize
-
-
-def _counts(df: DataFrame, id_col: str, text_col: str, name: str) -> DataFrame:
+def _counts(df: DataFrame, text_col: str, name: str) -> DataFrame:
+    """Corpus token counts — the same tokenization contract as
+    operators/tfidf.py:tokenize (trim + lowercase + ``\\s+`` split),
+    but id-free: drift needs only the terms, so a corpus without a
+    document-id column is fine."""
     return (
-        tokenize(df, id_col, text_col)
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias(name))
     )
@@ -40,19 +46,20 @@ def _counts(df: DataFrame, id_col: str, text_col: str, name: str) -> DataFrame:
 def token_drift(
     a: DataFrame,
     b: DataFrame,
-    id_col: str = "doc_id",
+    id_col: str = "doc_id",  # kept for API symmetry; drift is id-free
     text_col: str = "text",
     alpha: float = 0.5,
 ) -> DataFrame:
-    """One-row drift report between corpora ``a`` and ``b``.
+    """One-row drift report between corpora ``a`` and ``b`` (only
+    ``text_col`` is read — corpora without an id column work).
 
     Columns: ``vocab_a``, ``vocab_b``, ``vocab_union``, ``kl_ab``,
     ``kl_ba`` (nats, Laplace-smoothed with ``alpha`` over the union
     vocabulary), ``drift_score`` (their mean — symmetric). Rounded to 6
     decimals so cross-engine float folds hash-stably.
     """
-    ca = _counts(a, id_col, text_col, "na")
-    cb = _counts(b, id_col, text_col, "nb")
+    ca = _counts(a, text_col, "na")
+    cb = _counts(b, text_col, "nb")
     # checkpoint the (vocabulary-sized, tiny) joined count table: it
     # feeds BOTH the totals aggregate and the divergence fold, and
     # without materialization each consumer would re-tokenize and

@@ -30,15 +30,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def _gated_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
+    """Broadcast hint only when a bounded ``limit().count()`` probe says
+    the side fits (the similarity.py gate pattern) — an oversized batch
+    (backfill, initial load) falls back to the planner's shuffle join
+    instead of an unbounded forced broadcast."""
+    if df.limit(max_rows + 1).count() <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_max_updates: int = 2_000_000,
+) -> DataFrame:
     """SCD1 merge: ``updates`` replace base rows on ``keys``; base rows
     without a matching update carry over; update-only keys insert.
     Schemas must match (enforced by ``unionByName``). The join is
-    key-only, so Catalyst broadcasts the (typically small) update batch
-    and the base side streams through without a shuffle.
+    key-only and the update side's broadcast is size-gated
+    (``broadcast_max_updates``): a normal CDC batch broadcasts so the
+    base side streams through without a shuffle; an oversized batch
+    falls back to a shuffle join rather than a forced broadcast.
     """
     surviving = base.join(
-        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+        _gated_broadcast(
+            updates.select(*keys).distinct(), broadcast_max_updates
+        ),
+        keys,
+        "left_anti",
     )
     return surviving.unionByName(updates.select(*base.columns))
 
@@ -59,6 +80,7 @@ def scd2_merge(
     tracked: list[str],
     version_col: str = "version",
     current_col: str = "is_current",
+    broadcast_max_updates: int = 2_000_000,
 ) -> DataFrame:
     """SCD2 merge of an update batch into a version-1 base snapshot.
 
@@ -72,9 +94,11 @@ def scd2_merge(
     - brand-new key in updates → (v2, true) insert, no history row.
 
     Plan: the changed-key set comes from ONE inner join of base and
-    updates on ``keys`` (update batch broadcast — CDC batches are small
-    relative to the dimension), then the base scan is tagged by a
-    broadcast semi-join membership. The base table crosses no shuffle.
+    updates on ``keys`` (update batch broadcast when it passes the
+    ``broadcast_max_updates`` gate — CDC batches are small relative to
+    the dimension; oversized backfills fall back to shuffle joins),
+    then the base scan is tagged by the same gated membership joins.
+    With a broadcastable batch the base table crosses no shuffle.
 
     Preconditions: ``base`` holds one current row per key (a v1
     snapshot) and ``updates`` one row per key (dedupe a raw CDC feed
@@ -85,26 +109,34 @@ def scd2_merge(
     # build side) yields every matched pair; changed/matched key sets
     # are projections of it, each bounded by the batch size, so they
     # are themselves broadcastable. The base table never shuffles.
-    pairs = base.alias("b").join(F.broadcast(updates.alias("u")), keys, "inner")
+    fits = (
+        updates.limit(broadcast_max_updates + 1).count()
+        <= broadcast_max_updates
+    )
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if fits else df
+
+    pairs = base.alias("b").join(_side(updates.alias("u")), keys, "inner")
     changed_keys = pairs.filter(_changed_predicate(tracked)).select(
         *[F.col(f"b.{k}") for k in keys]
     )
     matched_keys = pairs.select(*[F.col(f"b.{k}") for k in keys])
     base_rows = (
         base.join(
-            F.broadcast(changed_keys.withColumn("__chg", F.lit(1))), keys, "left"
+            _side(changed_keys.withColumn("__chg", F.lit(1))), keys, "left"
         )
         .withColumn(version_col, F.lit(1))
         .withColumn(current_col, F.col("__chg").isNull())
         .drop("__chg")
     )
     new_keys = updates.select(*keys).join(
-        F.broadcast(matched_keys), keys, "left_anti"
+        _side(matched_keys), keys, "left_anti"
     )
     inserting_keys = changed_keys.unionByName(new_keys).distinct()
     new_rows = (
         updates.select(*attrs)
-        .join(F.broadcast(inserting_keys), keys, "left_semi")
+        .join(_side(inserting_keys), keys, "left_semi")
         .withColumn(version_col, F.lit(2))
         .withColumn(current_col, F.lit(True))
     )

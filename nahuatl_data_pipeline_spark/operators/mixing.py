@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 _DENOM = float(16**8)
 
 
+def seeded_md5(key: Column, seed: int) -> Column:
+    """The shared ``md5("{seed}:" || key)`` expression every mixing
+    operator derives its order/bucket from — one definition, so the
+    seeding scheme can never drift between ``sample_bucket`` (and its
+    SQL oracles) and ``cap_per_group``."""
+    return F.md5(F.concat(F.lit(str(seed) + ":"), key.cast("string")))
+
+
 def sample_bucket(key: Column, seed: int) -> Column:
     """Uniform [0,1) bucket from content: first 8 md5 hex chars / 16^8.
 
@@ -31,7 +39,7 @@ def sample_bucket(key: Column, seed: int) -> Column:
     matching SQL semantics (`NULL < rate` is not true). concat_ws would
     skip the null and hash every null-key row to one constant bucket,
     keeping or dropping them all together depending on the rate."""
-    h = F.md5(F.concat(F.lit(str(seed) + ":"), key.cast("string")))
+    h = seeded_md5(key, seed)
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
 
 
@@ -103,7 +111,7 @@ def cap_per_group(
         raise ValueError(f"cap must be >= 0, got {cap}")
     from pyspark.sql import Window
 
-    h = F.md5(F.concat(F.lit(str(seed) + ":"), F.col(key).cast("string")))
+    h = seeded_md5(F.col(key), seed)
     row_h = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
     w = Window.partitionBy(group_col).orderBy(
         h.asc(), F.col(key).asc(), row_h.asc()
