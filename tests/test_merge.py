@@ -77,3 +77,34 @@ def test_merge_plans_broadcast_not_sortmerge(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_merge_gate_fallback_matches_broadcast_path(spark):
+    """Forcing the size gate to fail (max_updates=0) must change only
+    the join strategy, never the merged result."""
+    base = _df(spark, [(i, "a", float(i)) for i in range(50)])
+    updates = _df(spark, [(1, "a", 100.0), (99, "z", 9.0)])
+    fast = sorted(map(tuple, upsert(base, updates, ["k"]).collect()))
+    slow = sorted(
+        map(
+            tuple,
+            upsert(base, updates, ["k"], broadcast_max_updates=0).collect(),
+        )
+    )
+    assert fast == slow
+    fast2 = sorted(
+        map(
+            tuple,
+            scd2_merge(base, updates, keys=["k"], tracked=["val"]).collect(),
+        )
+    )
+    slow2 = sorted(
+        map(
+            tuple,
+            scd2_merge(
+                base, updates, keys=["k"], tracked=["val"],
+                broadcast_max_updates=0,
+            ).collect(),
+        )
+    )
+    assert fast2 == slow2
