@@ -74,20 +74,28 @@ def connected_components(
     for _ in range(max_iter):
         prop = sym.join(
             labels.withColumnRenamed("id", "s"), "s"
-        ).select(F.col("d").alias("id"), "comp")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+        ).select(
+            F.col("d").alias("id"),
+            "comp",
+            F.lit(None).cast("long").alias("__old"),
+        )
+        # the old label rides through the SAME aggregate (min ignores
+        # nulls, and only the old row carries __old), so convergence is
+        # a cheap filter-count on the checkpointed result instead of a
+        # per-round new⋈old join — one shuffle saved every round
+        merged = labels.select(
+            "id", "comp", F.col("comp").alias("__old")
+        ).unionByName(prop)
+        agg = (
+            merged.groupBy("id")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min("__old").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = agg.filter(F.col("comp") < F.col("__old")).count()
+        labels = agg.drop("__old")
         if changed == 0:
             return labels
     raise ValueError(
