@@ -57,6 +57,8 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     drift.add_argument("--base", required=True, help="baseline parquet")
     drift.add_argument("--batch", required=True, help="new-batch parquet")
+    drift.add_argument("--id-col", default="doc_id",
+                       help="accepted for compatibility; drift is id-free")
     drift.add_argument("--text-col", default="text")
 
     anomalies = sub.add_parser(
@@ -225,7 +227,7 @@ def main(argv: list[str] | None = None) -> int:
             cfg=CurationConfig(
                 min_words=args.min_words, jaccard_threshold=args.jaccard
             ),
-            
+            id_col=args.id_col,
             text_col=args.text_col,
         )
         print(json.dumps(stats))

@@ -34,7 +34,10 @@ def _gated_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
     """Broadcast hint only when a bounded ``limit().count()`` probe says
     the side fits (the similarity.py gate pattern) — an oversized batch
     (backfill, initial load) falls back to the planner's shuffle join
-    instead of an unbounded forced broadcast."""
+    instead of an unbounded forced broadcast. The probed side is
+    localCheckpoint'ed first: it is consumed twice (probe + join), and
+    without materialization the probe would re-run its whole lineage."""
+    df = df.localCheckpoint(eager=True)
     if df.limit(max_rows + 1).count() <= max_rows:
         return F.broadcast(df)
     return df
@@ -109,6 +112,10 @@ def scd2_merge(
     # build side) yields every matched pair; changed/matched key sets
     # are projections of it, each bounded by the batch size, so they
     # are themselves broadcastable. The base table never shuffles.
+    # updates is consumed four times (probe, pairs, new_keys, new_rows):
+    # materialize it once so the probe and every join leg read the
+    # checkpoint instead of re-running the batch's lineage.
+    updates = updates.localCheckpoint(eager=True)
     fits = (
         updates.limit(broadcast_max_updates + 1).count()
         <= broadcast_max_updates

@@ -32,6 +32,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def term_array(text_col: str):
+    """THE tokenization expression (trim + lowercase + ``\s+`` split)
+    shared by every term-level operator (tf-idf here, drift's corpus
+    counts) — one definition, so vocabularies cannot drift between
+    operators or their SQL oracles."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
 def tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per (doc, token): trim + lowercase + ``\\s+`` split,
     empties dropped — the SAME tokenization contract as the dedup /
@@ -40,10 +48,7 @@ def tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpus. Pure projection + generator — stays in whole-stage
     codegen."""
     return docs.select(
-        id_col,
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("term"),
+        id_col, F.explode(term_array(text_col)).alias("term")
     ).filter(F.col("term") != "")
 
 
