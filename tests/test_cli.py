@@ -245,3 +245,28 @@ def test_cli_drift_and_anomalies(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 1
     assert _json.loads(lines[0])["v"] == 10000.0
+
+
+def test_cli_curate_honors_custom_id_col(spark, tmp_path, capsys):
+    """--id-col must reach the pipeline (a sed once silently dropped the
+    pass-through): a table keyed by my_id with NO doc_id column runs."""
+    import json as _json
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog by the river today."),
+            (2, "a completely different document with plenty of distinct words here."),
+        ],
+        "my_id long, text string",
+    )
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "gold")
+    docs.write.parquet(src)
+
+    from nahuatl_data_pipeline_spark.cli import main
+
+    assert main(["curate", "--input", src, "--out", out,
+                 "--id-col", "my_id", "--min-words", "5"]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input"] == 2
+    assert "my_id" in spark.read.parquet(out).columns
