@@ -154,6 +154,38 @@ def document_fingerprint(c: ColumnOrName, bits: int = 64) -> Column:
 # --- compression-ratio quality signal ---------------------------------------
 
 
+def char_entropy(c: ColumnOrName) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    exact-math sibling of :func:`compression_ratio` (low ⇒ repetitive
+    boilerplate, ~4+ ⇒ natural prose / noise). Unlike zlib, this IS
+    SQL-expressible (DuckDB's ``entropy()`` over unnested chars uses the
+    same -Σ p·log2 p definition), so it gets a hash oracle (q92).
+
+    Arrow-batched pandas_udf: character counting per batch, no shuffle —
+    a 100 TB scoring pass is one narrow projection. An explode-to-chars
+    DataFrame formulation would be exact too but shuffles one row PER
+    CHARACTER, which is the wrong trade at any scale. NULL→NULL,
+    ''→NULL (no distribution)."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _entropy(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or t == "":
+                return None
+            n = len(t)
+            return -sum(
+                (k / n) * math.log2(k / n) for k in Counter(t).values()
+            )
+
+        return s.map(one)
+
+    return _entropy(_col(c))
+
+
 def compression_ratio(c: ColumnOrName, level: int = 6) -> Column:
     """zlib-compressed size / raw UTF-8 size — the classic curation signal
     (near 0 ⇒ repetitive boilerplate, near/above 1 ⇒ high-entropy noise;

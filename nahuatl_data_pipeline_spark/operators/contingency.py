@@ -1,0 +1,76 @@
+"""Contingency-table association stats: Pearson chi-squared test of
+independence between two categorical columns.
+
+The drift (operators/drift.py) and anomaly (operators/anomaly.py)
+detectors watch ONE distribution; chi-squared watches the JOINT
+distribution of two — "did event mix become dependent on weekday?" is a
+data-quality tripwire no marginal histogram can catch.
+
+Plan shape: one (a, b)-keyed count aggregate over the raw table (the
+only full-data shuffle, map-side combined), localCheckpoint'ed because
+the |A|×|B| cell table is consumed by three marginal aggregates — the
+no-exchange-reuse lesson (tfidf.py) applied at design time. Marginals
+are broadcast back onto the cells; the statistic folds in one 1-row
+aggregate. 100 TB in, |A|×|B| rows after the first exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_levels(col: str):
+    """Distinct level count INCLUDING a null level — count_distinct
+    ignores NULLs, so add one back when any null key exists (the
+    anomaly.py null-safe-group convention)."""
+    return F.count_distinct(F.col(col)) + F.max(
+        F.when(F.col(col).isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """1-row DataFrame: ``chi2`` (rounded 6), ``dof``, ``n_obs`` for the
+    independence test of ``col_a`` vs ``col_b``. NULL categories count
+    as regular levels — the marginal joins are ``eqNullSafe`` (a plain
+    equi-join would silently DROP every null-keyed cell, the q84-oracle
+    bug class); dropped-row semantics are the caller's filter upstream.
+    """
+    cells = (
+        df.groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
+    row_tot = cells.groupBy(col_a).agg(F.sum("n_ab").alias("n_a"))
+    col_tot = cells.groupBy(col_b).agg(F.sum("n_ab").alias("n_b"))
+    grand = cells.agg(
+        F.sum("n_ab").alias("n"),
+        _n_levels(col_a).alias("ka"),
+        _n_levels(col_b).alias("kb"),
+    )
+    c, r, k = cells.alias("c"), row_tot.alias("r"), col_tot.alias("k")
+    expected = F.col("n_a") * F.col("n_b") / F.col("n")
+    return (
+        c.join(
+            F.broadcast(r),
+            F.col(f"c.{col_a}").eqNullSafe(F.col(f"r.{col_a}")),
+        )
+        .join(
+            F.broadcast(k),
+            F.col(f"c.{col_b}").eqNullSafe(F.col(f"k.{col_b}")),
+        )
+        .crossJoin(F.broadcast(grand))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n_ab") - expected) * (F.col("n_ab") - expected)
+                    / expected
+                ),
+                6,
+            ).alias("chi2"),
+            ((F.first("ka") - 1) * (F.first("kb") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.first("n").cast("long").alias("n_obs"),
+        )
+    )

@@ -56,6 +56,12 @@ def upsert(
     (``broadcast_max_updates``): a normal CDC batch broadcasts so the
     base side streams through without a shuffle; an oversized batch
     falls back to a shuffle join rather than a forced broadcast.
+
+    Precondition: ``updates`` carries ONE row per key — same contract as
+    ``scd2_merge``. A raw CDC feed with repeated keys would union every
+    duplicate into the snapshot (the anti-join removes the one base row
+    but keeps all update copies); collapse it first with
+    ``operators/dedup.py:keep_last`` on an ordering column.
     """
     surviving = base.join(
         _gated_broadcast(
@@ -125,10 +131,20 @@ def scd2_merge(
         return F.broadcast(df) if fits else df
 
     pairs = base.alias("b").join(_side(updates.alias("u")), keys, "inner")
-    changed_keys = pairs.filter(_changed_predicate(tracked)).select(
-        *[F.col(f"b.{k}") for k in keys]
-    )
-    matched_keys = pairs.select(*[F.col(f"b.{k}") for k in keys])
+    # Materialize the matched-key projection ONCE (it is batch-bounded,
+    # hence tiny): without this, changed_keys/matched_keys would stay
+    # unmaterialized views of `pairs` and every downstream join leg
+    # (base_rows, new_keys, new_rows) would re-run the base⨝updates
+    # join — AQE does not reuse exchanges across separately-planned
+    # subtrees (the tfidf.py lesson). With it, the base table is
+    # scanned exactly twice: once for the pairs join, once for the
+    # output tagging.
+    matched = pairs.select(
+        *[F.col(f"b.{k}") for k in keys],
+        _changed_predicate(tracked).alias("__changed"),
+    ).localCheckpoint(eager=True)
+    changed_keys = matched.filter(F.col("__changed")).drop("__changed")
+    matched_keys = matched.drop("__changed")
     base_rows = (
         base.join(
             _side(changed_keys.withColumn("__chg", F.lit(1))), keys, "left"

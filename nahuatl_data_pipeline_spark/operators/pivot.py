@@ -73,6 +73,32 @@ def cube_agg(
     return out.select(*cols)
 
 
+def grouping_sets_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sets: list[list[str]],
+    aggs: list[Column],
+    total_label: str = "ALL",
+) -> DataFrame:
+    """Arbitrary grouping sets (the general form rollup/cube specialize):
+    exactly the requested ``sets`` — e.g. two independent 1-D marginals
+    WITHOUT the 2-D detail a cube would force — in ONE Expand shuffle,
+    never one aggregate per set re-scanning the input. Same
+    ``grouping_level`` bitmask + ``total_label`` coalescing contract as
+    :func:`rollup_agg`/:func:`cube_agg`. Expand factor = len(sets), so
+    cost is proportional to the sets you actually asked for.
+    """
+    out = df.groupingSets(sets, *group_cols).agg(
+        F.grouping_id().alias("grouping_level"), *aggs
+    )
+    for c in group_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(total_label)))
+    cols = group_cols + ["grouping_level"] + [
+        c for c in out.columns if c not in group_cols + ["grouping_level"]
+    ]
+    return out.select(*cols)
+
+
 def rollup_agg(
     df: DataFrame,
     rollup_cols: list[str],

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 
 def term_array(text_col: str):
-    """THE tokenization expression (trim + lowercase + ``\s+`` split)
+    r"""THE tokenization expression (trim + lowercase + ``\s+`` split)
     shared by every term-level operator (tf-idf here, drift's corpus
     counts) — one definition, so vocabularies cannot drift between
     operators or their SQL oracles."""

@@ -210,13 +210,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 equi-join + A5 top-k. customer is the small side → explicit
-    broadcast so the join is shuffle-free at any orders volume."""
+    """J1 equi-join + A5 top-k. ``customer`` grows with scale factor, so
+    it carries NO forced broadcast hint: AQE broadcasts it while it fits
+    under ``autoBroadcastJoinThreshold`` and degrades to a shuffle join
+    at scales where a forced broadcast would OOM the driver (the
+    nation/region dims elsewhere stay hinted — they are fixed 25/5
+    rows). Fallback behaviour is asserted in tests/test_plans.py."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
         orders.join(
-            F.broadcast(customer),
+            customer,
             orders.o_custkey == customer.c_custkey,
             "inner",
         )
@@ -406,10 +410,14 @@ def q08_nations_with_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09_revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-hop dimension join: every dim is broadcast so the fact table
-    never shuffles until the final 25-group aggregate."""
+    """Multi-hop dimension join. ``nation``/``region`` are fixed-size
+    (25/5 rows) → forced broadcast is always safe. ``customer`` scales
+    with the data, so its join is left to AQE: broadcast while small,
+    shuffle join beyond the threshold (tests/test_plans.py asserts the
+    fallback). The fact table still never shuffles before the final
+    25-group aggregate whenever customer fits."""
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     return (
@@ -1103,3 +1111,4 @@ def q33_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from nahuatl_data_pipeline_spark import registry_ext  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_curation  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round5  # noqa: E402,F401
+from nahuatl_data_pipeline_spark import registry_round6  # noqa: E402,F401

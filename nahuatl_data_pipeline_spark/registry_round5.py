@@ -76,8 +76,11 @@ _Q72_SQL = """
 def q72_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subtotal hierarchy via ``rollup_agg``: detail, per-region, and
     grand-total rows from ONE shuffle (Spark expands grouping sets
-    map-side). Dimensions reach the fact scan as broadcasts — the
-    orders side never shuffles before the aggregate. ``grouping_level``
+    map-side). Fixed-size dims (nation 25, region 5 rows) are force-
+    broadcast; ``customer`` scales with the data so its join is left to
+    AQE — broadcast while it fits, shuffle fallback beyond (asserted in
+    tests/test_plans.py). The orders side never shuffles before the
+    aggregate whenever customer fits. ``grouping_level``
     = F.grouping_id() = the ANSI GROUPING() bitmask, reproduced in the
     oracle."""
     from nahuatl_data_pipeline_spark.operators.pivot import rollup_agg
@@ -89,7 +92,7 @@ def q72_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(
@@ -679,7 +682,7 @@ _Q84_SQL = """
            ROUND(MIN(CASE WHEN ABS(ROUND((w.v - s.group_mean) / s.group_std, 6))
                                > 3.0
                           THEN w.v END), 4) AS min_outlier_value
-    FROM w JOIN stats s USING (event_type)
+    FROM w JOIN stats s ON w.event_type IS NOT DISTINCT FROM s.event_type
     GROUP BY w.event_type
 """
 

@@ -1,0 +1,319 @@
+"""Registry: queries added in round 6.
+
+Starts with the cube cross-tab (operators/pivot.py:cube_agg was
+unit-only until now — same exact-oracle bar as q72's rollup), then
+grows with the round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.schemas import load_table
+
+
+# ---------------------------------------------------------------------------
+# q89: region × order-status cube (all four grouping sets)
+# ---------------------------------------------------------------------------
+
+_Q89_SQL = """
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(o.o_orderstatus, 'ALL') AS order_status,
+           GROUPING(r.r_name) * 2 + GROUPING(o.o_orderstatus)
+             AS grouping_level,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY CUBE(r.r_name, o.o_orderstatus)
+"""
+
+
+@register("q89_status_region_cube", _Q89_SQL)
+def q89_status_region_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-tab via ``cube_agg``: detail, per-region, per-status,
+    and grand-total rows from ONE Expand shuffle (2^2 grouping sets,
+    expanded map-side — never four separate aggregates). Same
+    ``grouping_level`` = ANSI GROUPING bitmask contract as q72's
+    rollup. Fixed-size dims (nation/region) are force-broadcast;
+    ``customer`` scales with the data so its join is left to AQE
+    (broadcast while it fits, shuffle fallback beyond)."""
+    from nahuatl_data_pipeline_spark.operators.pivot import cube_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("o_orderstatus").alias("order_status"),
+            "o_totalprice",
+        )
+    )
+    return cube_agg(
+        joined,
+        ["region_name", "order_status"],
+        [
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90: hourly OHLC bars per event type
+# ---------------------------------------------------------------------------
+
+_Q90_SQL = """
+    WITH ranked AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bar_ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, DATE_TRUNC('hour', ts)
+               ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, DATE_TRUNC('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT event_type, bar_ts,
+           ROUND(MAX(CASE WHEN ra = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MAX(CASE WHEN rd = 1 THEN value END), 4) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM ranked
+    GROUP BY event_type, bar_ts
+"""
+
+
+@register("q90_ohlc_bars", _Q90_SQL)
+def q90_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling (operators/timeseries.py): open/close
+    via min_by/max_by over a (ts, event_id) struct — ONE map-side-
+    combined aggregate, no row_number window sorting whole partitions
+    (the oracle's ROW_NUMBER formulation is the semantics spec, not the
+    plan). 100 TB of ticks shuffles only per-bar candidates."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import ohlc_downsample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    bars = ohlc_downsample(
+        ev, ts="ts", value="value", by=["event_type"],
+        width="1 hour", tiebreak=["event_id"],
+    )
+    return bars.select(
+        "event_type",
+        "bar_ts",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        "volume",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91: skew-salted fact⨝dim join (registers operators/skew.py:salted_join)
+# ---------------------------------------------------------------------------
+
+_Q91_SQL = """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("q91_salted_segment_join", _Q91_SQL)
+def q91_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events⨝customer through ``salted_join`` (operators/skew.py): the
+    fact side's hot user_ids spread over num_salts sub-keys, the dim
+    replicates once per salt — the manual escape for skew AQE splitting
+    can't fix (same salting contract as q69's salted_agg; salt is a
+    deterministic content hash, so results are partition-independent).
+    Oracle = the plain equi-join: salting must never change output."""
+    from nahuatl_data_pipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        salted_join(ev, dim, on="user_id", num_salts=8)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92: per-document character entropy
+# ---------------------------------------------------------------------------
+
+_Q92_SQL = """
+    SELECT doc_id, ROUND(entropy(c), 6) AS char_entropy
+    FROM (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    )
+    GROUP BY doc_id
+"""
+
+
+@register("q92_char_entropy", _Q92_SQL)
+def q92_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (functions/text_analysis.py:
+    char_entropy): Arrow-batched pandas_udf, one narrow projection — vs
+    the oracle's explode-to-chars formulation, which shuffles a row per
+    CHARACTER and exists only because DuckDB's entropy() is an
+    aggregate. Complements q56's zlib ratio with an exact-math,
+    oracle-checkable signal."""
+    from nahuatl_data_pipeline_spark.functions.text_analysis import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            "doc_id", F.round(char_entropy("text"), 6).alias("char_entropy")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93: independent marginals via GROUPING SETS (not a cube)
+# ---------------------------------------------------------------------------
+
+_Q93_SQL = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+             AS grouping_level,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("q93_priority_status_sets", _Q93_SQL)
+def q93_priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets (operators/pivot.py:grouping_sets_agg):
+    the two 1-D marginals + grand total WITHOUT the 2-D detail a cube
+    would force — Expand factor 3, not 4, in ONE shuffle (never one
+    re-scanning aggregate per set). Completes the rollup (q72) / cube
+    (q89) family with the general form both specialize."""
+    from nahuatl_data_pipeline_spark.operators.pivot import grouping_sets_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    return grouping_sets_agg(
+        orders,
+        ["priority", "status"],
+        [["priority"], ["status"], []],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94: chi-squared independence of event type × weekday
+# ---------------------------------------------------------------------------
+
+_Q94_SQL = """
+    WITH cells AS (
+      SELECT event_type, DAYOFWEEK(ts) AS dow, COUNT(*) AS n_ab
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, SUM(n_ab) AS n_a FROM cells GROUP BY 1),
+    k AS (SELECT dow, SUM(n_ab) AS n_b FROM cells GROUP BY 1),
+    g AS (SELECT SUM(n_ab) AS n,
+                 COUNT(DISTINCT event_type) AS ka,
+                 COUNT(DISTINCT dow) AS kb
+          FROM cells)
+    SELECT ROUND(SUM(POWER(c.n_ab - r.n_a * k.n_b / g.n, 2)
+                     / (r.n_a * k.n_b / g.n)), 6) AS chi2,
+           CAST((MIN(g.ka) - 1) * (MIN(g.kb) - 1) AS BIGINT) AS dof,
+           CAST(MIN(g.n) AS BIGINT) AS n_obs
+    FROM cells c
+    JOIN r ON c.event_type IS NOT DISTINCT FROM r.event_type
+    JOIN k ON c.dow IS NOT DISTINCT FROM k.dow
+    CROSS JOIN g
+"""
+
+
+@register("q94_event_weekday_chi2", _Q94_SQL)
+def q94_event_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence tripwire (operators/contingency.py): is the event
+    mix weekday-dependent? One full-data (type, dow) count shuffle,
+    then |A|×|B| cells fold to a 1-row statistic via broadcast
+    marginals (cells localCheckpoint'ed — consumed by 3 aggregates).
+    Null-safe marginal joins, mirrored by IS NOT DISTINCT FROM in the
+    oracle."""
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        chi2_independence,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    return chi2_independence(ev, "event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# q95: event-type transition matrix (per-user Markov counts)
+# ---------------------------------------------------------------------------
+
+_Q95_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events
+    )
+    SELECT prev_state, event_type AS next_state,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_state IS NOT NULL
+    GROUP BY prev_state, next_state
+"""
+
+
+@register("q95_event_transitions", _Q95_SQL)
+def q95_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix (operators/timeseries.py:
+    transition_counts): LAG over a (ts, event_id)-deterministic
+    per-user order — one user-keyed window shuffle, then a
+    |states|²-wide partial-count aggregate. The sequence-analytics
+    primitive behind funnel (q88) and session (q46) views."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import (
+        transition_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return transition_counts(
+        ev, by="user_id", state="event_type", order_by=["ts", "event_id"]
+    )

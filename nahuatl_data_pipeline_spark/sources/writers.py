@@ -155,3 +155,70 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(df, cols: list[str], bits_per_dim: int = 16):
+    """Z-order (Morton) interleave Column over 2+ numeric/timestamp
+    columns: each dim is min-max normalized to ``bits_per_dim`` bits via
+    ONE 1-row stats aggregate (broadcast back — no window, no global
+    sort), then bit-interleaved with a statically unrolled shift/or
+    expression that stays in whole-stage codegen.
+
+    Returns (df_with_stats, zval_column) — the stats crossJoin adds the
+    per-dim min/max as literal-like broadcast columns.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"__zmin_{c}"), F.max(v).alias(f"__zmax_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    max_code = (1 << bits_per_dim) - 1
+    zval = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        lo, hi = F.col(f"__zmin_{c}"), F.col(f"__zmax_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        code = F.least(
+            F.lit(max_code),
+            F.floor(
+                (F.col(c).cast("double") - lo) / span * (max_code + 1)
+            ).cast("long"),
+        )
+        for b in range(bits_per_dim):
+            bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
+            zval = zval.bitwiseOR(
+                F.shiftleft(bit, b * len(cols) + d)
+            )
+    return out, zval
+
+
+def write_zordered(
+    df,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustered parquet layout: rows sorted by a
+    Z-order (Morton) curve over ``cluster_cols``, so EVERY clustered
+    column gets usable per-file/row-group min-max statistics — the
+    multi-column generalization of :func:`write_range_sorted` (which
+    gives one column tight stats and leaves the rest full-range in every
+    file). The Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout, expressed as
+    plain Spark: normalize → interleave bits → repartitionByRange +
+    sortWithinPartitions on the z-value. One write-time shuffle buys
+    file skipping on selective reads against ANY clustered dim.
+    """
+    from pyspark.sql import functions as F
+
+    tagged, zval = zorder_value(df, cluster_cols)
+    (
+        tagged.withColumn("__zval", zval)
+        .repartitionByRange(num_files, F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .select(*df.columns)
+        .write.mode(mode)
+        .parquet(path)
+    )

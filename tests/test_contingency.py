@@ -1,0 +1,60 @@
+"""chi2_independence unit tests (operators/contingency.py): hand-computed
+statistic, independence → 0, null categories as levels, and the
+materialized-cells plan contract."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from nahuatl_data_pipeline_spark.operators.contingency import chi2_independence
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    return spark.createDataFrame(pdf, schema="a string, b string")
+
+
+def test_chi2_hand_computed(spark):
+    # 2x2 table: [[20, 10], [10, 20]]  n=60
+    # expected each cell = 15; chi2 = 4 * (5^2/15) = 6.666667
+    rows = (
+        [("x", "u")] * 20 + [("x", "v")] * 10
+        + [("y", "u")] * 10 + [("y", "v")] * 20
+    )
+    out = chi2_independence(_df(spark, rows), "a", "b").collect()[0]
+    assert out["chi2"] == pytest.approx(6.666667, abs=1e-6)
+    assert out["dof"] == 1
+    assert out["n_obs"] == 60
+
+
+def test_chi2_independent_is_zero(spark):
+    # perfectly proportional rows → chi2 == 0
+    rows = (
+        [("x", "u")] * 8 + [("x", "v")] * 4
+        + [("y", "u")] * 4 + [("y", "v")] * 2
+    )
+    out = chi2_independence(_df(spark, rows), "a", "b").collect()[0]
+    assert out["chi2"] == 0.0
+
+
+def test_chi2_null_category_is_a_level(spark):
+    # a=None must participate as its own level (eqNullSafe joins), not
+    # silently drop — dof reflects 2 levels of a
+    rows = [("x", "u")] * 5 + [(None, "u")] * 3 + [(None, "v")] * 2 + [
+        ("x", "v")
+    ] * 4
+    out = chi2_independence(_df(spark, rows), "a", "b").collect()[0]
+    assert out["n_obs"] == 14  # nothing dropped
+    assert out["dof"] == 1  # (2-1)*(2-1)
+
+
+def test_chi2_single_scan_of_input(spark, tmp_path):
+    """The cells table is localCheckpoint'ed: the output plan must not
+    re-scan the input once per marginal."""
+    path = str(tmp_path / "cc.parquet")
+    _df(spark, [("x", "u")] * 5 + [("y", "v")] * 5).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = chi2_independence(df, "a", "b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0  # all legs read the checkpoint

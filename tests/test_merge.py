@@ -108,3 +108,17 @@ def test_merge_gate_fallback_matches_broadcast_path(spark):
         )
     )
     assert fast2 == slow2
+
+
+def test_scd2_base_scanned_once_in_output_plan(spark, tmp_path):
+    """The matched/changed key sets are materialized (localCheckpoint),
+    so the output plan must read the base table exactly ONCE (the
+    tagging scan) — not re-run the base⨝updates join per leg, which
+    before the fix re-scanned the base ~4×."""
+    base_path = str(tmp_path / "base.parquet")
+    _df(spark, [(i, "a", float(i)) for i in range(100)]).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    updates = _df(spark, [(1, "a", 100.0), (999, "z", 9.0)])
+    out = scd2_merge(base, updates, keys=["k"], tracked=["val"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan

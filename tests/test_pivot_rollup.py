@@ -110,6 +110,34 @@ def test_cube_has_all_grouping_sets(spark):
     assert "Expand" in plan and plan.count("Exchange") == 1
 
 
+def test_grouping_sets_only_requested_sets(spark):
+    from nahuatl_data_pipeline_spark.operators.pivot import grouping_sets_agg
+
+    out = grouping_sets_agg(
+        _sales(spark),
+        ["region", "nation"],
+        [["region"], ["nation"], []],  # marginals + total, NO 2-D detail
+        [F.sum("amount").alias("amount")],
+    )
+    got = {
+        (r["region"], r["nation"]): (r["grouping_level"], r["amount"])
+        for r in out.collect()
+    }
+    assert got[("r1", "ALL")] == (1, 35.0)
+    assert got[("ALL", "n1")] == (2, 30.0)
+    assert got[("ALL", "ALL")] == (3, 42.0)
+    # 2 regions + 3 nations + 1 total — and NO detail rows (a cube would
+    # add 4): grouping_level 0 never appears
+    assert len(got) == 6
+    assert all(lvl != 0 for lvl, _ in got.values())
+    fresh = grouping_sets_agg(
+        _sales(spark), ["region", "nation"],
+        [["region"], ["nation"], []], [F.sum("amount").alias("amount")],
+    )
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and plan.count("Exchange") == 1
+
+
 def test_rollup_null_data_key_disambiguated_by_grouping_level(spark):
     """A NULL data value coalesces to the same 'ALL' label as a subtotal
     row — grouping_level is the disambiguator (0 = real detail row with

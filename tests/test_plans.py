@@ -5,6 +5,8 @@ single-shuffle aggregation/dedup."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 
 from nahuatl_data_pipeline_spark import registry
@@ -31,9 +33,55 @@ def test_q01_filter_pushdown_and_column_pruning(spark):
 
 
 def test_q02_dimension_broadcast(spark):
+    # No forced hint on customer: at this size the PLANNER picks the
+    # broadcast from parquet statistics, which is the contract — small
+    # enough → broadcast, too big → shuffle (tested below).
     plan = plan_of(spark, "q02_top_customers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # orders must not shuffle for the join
+
+
+@contextmanager
+def _no_auto_broadcast(spark):
+    """Disable planner auto-broadcast so any BroadcastExchange left in
+    the plan can only come from a forced ``F.broadcast`` hint — the
+    test_similarity.py adversarial setup. Simulates the 100 TB regime
+    where ``customer`` no longer fits under the threshold."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_scaling_dim_joins_degrade_to_shuffle_when_too_big(spark):
+    """q02/q09/q72/q89 join ``customer``, a dimension that GROWS with
+    scale factor — it must carry no forced broadcast hint. With
+    auto-broadcast off (= customer over the threshold) the customer
+    join must degrade to a shuffle join; only the fixed-size
+    nation/region hints may broadcast."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(spark, "q02_top_customers")
+        assert "BroadcastHashJoin" not in plan and "SortMergeJoin" in plan
+
+        for name, forced_hints in [
+            ("q09_revenue_by_nation_region", 2),  # nation + region
+            ("q72_revenue_rollup", 2),
+            ("q89_status_region_cube", 2),
+        ]:
+            plan = plan_of(spark, name)
+            assert "SortMergeJoin" in plan, name  # the customer join
+            assert plan.count("BroadcastHashJoin") == forced_hints, name
 
 
 def test_q09_all_dims_broadcast_fact_never_shuffles_before_agg(spark):

@@ -403,3 +403,53 @@ def test_write_range_sorted_files_are_disjoint_and_sorted(spark, tmp_path):
         assert hi1 < lo2  # pairwise disjoint key slices
     # nothing lost in the re-layout
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    """Z-order layout contract: EVERY clustered dim gets tight per-file
+    min/max stats — vs write_range_sorted, where the non-sort dim spans
+    the full range in every file. Uniform 64×64 grid → each of 8
+    z-range files must cover well under the full extent on BOTH dims."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.sources.writers import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+
+    def per_file_ranges(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            vals = pq.read_table(f, columns=[col])[col].to_pylist()
+            if vals:
+                spans.append((max(vals) - min(vals)) / 63.0)
+        return spans
+
+    z = str(tmp_path / "z")
+    write_zordered(df, z, ["x", "y"], num_files=8)
+    # both dims clustered: average per-file extent well under full range
+    for col in ("x", "y"):
+        spans = per_file_ranges(z, col)
+        assert len(spans) >= 4
+        assert sum(spans) / len(spans) < 0.65, (col, spans)
+
+    # baseline: 1-D range sort leaves the OTHER dim full-range per file
+    r = str(tmp_path / "r")
+    write_range_sorted(df, r, "x", num_files=8)
+    spans_y = per_file_ranges(r, "y")
+    assert sum(spans_y) / len(spans_y) > 0.95
+
+    # lossless re-layout
+    got = sorted(map(tuple, spark.read.parquet(z).collect()))
+    assert got == sorted(map(tuple, df.collect()))

@@ -99,3 +99,22 @@ def test_q56_exact_python_oracle(spark):
         assert ratio == expect, (doc_id, ratio, expect)
         if expect is not None:
             assert band == (0.1 < expect < 0.9)
+
+
+def test_char_entropy_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.functions.text_analysis import char_entropy
+
+    df = spark.createDataFrame(
+        [("aab",), ("aaaa",), ("ab",), (None,), ("",)], "t string"
+    )
+    got = [
+        r["e"]
+        for r in df.select(F.round(char_entropy("t"), 6).alias("e")).collect()
+    ]
+    # H({2/3,1/3}) = 0.918296 bits; uniform single char = 0; fair coin = 1
+    assert got[0] == 0.918296
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] is None and got[4] is None

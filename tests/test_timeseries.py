@@ -1,0 +1,101 @@
+"""ohlc_downsample / transition_counts unit tests
+(operators/timeseries.py): tiebreak determinism, bar alignment, plan
+shape (hash aggregate, never a per-bar row_number window), and
+transition ordering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.timeseries import (
+    ohlc_downsample,
+    transition_counts,
+)
+
+_T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _ticks(spark):
+    rows = [
+        # (event_id, ts, series, value) — two bars for series "x"
+        (1, _T0, "x", 5.0),
+        (2, _T0, "x", 3.0),  # same ts as id=1: open must pick id=1
+        (3, _T0 + dt.timedelta(minutes=30), "x", 9.0),
+        (4, _T0 + dt.timedelta(minutes=59), "x", 1.0),
+        (5, _T0 + dt.timedelta(hours=1), "x", 7.0),
+        (6, _T0 + dt.timedelta(minutes=10), "y", 2.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "series", "value"])
+    return spark.createDataFrame(
+        pdf, schema="event_id long, ts timestamp, series string, value double"
+    )
+
+
+def test_ohlc_values_and_tiebreak(spark):
+    out = ohlc_downsample(
+        _ticks(spark), ts="ts", value="value", by=["series"],
+        width="1 hour", tiebreak=["event_id"],
+    )
+    bars = {(r["series"], r["bar_ts"]): r for r in out.collect()}
+    b = bars[("x", _T0)]
+    # open = id 1 (tiebreak at equal ts), close = id 4, high/low global
+    assert (b["open"], b["high"], b["low"], b["close"], b["volume"]) == (
+        5.0, 9.0, 1.0, 1.0, 4
+    )
+    assert bars[("x", _T0 + dt.timedelta(hours=1))]["volume"] == 1
+    assert bars[("y", _T0)]["open"] == 2.0
+    assert len(bars) == 3
+
+
+def test_ohlc_plan_is_hash_agg_not_window(spark):
+    out = ohlc_downsample(
+        _ticks(spark), ts="ts", value="value", by=["series"],
+        width="1 hour", tiebreak=["event_id"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan
+    assert "Window" not in plan
+    # map-side partial combine before the single bar-keyed exchange
+    assert "partial_min" in plan or "partial_min_by" in plan or "min_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_transition_counts(spark):
+    rows = [
+        (1, 1, _T0, "a"),
+        (2, 1, _T0 + dt.timedelta(seconds=1), "b"),
+        (3, 1, _T0 + dt.timedelta(seconds=2), "a"),
+        (4, 2, _T0, "a"),
+        (5, 2, _T0 + dt.timedelta(seconds=1), "b"),
+        (6, 3, _T0, "c"),  # single event: no transition
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "state"])
+    df = spark.createDataFrame(
+        pdf,
+        schema="event_id long, user_id long, ts timestamp, state string",
+    )
+    out = transition_counts(
+        df, by="user_id", state="state", order_by=["ts", "event_id"]
+    )
+    got = {
+        (r["prev_state"], r["next_state"]): r["n_transitions"]
+        for r in out.collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_transition_equal_ts_tiebreak_deterministic(spark):
+    # two events at the SAME timestamp: event_id tiebreak fixes the order
+    rows = [(2, 1, _T0, "b"), (1, 1, _T0, "a")]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "state"])
+    df = spark.createDataFrame(
+        pdf,
+        schema="event_id long, user_id long, ts timestamp, state string",
+    ).repartition(4)
+    out = transition_counts(
+        df, by="user_id", state="state", order_by=["ts", "event_id"]
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", "b", 1)]
