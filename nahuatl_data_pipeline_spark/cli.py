@@ -88,6 +88,19 @@ def _build_parser() -> argparse.ArgumentParser:
     curate.add_argument("--jaccard", type=float, default=0.8)
     curate.add_argument("--id-col", default="doc_id")
     curate.add_argument("--text-col", default="text")
+
+    layout = sub.add_parser(
+        "layout",
+        help="rewrite parquet in a data-skipping layout: range-sorted "
+        "(one cluster column) or z-ordered (2+ columns)",
+    )
+    layout.add_argument("--input", required=True, help="parquet path")
+    layout.add_argument("--out", required=True)
+    layout.add_argument(
+        "--by", required=True,
+        help="comma-separated cluster columns; 1 → range sort, 2+ → z-order",
+    )
+    layout.add_argument("--num-files", type=int, default=8)
     return p
 
 
@@ -231,6 +244,26 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
         )
         print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "layout":
+        from nahuatl_data_pipeline_spark.sources.writers import (
+            write_range_sorted,
+            write_zordered,
+        )
+
+        cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        df = spark.read.parquet(args.input)
+        if len(cols) == 1:
+            write_range_sorted(df, args.out, cols[0], num_files=args.num_files)
+        else:
+            write_zordered(df, args.out, cols, num_files=args.num_files)
+        print(json.dumps({
+            "out": args.out,
+            "layout": "range_sorted" if len(cols) == 1 else "zorder",
+            "cluster_cols": cols,
+            "rows": spark.read.parquet(args.out).count(),
+        }))
         return 0
 
     if args.cmd == "query":

@@ -36,6 +36,12 @@ from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
 # materialized.
 _LIVE_CACHES: list[DataFrame] = []
 
+# Observability: banded_minhash_pairs records its candidate-pair count
+# here (the count is computed anyway for the broadcast size gate). Scale
+# probes (SCALE.md's pair-family table) read it to report candidate
+# growth vs true output without re-running the banding.
+LAST_STATS: dict[str, int] = {}
+
 
 def release_fuzzy_caches() -> None:
     """Unpersist intermediates cached by earlier fuzzy-dedup calls."""
@@ -268,6 +274,7 @@ def banded_minhash_pairs(
     # broadcast so the wide shingle arrays never shuffle; dense ones
     # (dirty corpus) take a shuffle join rather than blowing the limit.
     n_cands = cands.count()
+    LAST_STATS["banded_candidates"] = n_cands
     cand_side = F.broadcast(cands) if n_cands <= broadcast_max_candidates else cands
     # Jaccard verify only on the candidates: join the cached shingle
     # arrays back by id.

@@ -87,6 +87,27 @@ def weighted_sample(
     return df.filter(sample_bucket(F.col(key), seed) < r)
 
 
+def epoch_shuffle(
+    df: DataFrame, key: str, epoch: int, key_col: str = "shuffle_key"
+) -> DataFrame:
+    """Tag each row with its deterministic position key for training
+    ``epoch``: ``md5("{epoch}:" || key)`` — a different, reproducible
+    global permutation per epoch, the same seeding scheme as every other
+    mixing operator (so the shuffle order is recomputable by any engine
+    and survives repartitioning; ``.sample``/``rand`` orders are not).
+
+    This ADDS the key only — no shuffle. To materialize an epoch's
+    reading order at 100 TB, feed the result to
+    ``sources/writers.py:write_range_sorted`` on ``key_col``: the range
+    exchange is the one unavoidable shuffle, and shard files come out
+    globally ordered with no single-partition sort. For "first N in
+    epoch order" previews, ``orderBy(key_col).limit(n)`` plans as
+    TakeOrderedAndProject (per-partition top-N + driver merge of N·P
+    rows, never a global sort).
+    """
+    return df.withColumn(key_col, seeded_md5(F.col(key), epoch))
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, key: str, cap: int, seed: int = 42
 ) -> DataFrame:

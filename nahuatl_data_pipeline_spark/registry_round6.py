@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.registry import _ORACLES, register
 from nahuatl_data_pipeline_spark.schemas import load_table
 
 
@@ -317,3 +317,77 @@ def q95_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(
         ev, by="user_id", state="event_type", order_by=["ts", "event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# q96: deterministic epoch shuffle order
+# ---------------------------------------------------------------------------
+
+_Q96_SQL = """
+    SELECT doc_id, MD5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+"""
+
+
+@register("q96_epoch_shuffle", _Q96_SQL)
+def q96_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 docs of epoch 7's deterministic global shuffle order
+    (operators/mixing.py:epoch_shuffle): the permutation is a pure
+    content hash — reproducible across runs/partitionings/engines,
+    unlike rand()-ordered shuffles. orderBy().limit() plans as
+    TakeOrderedAndProject; the full-epoch materialization path is
+    write_range_sorted on the key (one range exchange, globally ordered
+    shards, no single-partition sort)."""
+    from nahuatl_data_pipeline_spark.operators.mixing import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        epoch_shuffle(docs, key="doc_id", epoch=7)
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97: near-dup graph degree profile (how duplicated is the duplicated?)
+# ---------------------------------------------------------------------------
+
+# Oracle reuses q38's registered oracle verbatim as a CTE — one
+# definition of the pair graph, so the two queries cannot drift.
+_Q97_SQL_TEMPLATE = """
+    WITH pairs AS ({q38}),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree
+      FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT id_b AS doc_id FROM pairs
+      )
+      GROUP BY doc_id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+"""
+
+
+@register(
+    "q97_dup_degree_profile",
+    _Q97_SQL_TEMPLATE.format(q38=_ORACLES["q38_ngram_jaccard_pairs"]),
+)
+def q97_dup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph — the sizing
+    signal between q38 (pairs) and q58 (components): a heavy tail means
+    big dup families (cluster-dedup territory), a flat profile means
+    pairwise-only duplication. Pairs come from the SAME operator call
+    as q38; degrees are two partial-count aggregates over the (small)
+    pair set."""
+    from nahuatl_data_pipeline_spark import registry_ext
+
+    pairs = registry_ext.q38_ngram_jaccard_pairs(spark, sf_dir)
+    ids = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

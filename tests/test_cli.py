@@ -270,3 +270,31 @@ def test_cli_curate_honors_custom_id_col(spark, tmp_path, capsys):
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["input"] == 2
     assert "my_id" in spark.read.parquet(out).columns
+
+
+def test_cli_layout_zorder_and_range(spark, tmp_path, capsys):
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src.parquet")
+    (
+        spark.range(0, 1024)
+        .select(
+            (F.col("id") % 32).alias("x"),
+            (F.col("id") / 32).cast("long").alias("y"),
+        )
+        .write.parquet(src)
+    )
+    zout = str(tmp_path / "z")
+    assert main(["layout", "--input", src, "--out", zout,
+                 "--by", "x,y", "--num-files", "4"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["layout"] == "zorder" and rep["rows"] == 1024
+    assert len(glob.glob(f"{zout}/part-*.parquet")) >= 2
+
+    rout = str(tmp_path / "r")
+    assert main(["layout", "--input", src, "--out", rout, "--by", "x"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["layout"] == "range_sorted" and rep["rows"] == 1024

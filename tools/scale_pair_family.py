@@ -1,0 +1,84 @@
+"""Pair-family scale probe (SCALE.md): run the candidate-pair queries
+(q25/q31/q38/q39/q58/q66/q70) against a replica dir, recording wall
+seconds, TRUE output rows, and — where the operator exposes or cheaply
+admits it — the CANDIDATE volume, so candidate growth vs true output is
+measurable across decades.
+
+Usage: python tools/scale_pair_family.py /tmp/scale_sf10 [q25 q38 ...]
+Prints one JSON line per query (flush) so a killed run keeps its rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nahuatl_data_pipeline_spark import registry
+from nahuatl_data_pipeline_spark.operators import fuzzy_dedup
+from nahuatl_data_pipeline_spark.session import get_spark
+
+PAIR_QUERIES = [
+    "q25_near_dup_pairs",
+    "q31_minhash_lsh_dedup",
+    "q38_ngram_jaccard_pairs",
+    "q39_embedding_neardup",
+    "q58_dup_components",
+    "q66_incremental_dedup",
+    "q70_chain_components_star",
+]
+
+
+def ngram_bucket_candidates(spark, sf_dir: str) -> int:
+    """Candidate-pair count of q38's min-hashed-shingle bucketing:
+    sum over buckets of c*(c-1)/2 — one aggregate, no pair explosion."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.functions.hashing import (
+        hash64,
+        word_shingles,
+    )
+    from nahuatl_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", n=3).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    keys = (
+        docs.select("doc_id", F.explode("__sh").alias("__s"))
+        .groupBy("doc_id")
+        .agg(F.min(hash64(F.col("__s"))).alias("__key"))
+    )
+    row = (
+        keys.groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf10"
+    wanted = sys.argv[2:] or None
+    spark = get_spark(app_name="nahuatl-scale-pairs")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    for name in PAIR_QUERIES:
+        if wanted and not any(name.startswith(w) for w in wanted):
+            continue
+        fuzzy_dedup.LAST_STATS.clear()
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        wall = round(time.perf_counter() - t0, 1)
+        rec = {"q": name, "wall_sec": wall, "out_rows": n, "sf_dir": sf_dir}
+        rec.update(fuzzy_dedup.LAST_STATS)
+        if name.startswith("q38"):
+            rec["bucket_candidates"] = ngram_bucket_candidates(spark, sf_dir)
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
