@@ -253,6 +253,9 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        if not cols:
+            print("layout: --by needs at least one column", file=sys.stderr)
+            return 2
         df = spark.read.parquet(args.input)
         if len(cols) == 1:
             write_range_sorted(df, args.out, cols[0], num_files=args.num_files)

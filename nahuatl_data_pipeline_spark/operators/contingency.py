@@ -9,9 +9,11 @@ data-quality tripwire no marginal histogram can catch.
 Plan shape: one (a, b)-keyed count aggregate over the raw table (the
 only full-data shuffle, map-side combined), localCheckpoint'ed because
 the |A|×|B| cell table is consumed by three marginal aggregates — the
-no-exchange-reuse lesson (tfidf.py) applied at design time. Marginals
-are broadcast back onto the cells; the statistic folds in one 1-row
-aggregate. 100 TB in, |A|×|B| rows after the first exchange.
+no-exchange-reuse lesson (tfidf.py) applied at design time. The full
+expected grid is the CROSS of the two marginal tables (tiny), so
+zero-count cells contribute their (0-E)²/E term — omitting them would
+systematically understate the statistic. 100 TB in, |A|×|B| rows after
+the first exchange.
 """
 
 from __future__ import annotations
@@ -31,10 +33,17 @@ def _n_levels(col: str):
 
 def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """1-row DataFrame: ``chi2`` (rounded 6), ``dof``, ``n_obs`` for the
-    independence test of ``col_a`` vs ``col_b``. NULL categories count
-    as regular levels — the marginal joins are ``eqNullSafe`` (a plain
-    equi-join would silently DROP every null-keyed cell, the q84-oracle
-    bug class); dropped-row semantics are the caller's filter upstream.
+    independence test of ``col_a`` vs ``col_b``.
+
+    The statistic sums over the FULL ka×kb grid (marginal cross
+    product), so (a, b) combinations absent from the data contribute
+    (0−E)²/E like any textbook Pearson test. NULL categories count as
+    regular levels — the cell join is ``eqNullSafe`` (a plain equi-join
+    would silently DROP every null-keyed cell, the q84-oracle bug
+    class); dropped-row semantics are the caller's filter upstream.
+    Marginal products are computed in double: two long sums multiplied
+    raw would overflow int64 around ~3e9 balanced rows (ANSI mode turns
+    that into a runtime error, non-ANSI into silent garbage).
     """
     cells = (
         df.groupBy(col_a, col_b)
@@ -48,29 +57,26 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         _n_levels(col_a).alias("ka"),
         _n_levels(col_b).alias("kb"),
     )
-    c, r, k = cells.alias("c"), row_tot.alias("r"), col_tot.alias("k")
+    grid = row_tot.alias("r").crossJoin(F.broadcast(col_tot.alias("k")))
+    obs = grid.join(
+        F.broadcast(cells.alias("c")),
+        F.col(f"r.{col_a}").eqNullSafe(F.col(f"c.{col_a}"))
+        & F.col(f"k.{col_b}").eqNullSafe(F.col(f"c.{col_b}")),
+        "left",
+    ).select(
+        F.col("n_a").cast("double").alias("n_a"),
+        F.col("n_b").cast("double").alias("n_b"),
+        F.coalesce(F.col("n_ab"), F.lit(0)).cast("double").alias("n_ab"),
+    )
     expected = F.col("n_a") * F.col("n_b") / F.col("n")
-    return (
-        c.join(
-            F.broadcast(r),
-            F.col(f"c.{col_a}").eqNullSafe(F.col(f"r.{col_a}")),
-        )
-        .join(
-            F.broadcast(k),
-            F.col(f"c.{col_b}").eqNullSafe(F.col(f"k.{col_b}")),
-        )
-        .crossJoin(F.broadcast(grand))
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("n_ab") - expected) * (F.col("n_ab") - expected)
-                    / expected
-                ),
-                6,
-            ).alias("chi2"),
-            ((F.first("ka") - 1) * (F.first("kb") - 1))
-            .cast("long")
-            .alias("dof"),
-            F.first("n").cast("long").alias("n_obs"),
-        )
+    return obs.crossJoin(F.broadcast(grand)).agg(
+        F.round(
+            F.sum(
+                (F.col("n_ab") - expected) * (F.col("n_ab") - expected)
+                / expected
+            ),
+            6,
+        ).alias("chi2"),
+        ((F.first("ka") - 1) * (F.first("kb") - 1)).cast("long").alias("dof"),
+        F.first("n").cast("long").alias("n_obs"),
     )

@@ -49,6 +49,18 @@ def pivot_agg(
     return out
 
 
+def _finalize_grouping(out, group_cols: list[str], total_label: str) -> DataFrame:
+    """Shared grouping-sets finalization (cube/rollup/grouping-sets):
+    coalesce rolled-up key columns to ``total_label`` (no ambiguous
+    nulls) and pin the column order to keys + grouping_level + aggs."""
+    for c in group_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(total_label)))
+    cols = group_cols + ["grouping_level"] + [
+        c for c in out.columns if c not in group_cols + ["grouping_level"]
+    ]
+    return out.select(*cols)
+
+
 def cube_agg(
     df: DataFrame,
     cube_cols: list[str],
@@ -65,12 +77,7 @@ def cube_agg(
         df.cube(*cube_cols)
         .agg(F.grouping_id().alias("grouping_level"), *aggs)
     )
-    for c in cube_cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(total_label)))
-    cols = cube_cols + ["grouping_level"] + [
-        c for c in out.columns if c not in cube_cols + ["grouping_level"]
-    ]
-    return out.select(*cols)
+    return _finalize_grouping(out, cube_cols, total_label)
 
 
 def grouping_sets_agg(
@@ -91,12 +98,7 @@ def grouping_sets_agg(
     out = df.groupingSets(sets, *group_cols).agg(
         F.grouping_id().alias("grouping_level"), *aggs
     )
-    for c in group_cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(total_label)))
-    cols = group_cols + ["grouping_level"] + [
-        c for c in out.columns if c not in group_cols + ["grouping_level"]
-    ]
-    return out.select(*cols)
+    return _finalize_grouping(out, group_cols, total_label)
 
 
 def rollup_agg(
@@ -118,9 +120,4 @@ def rollup_agg(
         df.rollup(*rollup_cols)
         .agg(F.grouping_id().alias("grouping_level"), *aggs)
     )
-    for c in rollup_cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(total_label)))
-    cols = rollup_cols + ["grouping_level"] + [
-        c for c in out.columns if c not in rollup_cols + ["grouping_level"]
-    ]
-    return out.select(*cols)
+    return _finalize_grouping(out, rollup_cols, total_label)

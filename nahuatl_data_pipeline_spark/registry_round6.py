@@ -252,15 +252,22 @@ _Q94_SQL = """
     g AS (SELECT SUM(n_ab) AS n,
                  COUNT(DISTINCT event_type) AS ka,
                  COUNT(DISTINCT dow) AS kb
-          FROM cells)
-    SELECT ROUND(SUM(POWER(c.n_ab - r.n_a * k.n_b / g.n, 2)
-                     / (r.n_a * k.n_b / g.n)), 6) AS chi2,
+          FROM cells),
+    grid AS (
+      SELECT r.event_type, r.n_a, k.dow, k.n_b,
+             COALESCE(c.n_ab, 0) AS n_ab
+      FROM r CROSS JOIN k
+      LEFT JOIN cells c
+        ON c.event_type IS NOT DISTINCT FROM r.event_type
+       AND c.dow IS NOT DISTINCT FROM k.dow
+    )
+    SELECT ROUND(SUM(POWER(grid.n_ab
+                           - CAST(grid.n_a AS DOUBLE) * grid.n_b / g.n, 2)
+                     / (CAST(grid.n_a AS DOUBLE) * grid.n_b / g.n)), 6)
+             AS chi2,
            CAST((MIN(g.ka) - 1) * (MIN(g.kb) - 1) AS BIGINT) AS dof,
            CAST(MIN(g.n) AS BIGINT) AS n_obs
-    FROM cells c
-    JOIN r ON c.event_type IS NOT DISTINCT FROM r.event_type
-    JOIN k ON c.dow IS NOT DISTINCT FROM k.dow
-    CROSS JOIN g
+    FROM grid CROSS JOIN g
 """
 
 

@@ -166,9 +166,19 @@ def zorder_value(df, cols: list[str], bits_per_dim: int = 16):
 
     Returns (df_with_stats, zval_column) — the stats crossJoin adds the
     per-dim min/max as literal-like broadcast columns.
+
+    ``bits_per_dim`` is clamped so the interleaved code fits in the 63
+    value bits of a signed long: at 4 columns the 16-bit default would
+    shift into the sign bit (negative z-values sort FIRST, breaking the
+    curve), and at 5+ the JVM shift count wraps mod 64, colliding high
+    bits into low — both silent layout corruptions, so the clamp is
+    automatic (e.g. 4 cols → 15 bits, 6 cols → 10 bits).
     """
     from pyspark.sql import functions as F
 
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 cluster columns")
+    bits_per_dim = min(bits_per_dim, 63 // len(cols))
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")
@@ -200,6 +210,7 @@ def write_zordered(
     cluster_cols: list[str],
     num_files: int = 8,
     mode: str = "overwrite",
+    bits_per_dim: int = 16,
 ) -> None:
     """Multi-dimensional clustered parquet layout: rows sorted by a
     Z-order (Morton) curve over ``cluster_cols``, so EVERY clustered
@@ -213,7 +224,7 @@ def write_zordered(
     """
     from pyspark.sql import functions as F
 
-    tagged, zval = zorder_value(df, cluster_cols)
+    tagged, zval = zorder_value(df, cluster_cols, bits_per_dim=bits_per_dim)
     (
         tagged.withColumn("__zval", zval)
         .repartitionByRange(num_files, F.col("__zval"))

@@ -49,6 +49,17 @@ def test_chi2_null_category_is_a_level(spark):
     assert out["dof"] == 1  # (2-1)*(2-1)
 
 
+def test_chi2_zero_cells_contribute(spark):
+    # [[5,0],[0,5]]: the two EMPTY cells must contribute (0-E)^2/E = 2.5
+    # each — full-grid Pearson chi2 = 10.0, not the observed-cells-only
+    # 5.0 (scipy.stats.chi2_contingency(correction=False) agrees)
+    rows = [("x", "u")] * 5 + [("y", "v")] * 5
+    out = chi2_independence(_df(spark, rows), "a", "b").collect()[0]
+    assert out["chi2"] == pytest.approx(10.0, abs=1e-6)
+    assert out["dof"] == 1
+    assert out["n_obs"] == 10
+
+
 def test_chi2_single_scan_of_input(spark, tmp_path):
     """The cells table is localCheckpoint'ed: the output plan must not
     re-scan the input once per marginal."""

@@ -453,3 +453,30 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     # lossless re-layout
     got = sorted(map(tuple, spark.read.parquet(z).collect()))
     assert got == sorted(map(tuple, df.collect()))
+
+
+def test_write_zordered_clamps_bits_for_many_dims(spark, tmp_path):
+    """4+ cluster columns must clamp bits_per_dim so the interleaved
+    code stays inside the 63 value bits of a signed long — no negative
+    z-values (which would sort first and break the curve), no shift
+    wraparound, and the re-layout stays lossless."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.sources.writers import (
+        write_zordered,
+        zorder_value,
+    )
+
+    df = spark.range(0, 512).select(
+        (F.col("id") % 8).alias("a"),
+        (F.col("id") / 8 % 8).cast("long").alias("b"),
+        (F.col("id") / 64 % 8).cast("long").alias("c"),
+        (F.col("id") % 512).alias("d"),
+    )
+    tagged, zval = zorder_value(df, ["a", "b", "c", "d"])  # 16→15 bits
+    assert tagged.select(F.min(zval).alias("m")).collect()[0]["m"] >= 0
+
+    out = str(tmp_path / "z4")
+    write_zordered(df, out, ["a", "b", "c", "d"], num_files=4)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == sorted(map(tuple, df.collect()))

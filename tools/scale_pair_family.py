@@ -33,7 +33,10 @@ PAIR_QUERIES = [
 
 
 def ngram_bucket_candidates(spark, sf_dir: str) -> int:
-    """Candidate-pair count of q38's min-hashed-shingle bucketing:
+    """Candidate-pair count of q38's min-hashed-shingle bucketing over
+    q38's ACTUAL input (raw docs + its planted near-dups — the planted
+    rows share buckets with their originals by construction, so leaving
+    them out would understate the measured query's candidate volume):
     sum over buckets of c*(c-1)/2 — one aggregate, no pair explosion."""
     from pyspark.sql import functions as F
 
@@ -41,11 +44,19 @@ def ngram_bucket_candidates(spark, sf_dir: str) -> int:
         hash64,
         word_shingles,
     )
+    from nahuatl_data_pipeline_spark.registry_ext import _TAIL
     from nahuatl_data_pipeline_spark.schemas import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles("text", n=3).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = raw.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+    )
+    docs = (
+        raw.unionByName(planted)
+        .select("doc_id", word_shingles("text", n=3).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
     keys = (
         docs.select("doc_id", F.explode("__sh").alias("__s"))
         .groupBy("doc_id")
