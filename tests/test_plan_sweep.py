@@ -1,0 +1,38 @@
+"""Global physical-plan audit over EVERY registered query (the 100 TB
+red-flag sweep): no CartesianProduct, no row-at-a-time Python
+(BatchEvalPython — Arrow paths show ArrowEvalPython/MapInPandas), and
+BroadcastNestedLoopJoin only where a crossJoin against a broadcast
+1-row/tiny frame is the designed plan. A new query that introduces an
+unkeyed join or a row UDF fails here before it ever reaches a replica
+run."""
+
+from __future__ import annotations
+
+import pytest
+
+from nahuatl_data_pipeline_spark import registry
+from tests.conftest import SF_SMOKE
+
+# crossJoin against a broadcast scalar/tiny frame is the intended shape:
+# q24/q44 (1-row query-count / norm totals), q51 (tiny seed table),
+# q75 (1-row corpus N), q79 (1-row quantile cuts), q83 (1-row vocab
+# totals), q94 (1-row grand totals + |A|x|B| marginal grid).
+_BNLJ_OK = {
+    "q24_cosine_topk",
+    "q44_alignment_join",
+    "q51_synthetic_corpus",
+    "q75_tfidf_terms",
+    "q79_approx_length_buckets",
+    "q83_corpus_drift",
+    "q94_event_weekday_chi2",
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_no_plan_red_flags(spark, name):
+    fn = registry.queries()[name]
+    plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name  # row-at-a-time Python UDF
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, name
