@@ -175,39 +175,35 @@ def minhash_lsh_dedup(
 # --------------------------------------------------------------------------
 
 
-def banded_minhash_pairs(
+def _signature_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_n: int = 3,
-    num_hashes: int = 8,
-    band_size: int = 2,
-    jaccard_threshold: float = 0.8,
-    broadcast_max_candidates: int = 2_000_000,
-) -> DataFrame:
-    """Candidate pairs via band-equality buckets, verified with exact
-    shingle Jaccard.
+    shingle_n: int,
+    num_hashes: int,
+    band_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle → minhash signature → exploded band-key legs of
+    the banded pipeline. Returns (shd, bands); ``shd`` (the persisted
+    shingle frame) is eager-cached — the caller owns registering it via
+    ``_register_caches`` once its own derived frames exist.
 
-    Plan shape: per-row signature (no shuffle) → explode bands (rows ×
-    n_bands) → self-join on (band_id, band_key) → distinct pairs →
-    exact Jaccard on the two shingle arrays → threshold filter. The join
-    key is the band bucket, so cost is Σ bucket² not n².
-
-    The candidate set is counted (it is persisted, so the count also
-    pre-materializes what the verify join reuses): at or under
-    ``broadcast_max_candidates`` it is broadcast, so the wide shingle
-    arrays never shuffle; above it — a dirty corpus where near-dup pairs
-    are NOT sparse (crawl dumps can exceed 30% duplicates) — the verify
-    falls back to an ordinary shuffle join instead of overflowing the
-    driver/executor broadcast limit.
+    Shingling via nested array lambdas is interpreted (no codegen) and
+    costs ~1 ms/doc — computed ONCE and cached; every downstream leg
+    (signatures + both Jaccard sides) reuses it. Signatures come from
+    EXPLODED shingles: md5+hex-parse runs once per token inside
+    whole-stage codegen, and the k components are k cheap integer mins
+    in the same hash aggregate — partial (map-side) agg shrinks the
+    shuffle to one row per doc. min() is insensitive to duplicate
+    shingles, so this equals the per-row array_min formulation exactly.
     """
-    assert num_hashes % band_size == 0
-    n_bands = num_hashes // band_size
+    from nahuatl_data_pipeline_spark.functions.hashing import (
+        MINHASH_P,
+        hash64,
+        minhash_constants,
+    )
 
-    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
-    # Shingling via nested array lambdas is interpreted (no codegen) and
-    # costs ~1 ms/doc — compute it ONCE and cache; every downstream leg
-    # (signatures + both Jaccard sides) reuses it.
+    n_bands = num_hashes // band_size
     shd = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -217,18 +213,6 @@ def banded_minhash_pairs(
         .persist()
     )
     shd.count()  # eager: signature leg + both Jaccard sides read the cache
-
-    # Signatures from EXPLODED shingles: md5+hex-parse runs ONCE per token
-    # inside whole-stage codegen (nested array lambdas are interpreted and
-    # ~10× slower), and the k components are k cheap integer mins in the
-    # same hash aggregate — partial (map-side) agg shrinks the shuffle to
-    # one row per doc. min() is insensitive to duplicate shingles, so this
-    # equals the per-row array_min formulation exactly.
-    from nahuatl_data_pipeline_spark.functions.hashing import (
-        MINHASH_P,
-        hash64,
-        minhash_constants,
-    )
 
     tok = shd.select("__id", F.explode("__sh").alias("__s")).withColumn(
         "__hv", hash64(F.col("__s"))
@@ -260,7 +244,86 @@ def banded_minhash_pairs(
             )
         ).alias("band"),
     ).select("__id", "band.band_id", "band.band_key")
+    return shd, bands
 
+
+def _band_bucket_sizes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Diagnostic: one row per band bucket with its member count ``c``
+    — Σ c·(c−1)/2 is the raw candidate volume of the banded self-join
+    and the max ``c`` bounds the hottest join task. Used by the scale
+    probes to diagnose hot-bucket skew WITHOUT running the join."""
+    release_fuzzy_caches()
+    shd, bands = _signature_bands(
+        df, id_col, text_col, shingle_n, num_hashes, band_size
+    )
+    _register_caches(shd)
+    return bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def banded_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.8,
+    broadcast_max_candidates: int = 2_000_000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs via band-equality buckets, verified with exact
+    shingle Jaccard.
+
+    ``max_bucket_size`` is the hot-bucket guard for dirty corpora: a
+    band bucket of B docs emits B² candidate rows in ONE join task, so
+    a handful of mega-buckets (hash collisions on short docs, giant
+    families of unremoved identical docs) can stall the stage for hours
+    while every other task idles — observed on the 100× replica
+    (SCALE.md). With the cap set, buckets over the limit are dropped
+    before the self-join (one partial-count aggregate + a semi-join on
+    the band key). Recall contract: a pair is lost only if EVERY band
+    it shares is oversized; run ``exact_dedup`` first so byte-identical
+    families (true mega-buckets) never reach LSH, and the cap then
+    sheds only collision buckets, which are overwhelmingly false
+    candidates. Default None = exact historical behavior (the q25
+    oracle reproduces banding with no cap).
+
+    Plan shape: per-row signature (no shuffle) → explode bands (rows ×
+    n_bands) → self-join on (band_id, band_key) → distinct pairs →
+    exact Jaccard on the two shingle arrays → threshold filter. The join
+    key is the band bucket, so cost is Σ bucket² not n².
+
+    The candidate set is counted (it is persisted, so the count also
+    pre-materializes what the verify join reuses): at or under
+    ``broadcast_max_candidates`` it is broadcast, so the wide shingle
+    arrays never shuffle; above it — a dirty corpus where near-dup pairs
+    are NOT sparse (crawl dumps can exceed 30% duplicates) — the verify
+    falls back to an ordinary shuffle join instead of overflowing the
+    driver/executor broadcast limit.
+    """
+    assert num_hashes % band_size == 0
+    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
+    shd, bands = _signature_bands(
+        df, id_col, text_col, shingle_n, num_hashes, band_size
+    )
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("__bc")
+        )
+        bands = bands.join(
+            sizes.filter(F.col("__bc") <= max_bucket_size),
+            ["band_id", "band_key"],
+            "left_semi",
+        )
     a = bands.select(F.col("__id").alias("id_a"), "band_id", "band_key")
     b = bands.select(F.col("__id").alias("id_b"), "band_id", "band_key")
     cands = (

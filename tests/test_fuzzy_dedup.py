@@ -225,3 +225,32 @@ def test_cache_rotation_keeps_current_call_cached(spark):
         c.storageLevel != StorageLevel.NONE for c in fd._LIVE_CACHES
     )
     fd.release_fuzzy_caches()
+
+
+def test_banded_bucket_cap_sheds_mega_buckets_keeps_small_ones(spark):
+    """max_bucket_size drops oversized band buckets (the hot-task guard)
+    without touching pairs surfaced by small buckets: a 20-member
+    identical family exceeds cap=10 in EVERY band (its pairs go — the
+    documented contract: run exact_dedup first), while an unrelated
+    small near-dup pair survives untouched."""
+    family = [
+        (i, "the same exact duplicated sentence repeated across the family")
+        for i in range(20)
+    ]
+    other = [
+        (100, "an unrelated pair about distributed joins and shuffles here"),
+        (101, "an unrelated pair about distributed joins and shuffles there"),
+    ]
+    df = spark.createDataFrame(family + other, "doc_id long, text string")
+    kw = dict(shingle_n=2, num_hashes=8, band_size=2, jaccard_threshold=0.5)
+
+    uncapped = banded_minhash_pairs(df, "doc_id", "text", **kw)
+    got_unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert (100, 101) in got_unc
+    assert len(got_unc) == 190 + 1  # C(20,2) family pairs + the small pair
+
+    capped = banded_minhash_pairs(
+        df, "doc_id", "text", max_bucket_size=10, **kw
+    )
+    got_cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got_cap == {(100, 101)}

@@ -71,12 +71,76 @@ def ngram_bucket_candidates(spark, sf_dir: str) -> int:
     return int(row["pairs"] or 0)
 
 
+def _q25_input(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.registry import _PLANT_SUFFIX
+    from nahuatl_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def banded_bucket_histogram(spark, sf_dir: str) -> dict:
+    """Band-bucket size distribution for q25's parameters — the skew
+    diagnosis without running the join: sum of c*(c-1)/2 over buckets is
+    the raw candidate volume, and the top bucket sizes show how much of
+    it lands in single join tasks."""
+    from pyspark.sql import functions as F
+
+    base = _q25_input(spark, sf_dir)
+    pairs = fuzzy_dedup.banded_minhash_pairs  # reuse module params via call
+    # replicate the signature/banding legs only (shingle→sig→bands)
+    sizes = (
+        fuzzy_dedup._band_bucket_sizes(base, "doc_id", "text", shingle_n=3,
+                                       num_hashes=8, band_size=2)
+        if hasattr(fuzzy_dedup, "_band_bucket_sizes")
+        else None
+    )
+    assert sizes is not None
+    top = [r["c"] for r in sizes.orderBy(F.desc("c")).limit(10).collect()]
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("raw_candidates"),
+    ).collect()[0]
+    return {
+        "top_bucket_sizes": top,
+        "n_buckets": int(agg["n_buckets"]),
+        "raw_candidates": int(agg["raw_candidates"]),
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf10"
     wanted = sys.argv[2:] or None
     spark = get_spark(app_name="nahuatl-scale-pairs")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
+
+    if wanted and "buckets" in wanted:
+        t0 = time.perf_counter()
+        rec = banded_bucket_histogram(spark, sf_dir)
+        rec.update(q="q25_bucket_histogram", sf_dir=sf_dir,
+                   wall_sec=round(time.perf_counter() - t0, 1))
+        print(json.dumps(rec), flush=True)
+
+    if wanted and "q25capped" in wanted:
+        fuzzy_dedup.LAST_STATS.clear()
+        t0 = time.perf_counter()
+        n = fuzzy_dedup.banded_minhash_pairs(
+            _q25_input(spark, sf_dir), "doc_id", "text", shingle_n=3,
+            num_hashes=8, band_size=2, jaccard_threshold=0.5,
+            max_bucket_size=150,
+        ).count()
+        rec = {"q": "q25_capped150", "wall_sec": round(time.perf_counter() - t0, 1),
+               "out_rows": n, "sf_dir": sf_dir}
+        rec.update(fuzzy_dedup.LAST_STATS)
+        print(json.dumps(rec), flush=True)
+
     for name in PAIR_QUERIES:
         if wanted and not any(name.startswith(w) for w in wanted):
             continue
