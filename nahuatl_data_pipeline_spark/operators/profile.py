@@ -1,0 +1,77 @@
+"""Single-pass table profiler: long-format (column, metric) summary.
+
+The reference prints pandas ``describe()``-style stats in its notebooks
+(benchmark/generate_stats.py) — driver-side, whole-table-in-memory. Here
+the profile is ONE distributed aggregate producing every column's stats
+in a single scan, then a constant-size unpivot: at 100 TB the cost is
+the scan plus one 1-row shuffle, independent of column count.
+
+``n_distinct`` uses exact ``count_distinct`` (oracle-checkable; Spark
+plans multi-distinct via one Expand). For 100 TB profiling swap
+``approx=True`` — approx_count_distinct folds into the same single
+aggregate with no Expand, the standard trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row per profiled column: ``column, n_rows, n_nulls,
+    n_distinct, min_val, max_val, mean_val`` (min/max as strings so one
+    schema covers every type; mean only for numeric columns, else
+    null). Column order of the output follows ``cols``.
+    """
+    cols = cols or df.columns
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    distinct = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__cnt_{c}"),
+            distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            (
+                # cast: avg over DECIMAL columns yields DECIMAL, and
+                # stack() requires every mean slot to share one type
+                F.avg(F.col(c)).cast("double")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__mean_{c}"),
+        ]
+    one = df.agg(*aggs)
+    # constant-size unpivot of the 1-row aggregate via stack
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"__cnt_{c}"),
+            F.col(f"__nd_{c}"),
+            F.col(f"__min_{c}"),
+            F.col(f"__max_{c}"),
+            F.round(F.col(f"__mean_{c}"), 6),
+        ]
+    return one.select(
+        "__n",
+        F.stack(
+            F.lit(len(cols)),
+            *stack_args,
+        ).alias("column", "__cnt", "n_distinct", "min_val", "max_val",
+                "mean_val"),
+    ).select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__cnt")).alias("n_nulls"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "mean_val",
+    )

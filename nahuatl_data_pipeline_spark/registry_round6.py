@@ -398,3 +398,110 @@ def q97_dup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# q98: record linkage — blocked levenshtein name matching
+# ---------------------------------------------------------------------------
+
+_Q98_SQL = """
+    WITH base AS (
+      SELECT p_partkey, p_name FROM part
+      UNION ALL
+      SELECT p_partkey + 100000, p_name || 'x'
+      FROM part WHERE p_partkey < 50
+    ),
+    keyed AS (
+      SELECT p_partkey, p_name,
+             SUBSTRING(LOWER(p_name), 1, 5) AS blk
+      FROM base
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS text_a, b.p_name AS text_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@register("q98_part_name_linkage", _Q98_SQL)
+def q98_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/linkage.py): prefix-blocked
+    levenshtein self-match over part names + 50 planted typo rows.
+    Blocking makes the join Σ block² (hash equi-join on the prefix),
+    never n²; the distance threshold is pushed into Spark's bounded
+    levenshtein (DP short-circuits past the bound). Complements the
+    document dedup family with the short-string regime where
+    shingle/minhash degenerates."""
+    from nahuatl_data_pipeline_spark.operators.linkage import (
+        blocked_levenshtein_pairs,
+        prefix_block,
+    )
+
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    planted = parts.filter(F.col("p_partkey") < 50).select(
+        (F.col("p_partkey") + 100000).alias("p_partkey"),
+        F.concat("p_name", F.lit("x")).alias("p_name"),
+    )
+    return blocked_levenshtein_pairs(
+        parts.unionByName(planted),
+        "p_partkey",
+        "p_name",
+        prefix_block("p_name", 5),
+        max_distance=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99: single-pass table profile
+# ---------------------------------------------------------------------------
+
+_Q99_SQL = """
+    SELECT 'o_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val,
+           ROUND(AVG(o_orderkey), 6) AS mean_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR),
+           ROUND(AVG(o_totalprice), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus),
+           CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority),
+           CAST(NULL AS DOUBLE)
+    FROM orders
+"""
+
+
+@register("q99_orders_profile", _Q99_SQL)
+def q99_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profiler (operators/profile.py): every column's
+    count/nulls/distinct/min/max/mean from ONE aggregate over ONE scan
+    + a constant-size unpivot — the oracle's per-column UNION ALL
+    formulation is the semantics spec and scans the table once per
+    column, exactly what the operator avoids. approx=True swaps exact
+    distinct for approx_count_distinct at 100 TB (no Expand)."""
+    from nahuatl_data_pipeline_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
