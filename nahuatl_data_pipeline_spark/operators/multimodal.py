@@ -96,6 +96,80 @@ def attach_media_metadata(
     )
 
 
+def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
+    """(mime, width, height) parsed from PNG/JPEG/GIF HEADER BYTES — no
+    codec, no decode: PNG's IHDR carries dims at fixed offsets, GIF's
+    logical screen descriptor likewise, JPEG needs a marker walk to the
+    first SOF segment. This is the real (not faked) piece of metadata
+    extraction that needs no image library, so the Bronze path can
+    populate width/height at 100 TB with a pure header read per blob.
+    Returns None for unrecognized/truncated payloads."""
+    import struct
+
+    if not payload or len(payload) < 10:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("image/png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("image/gif", w, h)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk to a SOF marker
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                return None  # marker desync: corrupt
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("image/jpeg", w, h)
+            i += 2 + seglen
+    return None
+
+
+def attach_sniffed_metadata(
+    df: DataFrame, payload_col: str = "payload", modality: str = "image"
+) -> DataFrame:
+    """Like :func:`attach_media_metadata`, but mime/width/height come
+    from the header sniffer — an Arrow-batched pandas projection over
+    the binary column (bytes stay in the executor; only the tiny struct
+    shuffles onward if at all)."""
+    out_schema = StructType(
+        [
+            StructField("mime", StringType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def _sniff(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in s:
+            got = sniff_image(bytes(b) if b is not None else None)
+            rows.append(got or (None, None, None))
+        return pd.DataFrame(rows, columns=["mime", "width", "height"])
+
+    p = F.col(payload_col)
+    sniffed = _sniff(p)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            sniffed["mime"].alias("mime"),
+            sniffed["width"].alias("width"),
+            sniffed["height"].alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.sha2(p, 256).alias("sha256"),
+        ),
+    )
+
+
 def fake_decode(payload: bytes | None, dim: int = 8) -> np.ndarray | None:
     """Deterministic stand-in for a real codec: features derive from the
     payload's sha256 digest, so every engine/run agrees. Swap for a real

@@ -87,3 +87,69 @@ def test_resize_with_real_fn(media):
     rows = {r["media_id"]: r for r in resized.collect()}
     assert rows["m2"]["payload"] == b"payload-" and rows["m2"]["meta"]["width"] == 4
     assert rows["m3"]["payload"] is None and rows["m3"]["meta"]["height"] == 2
+
+
+def _png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg(w, h):
+    import struct
+
+    # SOI + APP0 (JFIF) + SOF0 carrying the dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", h, w
+    ) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def test_sniff_image_formats():
+    from nahuatl_data_pipeline_spark.operators.multimodal import sniff_image
+
+    assert sniff_image(_png(640, 480)) == ("image/png", 640, 480)
+    assert sniff_image(_jpeg(1024, 768)) == ("image/jpeg", 1024, 768)
+    assert sniff_image(_gif(32, 16)) == ("image/gif", 32, 16)
+    assert sniff_image(b"not an image at all") is None
+    assert sniff_image(None) is None
+    assert sniff_image(_png(640, 480)[:12]) is None  # truncated header
+
+
+def test_attach_sniffed_metadata(spark):
+    from nahuatl_data_pipeline_spark.operators.multimodal import (
+        attach_sniffed_metadata,
+    )
+
+    rows = [
+        ("a", _png(640, 480)),
+        ("b", _jpeg(1024, 768)),
+        ("c", b"\x00\x01garbage"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {
+        r["media_id"]: r["meta"].asDict()
+        for r in attach_sniffed_metadata(df).collect()
+    }
+    assert got["a"]["mime"] == "image/png"
+    assert (got["a"]["width"], got["a"]["height"]) == (640, 480)
+    assert got["b"]["mime"] == "image/jpeg"
+    assert (got["b"]["width"], got["b"]["height"]) == (1024, 768)
+    assert got["c"]["mime"] is None and got["c"]["width"] is None
+    assert got["d"]["mime"] is None
+    assert got["a"]["sha256"] is not None and got["d"]["sha256"] is None
