@@ -142,3 +142,48 @@ def union_layers(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def cross_source_dup_matrix(
+    df: DataFrame, source_col: str, keys: list[str | Column]
+) -> DataFrame:
+    """Where is the duplication coming from: exact-dup PAIR counts per
+    (source_a ≤ source_b) — same-source pairs are within-crawl
+    repetition, cross-source pairs are mirror/aggregator overlap, and
+    the split decides which ingestion feed to cap or drop.
+
+    Plan: one (key, source) count aggregate over the corpus (the only
+    full-data shuffle), then a key-equi self-join of the COUNT table —
+    its size is |distinct keys × sources present|, and per-key work is
+    |sources|², never group-size². Pair math per (key, src_a, src_b):
+    same source → c·(c−1)/2, different → c_a·c_b; summed into a
+    |sources|² matrix.
+    """
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    counts = df.groupBy(
+        *[k.alias(f"k{i}") for i, k in enumerate(key_cols)],
+        F.col(source_col).alias("__src"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    knames = [f"k{i}" for i in range(len(key_cols))]
+    a = counts.select(
+        *knames, F.col("__src").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = counts.select(
+        *knames, F.col("__src").alias("source_b"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, knames)
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .withColumn(
+            "n_pairs",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                (F.col("ca") * (F.col("ca") - 1) / 2).cast("long"),
+            ).otherwise((F.col("ca") * F.col("cb")).cast("long")),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("n_pairs").cast("long").alias("n_dup_pairs"))
+        .filter(F.col("n_dup_pairs") > 0)
+    )

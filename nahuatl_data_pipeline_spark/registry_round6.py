@@ -505,3 +505,42 @@ def q99_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q100: cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+_Q100_SQL = """
+    WITH counts AS (
+      SELECT COALESCE(LOWER(TRIM(text)), '') AS k, source AS src,
+             COUNT(*) AS c
+      FROM documents
+      GROUP BY 1, 2
+    )
+    SELECT a.src AS source_a, b.src AS source_b,
+           CAST(SUM(CASE WHEN a.src = b.src
+                         THEN a.c * (a.c - 1) // 2
+                         ELSE a.c * b.c END) AS BIGINT) AS n_dup_pairs
+    FROM counts a JOIN counts b ON a.k = b.k AND a.src <= b.src
+    GROUP BY a.src, b.src
+    HAVING SUM(CASE WHEN a.src = b.src THEN a.c * (a.c - 1) // 2
+                    ELSE a.c * b.c END) > 0
+"""
+
+
+@register("q100_cross_source_dups", _Q100_SQL)
+def q100_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup pair counts per source pair
+    (operators/dedup.py:cross_source_dup_matrix): same-source pairs =
+    within-crawl repetition, cross-source = mirror overlap — the signal
+    that decides which feed to cap (q77) or drop. One corpus shuffle,
+    then |keys×sources|-sized count-table join; per-key work is
+    |sources|², never group-size²."""
+    from nahuatl_data_pipeline_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+    from nahuatl_data_pipeline_spark.functions.normalize import dedup_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_source_dup_matrix(docs, "source", [dedup_key("text")])
