@@ -319,11 +319,19 @@ def banded_minhash_pairs(
         sizes = bands.groupBy("band_id", "band_key").agg(
             F.count(F.lit(1)).alias("__bc")
         )
+        # persist: BOTH self-join legs consume the capped bands, and an
+        # unmaterialized semi-join would re-run the signature aggregate
+        # (the plan's biggest shuffle) plus the sizes aggregate per leg
+        # — confirmed 16 explode nodes vs 8 in the executed plan before
+        # this persist. Registered with the call's cache generation
+        # below, same lifetime as shd/cands.
         bands = bands.join(
             sizes.filter(F.col("__bc") <= max_bucket_size),
             ["band_id", "band_key"],
             "left_semi",
-        )
+        ).persist()
+        bands.count()  # eager: both legs read the cache
+        _register_caches(bands)
     a = bands.select(F.col("__id").alias("id_a"), "band_id", "band_key")
     b = bands.select(F.col("__id").alias("id_b"), "band_id", "band_key")
     cands = (

@@ -45,10 +45,15 @@ def blocked_levenshtein_pairs(
     ).filter(F.col("__blk").isNotNull())
     if max_block_size is not None:
         sizes = keyed.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bc"))
+        # materialize: both a/b self-join legs consume `keyed`, and an
+        # unmaterialized semi-join would re-run the scan + sizes
+        # aggregate per leg (4 input scans instead of 1 — the round-5
+        # exchange-reuse trap), on exactly the large-corpus runs the
+        # cap targets
         keyed = keyed.join(
             sizes.filter(F.col("__bc") <= max_block_size), ["__blk"],
             "left_semi",
-        )
+        ).localCheckpoint(eager=True)
     a = keyed.select(
         F.col("__id").alias("id_a"), F.col("__t").alias("text_a"), "__blk"
     )

@@ -109,6 +109,8 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
     if not payload or len(payload) < 10:
         return None
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        if payload[12:16] != b"IHDR":  # corrupt: magic without IHDR
+            return None
         w, h = struct.unpack(">II", payload[16:24])
         return ("image/png", w, h)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -120,7 +122,15 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
         while i + 9 < n:
             if payload[i] != 0xFF:
                 return None  # marker desync: corrupt
+            # the spec allows any number of 0xFF fill bytes before the
+            # marker byte — skip them or the walk desyncs on valid files
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 9 >= n:
+                break
             marker = payload[i + 1]
+            if marker == 0xD9:  # EOI: no SOF found
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers have no length field
                 continue

@@ -32,32 +32,38 @@ def profile_table(
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
     distinct = F.approx_count_distinct if approx else F.count_distinct
+    # metric aliases are INDEX-based: an alias derived from the column
+    # name would be re-resolved through F.col later, where a dot parses
+    # as struct-field access (profiling a table with 'a.b' columns —
+    # exactly what a generic profiler gets pointed at — would throw)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        # df[c] (not F.col(c)): resolves the SOURCE column by exact
+        # name, so a literal dot in the name needs no backtick quoting
         aggs += [
-            F.count(F.col(c)).alias(f"__cnt_{c}"),
-            distinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(df[c]).alias(f"__cnt_{i}"),
+            distinct(df[c]).alias(f"__nd_{i}"),
+            F.min(df[c]).cast("string").alias(f"__min_{i}"),
+            F.max(df[c]).cast("string").alias(f"__max_{i}"),
             (
                 # cast: avg over DECIMAL columns yields DECIMAL, and
                 # stack() requires every mean slot to share one type
-                F.avg(F.col(c)).cast("double")
+                F.avg(df[c]).cast("double")
                 if c in numeric
                 else F.lit(None).cast("double")
-            ).alias(f"__mean_{c}"),
+            ).alias(f"__mean_{i}"),
         ]
     one = df.agg(*aggs)
     # constant-size unpivot of the 1-row aggregate via stack
     stack_args = []
-    for c in cols:
+    for i, c in enumerate(cols):
         stack_args += [
             F.lit(c),
-            F.col(f"__cnt_{c}"),
-            F.col(f"__nd_{c}"),
-            F.col(f"__min_{c}"),
-            F.col(f"__max_{c}"),
-            F.round(F.col(f"__mean_{c}"), 6),
+            F.col(f"__cnt_{i}"),
+            F.col(f"__nd_{i}"),
+            F.col(f"__min_{i}"),
+            F.col(f"__max_{i}"),
+            F.round(F.col(f"__mean_{i}"), 6),
         ]
     return one.select(
         "__n",

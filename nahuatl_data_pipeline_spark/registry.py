@@ -918,6 +918,19 @@ _Q25_ORACLE = f"""
 """
 
 
+def q25_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q25's exact input (docs + planted near-dups) — ONE definition,
+    shared with the scale probes (tools/scale_pair_family.py) so a
+    change to the plant convention can never make a probe silently
+    measure a different input than the query it characterizes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
 @register("q25_near_dup_pairs", _Q25_ORACLE)
 def q25_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate detection, deterministic + oracle-checked:
@@ -926,12 +939,7 @@ def q25_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate path is actually exercised."""
     from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import banded_minhash_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
-    )
-    base = docs.unionByName(planted)
+    base = q25_input(spark, sf_dir)
     return banded_minhash_pairs(
         base, "doc_id", "text", shingle_n=3, num_hashes=8, band_size=2,
         jaccard_threshold=0.5,

@@ -408,7 +408,7 @@ _Q98_SQL = """
     WITH base AS (
       SELECT p_partkey, p_name FROM part
       UNION ALL
-      SELECT p_partkey + 100000, p_name || 'x'
+      SELECT p_partkey + 10000000, p_name || 'x'
       FROM part WHERE p_partkey < 50
     ),
     keyed AS (
@@ -440,8 +440,11 @@ def q98_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # plant offset far above any real partkey at ANY measured SF —
+    # +100000 would alias with real keys at sf >= 0.5, the q39-replica
+    # bug class SCALE.md documents
     planted = parts.filter(F.col("p_partkey") < 50).select(
-        (F.col("p_partkey") + 100000).alias("p_partkey"),
+        (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
         F.concat("p_name", F.lit("x")).alias("p_name"),
     )
     return blocked_levenshtein_pairs(

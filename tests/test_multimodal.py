@@ -153,3 +153,19 @@ def test_attach_sniffed_metadata(spark):
     assert got["c"]["mime"] is None and got["c"]["width"] is None
     assert got["d"]["mime"] is None
     assert got["a"]["sha256"] is not None and got["d"]["sha256"] is None
+
+
+def test_sniff_jpeg_fill_bytes_and_corrupt_png():
+    from nahuatl_data_pipeline_spark.operators.multimodal import sniff_image
+
+    # JPEG with 0xFF fill padding before markers (spec-legal) must still
+    # parse; EOI-before-SOF must return None, not desync
+    body = _jpeg(320, 240)
+    padded = body[:2] + b"\xff\xff" + body[2:]
+    assert sniff_image(padded) == ("image/jpeg", 320, 240)
+    assert sniff_image(b"\xff\xd8\xff\xd9") is None  # SOI + EOI only
+
+    # PNG magic with a non-IHDR first chunk must return None, never
+    # garbage dimensions
+    bad = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"JUNK" + b"\xff" * 16
+    assert sniff_image(bad) is None

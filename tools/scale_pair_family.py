@@ -71,20 +71,6 @@ def ngram_bucket_candidates(spark, sf_dir: str) -> int:
     return int(row["pairs"] or 0)
 
 
-def _q25_input(spark, sf_dir: str):
-    from pyspark.sql import functions as F
-
-    from nahuatl_data_pipeline_spark.registry import _PLANT_SUFFIX
-    from nahuatl_data_pipeline_spark.schemas import load_table
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
-    )
-    return docs.unionByName(planted)
-
-
 def banded_bucket_histogram(spark, sf_dir: str) -> dict:
     """Band-bucket size distribution for q25's parameters — the skew
     diagnosis without running the join: sum of c*(c-1)/2 over buckets is
@@ -92,16 +78,10 @@ def banded_bucket_histogram(spark, sf_dir: str) -> dict:
     it lands in single join tasks."""
     from pyspark.sql import functions as F
 
-    base = _q25_input(spark, sf_dir)
-    pairs = fuzzy_dedup.banded_minhash_pairs  # reuse module params via call
-    # replicate the signature/banding legs only (shingle→sig→bands)
-    sizes = (
-        fuzzy_dedup._band_bucket_sizes(base, "doc_id", "text", shingle_n=3,
-                                       num_hashes=8, band_size=2)
-        if hasattr(fuzzy_dedup, "_band_bucket_sizes")
-        else None
+    base = registry.q25_input(spark, sf_dir)
+    sizes = fuzzy_dedup._band_bucket_sizes(
+        base, "doc_id", "text", shingle_n=3, num_hashes=8, band_size=2
     )
-    assert sizes is not None
     top = [r["c"] for r in sizes.orderBy(F.desc("c")).limit(10).collect()]
     agg = sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -132,7 +112,7 @@ def main() -> None:
         fuzzy_dedup.LAST_STATS.clear()
         t0 = time.perf_counter()
         n = fuzzy_dedup.banded_minhash_pairs(
-            _q25_input(spark, sf_dir), "doc_id", "text", shingle_n=3,
+            registry.q25_input(spark, sf_dir), "doc_id", "text", shingle_n=3,
             num_hashes=8, band_size=2, jaccard_threshold=0.5,
             max_bucket_size=150,
         ).count()
