@@ -405,22 +405,25 @@ def q97_dup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q98_SQL = """
-    WITH base AS (
-      SELECT p_partkey, p_name FROM part
+    WITH names AS (
+      SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY p_name
+    ),
+    base AS (
+      SELECT name_id, p_name FROM names
       UNION ALL
-      SELECT p_partkey + 10000000, p_name || 'x'
-      FROM part WHERE p_partkey < 50
+      SELECT name_id + 10000000, p_name || 'x'
+      FROM names WHERE name_id < 50
     ),
     keyed AS (
-      SELECT p_partkey, p_name,
+      SELECT name_id, p_name,
              SUBSTRING(LOWER(p_name), 1, 5) AS blk
       FROM base
     )
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+    SELECT a.name_id AS id_a, b.name_id AS id_b,
            a.p_name AS text_a, b.p_name AS text_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
     FROM keyed a JOIN keyed b
-      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      ON a.blk = b.blk AND a.name_id < b.name_id
     WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
@@ -428,28 +431,32 @@ _Q98_SQL = """
 @register("q98_part_name_linkage", _Q98_SQL)
 def q98_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (operators/linkage.py): prefix-blocked
-    levenshtein self-match over part names + 50 planted typo rows.
-    Blocking makes the join Σ block² (hash equi-join on the prefix),
-    never n²; the distance threshold is pushed into Spark's bounded
-    levenshtein (DP short-circuits past the bound). Complements the
-    document dedup family with the short-string regime where
-    shingle/minhash degenerates."""
+    levenshtein self-match over DISTINCT part names + 50 planted typos.
+    The exact-dedup-first step is the method, not an optimization:
+    repeated identical names would otherwise flood the output with
+    distance-0 pairs quadratic in family size (the LSH mega-bucket
+    phenomenon in miniature — measured 16 s/millions of rows at sf0.1
+    before this step, sub-second after). Blocking makes the join
+    Σ block², never n²; the distance threshold is pushed into Spark's
+    bounded levenshtein (DP short-circuits past the bound). Plant
+    offset +10⁷ stays above real ids at any measured SF."""
     from nahuatl_data_pipeline_spark.operators.linkage import (
         blocked_levenshtein_pairs,
         prefix_block,
     )
 
-    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    # plant offset far above any real partkey at ANY measured SF —
-    # +100000 would alias with real keys at sf >= 0.5, the q39-replica
-    # bug class SCALE.md documents
-    planted = parts.filter(F.col("p_partkey") < 50).select(
-        (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+    )
+    planted = names.filter(F.col("name_id") < 50).select(
+        (F.col("name_id") + 10_000_000).alias("name_id"),
         F.concat("p_name", F.lit("x")).alias("p_name"),
     )
     return blocked_levenshtein_pairs(
-        parts.unionByName(planted),
-        "p_partkey",
+        names.select("name_id", "p_name").unionByName(planted),
+        "name_id",
         "p_name",
         prefix_block("p_name", 5),
         max_distance=2,
