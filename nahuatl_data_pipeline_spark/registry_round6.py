@@ -554,3 +554,96 @@ def q100_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cross_source_dup_matrix(docs, "source", [dedup_key("text")])
+
+
+# ---------------------------------------------------------------------------
+# q101: exact interpolated percentiles per group
+# ---------------------------------------------------------------------------
+
+_Q101_SQL = """
+    SELECT event_type,
+           ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value), 6)
+             AS p25,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 6)
+             AS p50,
+           ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY value), 6)
+             AS p75,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("q101_value_percentiles", _Q101_SQL)
+def q101_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated per-group percentiles (``F.percentile`` —
+    same linear interpolation as ANSI PERCENTILE_CONT): one hash
+    aggregate keyed by event_type, exact because per-group value sets
+    fit an aggregation buffer at any corpus size when |groups| is
+    bounded. The UNBOUNDED-group / 100 TB path is q64/q79's mergeable
+    approx_percentile sketch — this query pins the exact semantics
+    those approximations are graded against."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.75), 6).alias("p75"),
+        F.count("value").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102: revenue↔account-balance correlation per region
+# ---------------------------------------------------------------------------
+
+_Q102_SQL = """
+    WITH per_cust AS (
+      SELECT c.c_custkey, c.c_acctbal, n.n_regionkey,
+             SUM(o.o_totalprice) AS spend
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT r.r_name AS region,
+           ROUND(CORR(p.c_acctbal, p.spend), 6) AS balance_spend_corr,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust p JOIN region r ON r.r_regionkey = p.n_regionkey
+    GROUP BY r.r_name
+"""
+
+
+@register("q102_balance_spend_corr", _Q102_SQL)
+def q102_balance_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of customer balance vs total spend per
+    region (``F.corr`` — a decomposable moment aggregate: map-side
+    partial sums of x, y, xy, x², y², so 100 TB costs one customer-
+    keyed shuffle + one 5-group fold). Dimension joins follow the
+    engine broadcast policy: nation/region forced, customer-keyed
+    aggregate BEFORE the region fold so the wide rows never fan out."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_acctbal", "n_regionkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    return (
+        per_cust.join(region, per_cust.n_regionkey == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.corr("c_acctbal", "spend"), 6).alias("balance_spend_corr"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
