@@ -44,16 +44,27 @@ def blocked_levenshtein_pairs(
         block.alias("__blk"),
     ).filter(F.col("__blk").isNotNull())
     if max_block_size is not None:
+        from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+            _register_caches,
+            release_fuzzy_caches,
+        )
+
         sizes = keyed.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bc"))
         # materialize: both a/b self-join legs consume `keyed`, and an
         # unmaterialized semi-join would re-run the scan + sizes
         # aggregate per leg (4 input scans instead of 1 — the round-5
         # exchange-reuse trap), on exactly the large-corpus runs the
-        # cap targets
+        # cap targets. persist (recomputable on executor loss), NOT
+        # localCheckpoint (executor-local, unrecoverable on a real
+        # cluster); lifetime rides the fuzzy-dedup cache generation —
+        # linkage is the same candidate-pair family.
+        release_fuzzy_caches()  # BEFORE persisting (ordering contract)
         keyed = keyed.join(
             sizes.filter(F.col("__bc") <= max_block_size), ["__blk"],
             "left_semi",
-        ).localCheckpoint(eager=True)
+        ).persist()
+        keyed.count()  # eager: both self-join legs read the cache
+        _register_caches(keyed)
     a = keyed.select(
         F.col("__id").alias("id_a"), F.col("__t").alias("text_a"), "__blk"
     )

@@ -112,6 +112,11 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
         if payload[12:16] != b"IHDR":  # corrupt: magic without IHDR
             return None
         w, h = struct.unpack(">II", payload[16:24])
+        # PNG caps dimensions at 2^31-1; garbage beyond that (or zero)
+        # is corruption — and would overflow the IntegerType metadata
+        # column, failing the whole scan task on one hostile blob
+        if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+            return None
         return ("image/png", w, h)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])

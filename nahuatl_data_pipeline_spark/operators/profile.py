@@ -37,18 +37,23 @@ def profile_table(
     # as struct-field access (profiling a table with 'a.b' columns —
     # exactly what a generic profiler gets pointed at — would throw)
     aggs = [F.count(F.lit(1)).alias("__n")]
+    def _src(c: str):
+        # backtick-quote the SOURCE reference: both F.col and df[...]
+        # parse an unquoted dot as struct-field access, so a column
+        # literally named 'a.b' needs `a.b` (with embedded backticks
+        # doubled, the Spark escaping rule)
+        return F.col("`" + c.replace("`", "``") + "`")
+
     for i, c in enumerate(cols):
-        # df[c] (not F.col(c)): resolves the SOURCE column by exact
-        # name, so a literal dot in the name needs no backtick quoting
         aggs += [
-            F.count(df[c]).alias(f"__cnt_{i}"),
-            distinct(df[c]).alias(f"__nd_{i}"),
-            F.min(df[c]).cast("string").alias(f"__min_{i}"),
-            F.max(df[c]).cast("string").alias(f"__max_{i}"),
+            F.count(_src(c)).alias(f"__cnt_{i}"),
+            distinct(_src(c)).alias(f"__nd_{i}"),
+            F.min(_src(c)).cast("string").alias(f"__min_{i}"),
+            F.max(_src(c)).cast("string").alias(f"__max_{i}"),
             (
                 # cast: avg over DECIMAL columns yields DECIMAL, and
                 # stack() requires every mean slot to share one type
-                F.avg(df[c]).cast("double")
+                F.avg(_src(c)).cast("double")
                 if c in numeric
                 else F.lit(None).cast("double")
             ).alias(f"__mean_{i}"),

@@ -75,3 +75,11 @@ def test_profile_single_scan(spark, tmp_path):
     approx = profile_table(df, approx=True).collect()
     nd = {r["column"]: r["n_distinct"] for r in approx}
     assert abs(nd["id"] - 100) <= 10  # approx_count_distinct ballpark
+
+
+def test_profile_handles_dotted_column_names(spark):
+    pdf = pd.DataFrame([(1, 2.0), (3, 4.0)], columns=["a.b", "x"])
+    df = spark.createDataFrame(pdf)
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["a.b"]["n_rows"] == 2 and rows["a.b"]["mean_val"] == 2.0
+    assert rows["x"]["n_distinct"] == 2

@@ -163,9 +163,16 @@ def test_sniff_jpeg_fill_bytes_and_corrupt_png():
     body = _jpeg(320, 240)
     padded = body[:2] + b"\xff\xff" + body[2:]
     assert sniff_image(padded) == ("image/jpeg", 320, 240)
-    assert sniff_image(b"\xff\xd8\xff\xd9") is None  # SOI + EOI only
+    # EOI before any SOF — long enough to pass the length gate so the
+    # 0xD9-terminal branch actually executes
+    eoi_first = b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00" + b"\xff\xd9" + b"\x00" * 4
+    assert sniff_image(eoi_first) is None
 
     # PNG magic with a non-IHDR first chunk must return None, never
     # garbage dimensions
     bad = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"JUNK" + b"\xff" * 16
     assert sniff_image(bad) is None
+    # valid IHDR tag but garbage dims (u32 max) — must reject, not
+    # overflow the IntegerType metadata column downstream
+    bad_dims = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR" + b"\xff" * 16
+    assert sniff_image(bad_dims) is None
