@@ -322,7 +322,7 @@ def q38_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT vec_id, embedding FROM planted
     ),
     q AS (SELECT vec_id, embedding FROM corpus
-          WHERE vec_id < 20 OR vec_id >= 1000000)
+          WHERE vec_id < 20 OR (vec_id >= 1000000 AND vec_id < 1000020))
     SELECT q.vec_id AS id_a, c.vec_id AS id_b,
            ROUND(LIST_COSINE_SIMILARITY(q.embedding, c.embedding), 4) AS cosine
     FROM q JOIN corpus c ON q.vec_id < c.vec_id
@@ -347,7 +347,15 @@ def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
-    queries = corpus.filter((F.col("vec_id") < 20) | (F.col("vec_id") >= 1000000))
+    # the planted-id predicate is BOUNDED (1000000..1000019), not
+    # open-ended: an open `>= 1000000` aliases with the scale replicas'
+    # key offsets (+i*10^7) and silently grew the query side 20 → 198k
+    # at 100×, turning the broadcast matmul into a dense corpus scoring
+    # (SCALE.md round-6 artifact note)
+    queries = corpus.filter(
+        (F.col("vec_id") < 20)
+        | ((F.col("vec_id") >= 1000000) & (F.col("vec_id") < 1000020))
+    )
     return cosine_neardup_pairs(queries, corpus, threshold=0.95)
 
 
