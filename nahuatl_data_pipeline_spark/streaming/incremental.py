@@ -85,6 +85,44 @@ def windowed_event_counts(
     )
 
 
+def ohlc_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Streaming OHLC bars — the live counterpart of
+    operators/timeseries.py:ohlc_downsample, same (ts, tiebreak)
+    min_by/max_by open/close contract, so a backfill batch run and the
+    live stream produce identical bars (tested batch≡stream).
+    Watermark bounds state to the active windows; min_by/max_by fold
+    incrementally per update, so state per bar is one candidate row,
+    not the bar's events."""
+    order = F.struct(F.col(ts_col), F.col(tiebreak))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration), "event_type")
+        .agg(
+            F.min_by(value_col, order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, order).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.col("window.start").alias("bar_ts"),
+            "event_type",
+            F.round("open", 4).alias("open"),
+            F.round("high", 4).alias("high"),
+            F.round("low", 4).alias("low"),
+            F.round("close", 4).alias("close"),
+            "volume",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],
