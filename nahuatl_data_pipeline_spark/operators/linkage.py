@@ -19,6 +19,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Generation-based cache management, mirroring fuzzy_dedup.py's contract
+# but with a SEPARATE generation: each capped linkage call releases the
+# previous linkage call's persisted block frame. A shared generation
+# with fuzzy_dedup would let a linkage call evict an in-flight fuzzy
+# call's shingle caches (and vice versa) when the families interleave.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_linkage_caches() -> None:
+    """Unpersist intermediates cached by earlier linkage calls."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
 
 def blocked_levenshtein_pairs(
     df: DataFrame,
@@ -44,11 +60,6 @@ def blocked_levenshtein_pairs(
         block.alias("__blk"),
     ).filter(F.col("__blk").isNotNull())
     if max_block_size is not None:
-        from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
-            _register_caches,
-            release_fuzzy_caches,
-        )
-
         sizes = keyed.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bc"))
         # materialize: both a/b self-join legs consume `keyed`, and an
         # unmaterialized semi-join would re-run the scan + sizes
@@ -56,15 +67,16 @@ def blocked_levenshtein_pairs(
         # exchange-reuse trap), on exactly the large-corpus runs the
         # cap targets. persist (recomputable on executor loss), NOT
         # localCheckpoint (executor-local, unrecoverable on a real
-        # cluster); lifetime rides the fuzzy-dedup cache generation —
-        # linkage is the same candidate-pair family.
-        release_fuzzy_caches()  # BEFORE persisting (ordering contract)
+        # cluster); lifetime rides linkage's OWN cache generation —
+        # NOT fuzzy_dedup's, which would evict an in-flight fuzzy
+        # call's shingle caches when the two families interleave.
+        release_linkage_caches()  # BEFORE persisting (ordering contract)
         keyed = keyed.join(
             sizes.filter(F.col("__bc") <= max_block_size), ["__blk"],
             "left_semi",
         ).persist()
         keyed.count()  # eager: both self-join legs read the cache
-        _register_caches(keyed)
+        _LIVE_CACHES.append(keyed)
     a = keyed.select(
         F.col("__id").alias("id_a"), F.col("__t").alias("text_a"), "__blk"
     )

@@ -120,6 +120,8 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
         return ("image/png", w, h)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
+        if w == 0 or h == 0:  # same zero-is-corruption rule as PNG
+            return None
         return ("image/gif", w, h)
     if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk to a SOF marker
         i = 2
@@ -142,6 +144,10 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
             seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                # h=0 is the rare DNL-deferred-height form; w=0 is
+                # corrupt — either way not usable metadata
+                if w == 0 or h == 0:
+                    return None
                 return ("image/jpeg", w, h)
             i += 2 + seglen
     return None

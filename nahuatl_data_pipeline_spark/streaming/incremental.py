@@ -94,15 +94,20 @@ def ohlc_stream(
     tiebreak: str = "event_id",
 ) -> DataFrame:
     """Streaming OHLC bars — the live counterpart of
-    operators/timeseries.py:ohlc_downsample, same (ts, tiebreak)
-    min_by/max_by open/close contract, so a backfill batch run and the
-    live stream produce identical bars (tested batch≡stream).
-    Watermark bounds state to the active windows; min_by/max_by fold
-    incrementally per update, so state per bar is one candidate row,
-    not the bar's events."""
+    operators/timeseries.py:ohlc_downsample: same (ts, tiebreak)
+    min_by/max_by open/close contract, same column layout, NO rounding
+    (like the batch operator — rounding is the caller's presentation
+    choice), so a backfill with the batch operator and the live stream
+    produce byte-identical bars — asserted cross-operator in
+    tests/test_streaming.py. Watermark bounds state to the active
+    windows; min_by/max_by fold incrementally per update, so state per
+    bar is one candidate row, not the bar's events."""
     order = F.struct(F.col(ts_col), F.col(tiebreak))
     return (
         events.withWatermark(ts_col, watermark)
+        # group on the window EXPRESSION (not a .start projection): the
+        # streaming analyzer needs it to tie watermark eviction to the
+        # window; the batch-layout select below is just a projection
         .groupBy(F.window(ts_col, window_duration), "event_type")
         .agg(
             F.min_by(value_col, order).alias("open"),
@@ -112,12 +117,12 @@ def ohlc_stream(
             F.count(F.lit(1)).alias("volume"),
         )
         .select(
-            F.col("window.start").alias("bar_ts"),
             "event_type",
-            F.round("open", 4).alias("open"),
-            F.round("high", 4).alias("high"),
-            F.round("low", 4).alias("low"),
-            F.round("close", 4).alias("close"),
+            F.col("window.start").alias("bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
             "volume",
         )
     )

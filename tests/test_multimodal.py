@@ -163,9 +163,12 @@ def test_sniff_jpeg_fill_bytes_and_corrupt_png():
     body = _jpeg(320, 240)
     padded = body[:2] + b"\xff\xff" + body[2:]
     assert sniff_image(padded) == ("image/jpeg", 320, 240)
-    # EOI before any SOF — long enough to pass the length gate so the
-    # 0xD9-terminal branch actually executes
-    eoi_first = b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00" + b"\xff\xd9" + b"\x00" * 4
+    # EOI before any SOF — the EOI marker lands at offset 8, and the
+    # walk's `i + 9 < n` guard needs n >= 18 to inspect it, so pad with
+    # 12 bytes (4 was too few: the loop exited before the branch ran)
+    eoi_first = (
+        b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00" + b"\xff\xd9" + b"\x00" * 12
+    )
     assert sniff_image(eoi_first) is None
 
     # PNG magic with a non-IHDR first chunk must return None, never

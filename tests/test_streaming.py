@@ -149,17 +149,24 @@ def test_stateless_curation_ops_compose_with_streams(spark, tmp_path):
 
 
 def test_stream_equals_batch_ohlc(spark, event_dir):
+    from nahuatl_data_pipeline_spark.operators.timeseries import ohlc_downsample
     from nahuatl_data_pipeline_spark.streaming.incremental import ohlc_stream
 
-    batch = ohlc_stream(spark.read.schema(EVENT_SCHEMA).parquet(event_dir))
     stream = ohlc_stream(read_event_stream(spark, event_dir))
     run_stream_to_memory(stream, "ohlc_test", output_mode="complete")
     got = sorted(map(tuple, spark.table("ohlc_test").collect()))
-    want = sorted(map(tuple, batch.collect()))
-    assert got == want and len(got) >= 3
+
+    # CROSS-OPERATOR parity: a backfill with the BATCH operator must
+    # produce byte-identical bars (same contract, layout, no rounding)
+    backfill = ohlc_downsample(
+        spark.read.schema(EVENT_SCHEMA).parquet(event_dir),
+        ts="ts", value="value", by=["event_type"],
+        width="1 hour", tiebreak=["event_id"],
+    ).select("event_type", "bar_ts", "open", "high", "low", "close", "volume")
+    assert got == sorted(map(tuple, backfill.collect())) and len(got) >= 3
     # fixture hour 10 has clicks 1.0@10:00 then 2.0@10:30:
     # open=1.0 close=2.0 high=2.0 low=1.0
-    bars = {(r[0].hour, r[1]): r for r in spark.table("ohlc_test").collect()}
+    bars = {(r[1].hour, r[0]): r for r in spark.table("ohlc_test").collect()}
     b = bars[(10, "click")]
     assert (b["open"], b["high"], b["low"], b["close"], b["volume"]) == (
         1.0, 2.0, 1.0, 2.0, 2
