@@ -647,3 +647,45 @@ def q102_balance_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q103: per-type linear trend (least-squares regression aggregates)
+# ---------------------------------------------------------------------------
+
+# x is CENTERED on a shared literal epoch (2024-01-01): the raw-epoch
+# intercept extrapolates ~1.7e9 s outside the data and amplifies
+# slope ulps past any rounding (engines disagreed at 4 dp); centered,
+# the intercept sits inside the data range and both engines agree.
+_Q103_X = "EPOCH(ts) - 1704067200"
+
+_Q103_SQL = f"""
+    SELECT event_type,
+           ROUND(REGR_SLOPE(value, {_Q103_X}) * 86400, 4) AS slope_per_day,
+           ROUND(REGR_INTERCEPT(value, {_Q103_X}), 4) AS intercept,
+           ROUND(REGR_R2(value, {_Q103_X}), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("q103_value_trend_regression", _Q103_SQL)
+def q103_value_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares value-over-time trend per event type
+    (``F.regr_slope/intercept/r2`` — decomposable moment aggregates
+    like q102's corr: map-side partial sums of x, y, xy, x², y², one
+    type-keyed shuffle carrying 5 numbers per group). The analytic
+    counterpart of q04's moving-average trend: a closed-form slope
+    instead of a window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).cast("double").alias("x"),
+        "value",
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", "x") * 86400, 4).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
