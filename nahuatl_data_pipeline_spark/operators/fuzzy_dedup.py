@@ -315,6 +315,14 @@ def banded_minhash_pairs(
     shd, bands = _signature_bands(
         df, id_col, text_col, shingle_n, num_hashes, band_size
     )
+    # NOTE: the uncapped bands frame is deliberately NOT persisted.
+    # Both self-join legs do re-derive the signature aggregate, but an
+    # sf10-replica A/B (3 runs each) showed no improvement from caching
+    # it outside the ±2× machine-load band, while adding a full extra
+    # materialization + memory pressure for the pre-cap band set. The
+    # capped SUBSET below is persisted: there the plan-level win is
+    # deterministic (the semi-join subtree — sizes aggregate included —
+    # would otherwise re-run per self-join leg; explode nodes halve).
     if max_bucket_size is not None:
         sizes = bands.groupBy("band_id", "band_key").agg(
             F.count(F.lit(1)).alias("__bc")
