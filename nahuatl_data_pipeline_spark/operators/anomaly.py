@@ -88,3 +88,64 @@ def zscore_outliers(
             F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    threshold: float = 3.0,
+    round_stats: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier stats via Median Absolute Deviation:
+    a value is anomalous when ``|x - median| > threshold * 1.4826 *
+    MAD`` (1.4826 rescales MAD to σ under normality). Unlike
+    ``zscore_outliers``, a handful of extreme rows cannot drag the
+    center/spread toward themselves and mask their own detection —
+    the estimator every curation playbook reaches for on heavy-tailed
+    metrics (doc lengths, prices, crawl sizes).
+
+    Returns one row per group: rounded median and MAD, outlier count,
+    and row count.
+
+    Plan: exact MAD is inherently two-pass — median first, then the
+    median OF deviations — so the fact table is scanned twice plus a
+    final flagging pass, each scan pruned to ``keys + value`` columns
+    at the source. The per-group medians are exact interpolated
+    percentiles (bounded-group assumption, same contract as q101);
+    stats frames are group-count-sized, localCheckpoint'ed (consumed
+    by probe + join) and broadcast back. The one-pass / unbounded
+    alternative at 100 TB is an ``approx_percentile`` sketch of both
+    medians (q64's path) at ±ε accuracy. Medians are ROUNDED before
+    the deviation/threshold comparisons — the module's reproducibility
+    contract — so the flagged set is identical in any engine.
+    """
+    v = F.col(value_col)
+    med = (
+        df.groupBy(*keys)
+        .agg(F.round(F.percentile(v, 0.5), round_stats).alias("group_median"))
+        .localCheckpoint(eager=True)
+    )
+    dev = df.join(F.broadcast(med), keys).withColumn(
+        "__absdev", F.abs(v - F.col("group_median"))
+    )
+    mad = (
+        dev.groupBy(*keys)
+        .agg(
+            F.round(F.percentile(F.col("__absdev"), 0.5), round_stats).alias(
+                "group_mad"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    cut = F.lit(threshold) * F.lit(1.4826) * F.col("group_mad")
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .groupBy(*keys)
+        .agg(
+            F.min("group_median").alias("group_median"),
+            F.min("group_mad").alias("group_mad"),
+            F.sum((F.col("__absdev") > cut).cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -142,3 +142,49 @@ def cap_per_group(
         .filter(F.col("__r") <= cap)
         .drop("__r")
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame, key: str, weight: Column, k: int, seed: int = 7
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis A-ES order statistic: each row gets priority
+    ``u^(1/w)`` with ``u`` a content-hash uniform, and the k largest
+    priorities form the sample — each row's inclusion probability is
+    proportional to its weight, and (unlike ``rand()``-keyed variants)
+    the chosen subset is a pure function of content, reproducible
+    across runs, partitionings, and engines.
+
+    Comparisons use the monotone-equivalent log form ``ln(u)/w`` —
+    maximizing ``ln(u)/w`` over negative logs ≡ maximizing ``u^(1/w)``
+    — which avoids ``pow`` ulp drift between engines. ``u`` is shifted
+    to ``(h+1)/16^8`` ∈ (0,1] so a pathological all-zero hash prefix
+    cannot produce ``ln(0)`` (Spark yields NULL, SQL engines -inf —
+    the one place the engines would disagree).
+
+    Scale shape: priority is a narrow projection (no shuffle) and the
+    top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject: per-task
+    top-k heaps + a driver merge of k·P rows, never a global sort.
+    The returned frame carries ``sample_rank`` (1 = highest priority),
+    assigned on the k survivors only.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(seeded_md5(F.col(key), seed), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(_DENOM)
+    w = F.greatest(weight.cast("double"), F.lit(1e-12))
+    es_key = F.log(u) / w
+    top = (
+        df.withColumn("__es", es_key)
+        .orderBy(F.desc("__es"), F.asc(key))
+        .limit(k)
+    )
+    # rank window runs on the k survivors only (k rows, one tiny task)
+    rw = Window.orderBy(F.desc("__es"), F.asc(key))
+    return top.withColumn(
+        "sample_rank", F.row_number().over(rw).cast("long")
+    ).drop("__es")

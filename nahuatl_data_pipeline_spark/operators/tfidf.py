@@ -92,3 +92,46 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_docs: int = 50,
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative distinct-type
+    count as the corpus is consumed in ``id_col`` order, reported at
+    every ``bucket_docs`` documents. The curve's exponent is the
+    standard novelty diagnostic for a training corpus — flat early
+    saturation flags template/boilerplate floods and exhausted
+    near-duplicate crawls before any model sees the data.
+
+    Plan: cumulative distinct is NOT computed as a running
+    count-distinct window (quadratic state). Each type contributes at
+    exactly one point — its FIRST document — so: tokenize→explode, one
+    min(doc) aggregate keyed by term [the only row-level shuffle],
+    bucket the first-occurrence ids, count new types per bucket, then
+    a cumulative-sum window over the ~corpus/bucket_docs bucket rows.
+    That final window is a single-partition sort ON THE BUCKET TABLE
+    (bounded rows — 100 TB at bucket_docs=50 is still only millions of
+    rows, and bucket_docs scales up with the corpus), never on the
+    token stream.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(docs, id_col, text_col)
+    first = toks.groupBy("term").agg(F.min(id_col).alias("__first"))
+    buckets = (
+        first.groupBy(
+            F.floor(F.col("__first") / bucket_docs).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        ((F.col("bucket") + 1) * bucket_docs).cast("long").alias("docs_seen"),
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    )

@@ -1120,3 +1120,4 @@ from nahuatl_data_pipeline_spark import registry_ext  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_curation  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round5  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round6  # noqa: E402,F401
+from nahuatl_data_pipeline_spark import registry_round6b  # noqa: E402,F401

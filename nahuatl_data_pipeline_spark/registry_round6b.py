@@ -1,0 +1,236 @@
+"""Round-6 additions, second block (q104+): robust statistics, weighted
+sampling, containment dedup, and corpus-novelty analytics.
+
+Each query pairs a library operator (operators/mixing.py,
+operators/anomaly.py, operators/fuzzy_dedup.py, operators/tfidf.py)
+with an exact DuckDB oracle under the driver's rows+schema+hash
+protocol. Engine-portability recipes are the repo's established ones:
+md5-derived uniforms for sampling, rounded stats before threshold
+comparisons, and candidate-scheme-replicating oracles for bucketed
+pair generation (the q38 pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# q104: deterministic weighted top-k sample (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+# ln((h+1)/16^8)/w — the monotone log form of u^(1/w); +1 keeps ln off
+# zero. Identical IEEE ops in both engines (see mixing.weighted_topk_sample).
+_Q104_SQL = """
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(GREATEST(LENGTH(text), 1) AS BIGINT) AS weight,
+             LN((CAST(('0x' || SUBSTRING(MD5('7:' || CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) + 1.0)
+                / 4294967296.0)
+               / GREATEST(LENGTH(text), 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, source, weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS BIGINT)
+             AS sample_rank
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 100
+"""
+
+
+@register("q104_weighted_doc_sample", _Q104_SQL)
+def q104_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample of 100 documents — the
+    reproducible "sample proportional to size" primitive for corpus
+    eyeballing and eval-set drawing. A-ES order statistic on a content-
+    hash uniform: no ``rand()``, so the drawn set survives re-runs and
+    repartitioning, and the oracle recomputes it exactly. Top-k plans
+    as TakeOrderedAndProject (per-task heaps), never a global sort."""
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        weighted_topk_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_topk_sample(
+        docs,
+        key="doc_id",
+        weight=F.greatest(F.length("text"), F.lit(1)),
+        k=100,
+        seed=7,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("weight"),
+        "sample_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105: robust (MAD) price outliers per order priority
+# ---------------------------------------------------------------------------
+
+_Q105_SQL = """
+    WITH med AS (
+      SELECT o_orderpriority,
+             ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice),
+                   4) AS group_median
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, m.group_median,
+             ABS(o.o_totalprice - m.group_median) AS absdev
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority,
+             ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY absdev), 4)
+               AS group_mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           MIN(d.group_median) AS group_median,
+           MIN(a.group_mad) AS group_mad,
+           CAST(SUM(CASE WHEN d.absdev > 3.0 * 1.4826 * a.group_mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN mad a USING (o_orderpriority)
+    GROUP BY d.o_orderpriority
+"""
+
+
+@register("q105_price_mad_outliers", _Q105_SQL)
+def q105_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier profile of order prices per priority class —
+    the heavy-tail-safe counterpart of q84's z-score detector (a few
+    extreme prices cannot mask themselves by inflating the stddev).
+    Exact two-pass MAD with rounded-stat thresholds; the one-pass
+    100 TB variant swaps both medians for q64's approx_percentile
+    sketch."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import mad_outliers
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return mad_outliers(
+        orders, keys=["o_orderpriority"], value_col="o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106: prefix-containment near-dup pairs (the signal Jaccard misses)
+# ---------------------------------------------------------------------------
+
+# Planted containment: the first 10 tokens of each doc_id<100 document
+# re-enter as a standalone short doc (id+2000000) — truncated-re-crawl
+# shape: containment exactly 1.0, Jaccard far below any threshold.
+_Q106_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             ARRAY_TO_STRING(
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                           t -> t <> '')[1:10], ' ') AS text
+      FROM documents WHERE doc_id < 100
+    ),
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles,
+             tk[1:8] AS ptk
+      FROM toks WHERE LEN(tk) >= 3
+    ),
+    keyed AS (
+      SELECT doc_id, shingles,
+             LIST_MIN(LIST_TRANSFORM(RANGE(1, LEN(ptk) - 1),
+               i -> CAST(('0x' || SUBSTRING(MD5(ARRAY_TO_STRING(ptk[i:i+2],
+                                                                ' ')),
+                                            1, 15)) AS BIGINT)
+                    % 2147483647)) AS k
+      FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+                 / LEAST(LEN(a.shingles), LEN(b.shingles)), 6) AS containment
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+          / LEAST(LEN(a.shingles), LEN(b.shingles)) >= 0.8
+"""
+
+
+@register("q106_containment_pairs", _Q106_SQL)
+def q106_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup over shingle sets, candidates bucketed on the
+    min-hashed prefix shingle (oracle replicates the scheme, q38-style).
+    Catches short-doc-inside-long-doc duplication that q38's Jaccard
+    threshold structurally cannot."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        prefix_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 10), " ").alias("text"),
+    )
+    return prefix_containment_pairs(
+        docs.unionByName(planted),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        prefix_tokens=8,
+        containment_threshold=0.8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107: vocabulary growth curve (Heaps' law)
+# ---------------------------------------------------------------------------
+
+_Q107_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+               t -> t <> '')) AS term
+      FROM documents
+    ),
+    first AS (SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY term),
+    b AS (
+      SELECT CAST(FLOOR(first_doc / 50) AS BIGINT) AS bucket,
+             COUNT(*) AS new_types
+      FROM first GROUP BY 1
+    )
+    SELECT bucket,
+           CAST((bucket + 1) * 50 AS BIGINT) AS docs_seen,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+    FROM b
+"""
+
+
+@register("q107_vocab_growth", _Q107_SQL)
+def q107_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth at 50-document checkpoints: each
+    type counts once at its FIRST document, so cumulative distinct
+    needs one term-keyed aggregate + a cumulative sum over the tiny
+    bucket table — never a running count-distinct window."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_growth(docs, "doc_id", "text", bucket_docs=50)

@@ -79,3 +79,59 @@ def test_broadcast_gate_falls_back_on_many_groups(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_hand_computed(spark):
+    """g: values 1..9 plus one wild 1000. median=5.5, absdevs of 1..9 =
+    {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5} + 994.5 → sorted gives
+    MAD=2.5; cut=3*1.4826*2.5=11.1195 → only the 1000 exceeds it."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import mad_outliers
+
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = mad_outliers(df, ["k"], "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["group_median"] == 5.5
+    assert r["group_mad"] == 2.5
+    assert r["n_outliers"] == 1
+    assert r["n_rows"] == 10
+
+
+def test_mad_immune_to_masking(spark):
+    """15 huge values among 100 normal ones inflate the stddev enough
+    that z-score (3σ) flags NOTHING (max |z| ≈ √(n/k) ≈ 2.6 at 13%
+    contamination — outliers mask themselves), while the median/MAD
+    center stays put and flags all 15 — the reason MAD exists."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        mad_outliers,
+        zscore_outliers,
+    )
+
+    rows = [("g", float(v % 7)) for v in range(100)] + [
+        ("g", 1e6 + i) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    z = zscore_outliers(df, ["k"], "v", threshold=3.0)
+    assert z.filter("is_outlier").count() == 0  # masked
+    m = mad_outliers(df, ["k"], "v").collect()[0]
+    assert m["n_outliers"] == 15
+
+
+def test_mad_multiple_groups_independent(spark):
+    from nahuatl_data_pipeline_spark.operators.anomaly import mad_outliers
+
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)] + [
+        ("b", 5.0) for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r["k"]: r for r in mad_outliers(df, ["k"], "v").collect()}
+    assert got["a"]["n_outliers"] == 1
+    # constant group: MAD=0 → cut=0 → no absdev exceeds it
+    assert got["b"]["group_mad"] == 0.0
+    assert got["b"]["n_outliers"] == 0

@@ -254,3 +254,63 @@ def test_banded_bucket_cap_sheds_mega_buckets_keeps_small_ones(spark):
     )
     got_cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got_cap == {(100, 101)}
+
+
+# ---------------------------------------------------------------------------
+# prefix_containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A 10-token prefix extract of a 60-token doc: containment 1.0,
+    Jaccard ≈ 8/58 — far under any Jaccard threshold. The containment
+    operator must surface the pair; the Jaccard operator must not."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        ngram_jaccard_pairs,
+        prefix_containment_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    short_text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    got = prefix_containment_pairs(
+        df, "doc_id", "text", containment_threshold=0.8
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] == [
+        (1, 2, 1.0)
+    ]
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.5
+    ).collect()
+    assert jac == []  # Jaccard blind to containment
+
+
+def test_containment_requires_shared_prefix(spark):
+    """Single-probe prefix key: a doc contained mid-document (different
+    opening tokens) is NOT a candidate — the documented recall bound."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        prefix_containment_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    mid_extract = " ".join(f"w{i}" for i in range(30, 40))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, mid_extract)], ["doc_id", "text"]
+    )
+    got = prefix_containment_pairs(df, "doc_id", "text").collect()
+    assert got == []
+
+
+def test_containment_short_docs_dropped(spark):
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        prefix_containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, None)], ["doc_id", "text"]
+    )
+    # < shingle_n tokens → no shingles → filtered, no pairs, no crash
+    assert prefix_containment_pairs(df, "doc_id", "text").collect() == []

@@ -153,3 +153,47 @@ def test_cap_per_group_deterministic_with_duplicate_keys(spark):
         map(tuple, cap_per_group(df.repartition(13), "g", key="id", cap=7).collect())
     )
     assert a == b and len(a) == 7
+
+
+# ---------------------------------------------------------------------------
+# weighted_topk_sample (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_topk_partition_independent_and_ranked(spark):
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        weighted_topk_sample,
+    )
+
+    df = spark.range(1000).withColumn("w", F.col("id") % 10 + 1)
+    a = weighted_topk_sample(df, "id", F.col("w"), k=50, seed=3).collect()
+    b = weighted_topk_sample(
+        df.repartition(17), "id", F.col("w"), k=50, seed=3
+    ).collect()
+    assert sorted(r["id"] for r in a) == sorted(r["id"] for r in b)
+    ranks = sorted(r["sample_rank"] for r in a)
+    assert ranks == list(range(1, 51))
+
+
+def test_weighted_topk_favors_heavy_rows(spark):
+    """Inclusion probability ∝ weight: rows with 100× weight should
+    dominate a small sample drawn from a half-and-half population."""
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        weighted_topk_sample,
+    )
+
+    df = spark.range(2000).withColumn(
+        "w", F.when(F.col("id") < 1000, 100.0).otherwise(1.0)
+    )
+    out = weighted_topk_sample(df, "id", F.col("w"), k=100, seed=11)
+    heavy = out.filter(F.col("id") < 1000).count()
+    assert heavy > 90  # E[heavy] ≈ 99 under A-ES; <=90 would mean broken
+
+
+def test_weighted_topk_validates_k(spark):
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        weighted_topk_sample,
+    )
+
+    with pytest.raises(ValueError):
+        weighted_topk_sample(spark.range(5), "id", F.lit(1.0), k=0)

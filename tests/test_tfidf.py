@@ -56,3 +56,47 @@ def test_corpus_size_stays_distributed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N crossJoin
     assert out.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_hand_computed(spark):
+    """docs 0,1 in bucket 0 introduce {a,b,c}; doc 2 in bucket 1 adds
+    {d} (repeats of a/b count nowhere); bucket 2 adds nothing → no row
+    (no first occurrences there), doc 5 adds {e} in bucket 2."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b"),
+            (1, "b c"),
+            (2, "a d b"),
+            (5, "e a"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["bucket"]: (r["docs_seen"], r["new_types"], r["cum_types"])
+        for r in vocab_growth(docs, "doc_id", "text", bucket_docs=2).collect()
+    }
+    assert out == {0: (2, 3, 3), 1: (4, 1, 4), 2: (6, 1, 5)}
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    from nahuatl_data_pipeline_spark.operators.tfidf import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 37} tok{i % 11} common") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        vocab_growth(docs, "doc_id", "text", bucket_docs=50).collect(),
+        key=lambda r: r["bucket"],
+    )
+    cums = [r["cum_types"] for r in rows]
+    assert cums == sorted(cums)  # monotone
+    # tok0..tok10 from the %11 set are all inside the %37 set → 37+1 types
+    assert cums[-1] == 37 + 1
