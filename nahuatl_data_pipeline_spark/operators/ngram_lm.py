@@ -1,0 +1,90 @@
+"""Corpus-trained n-gram language-model scoring — the CCNet/KenLM-style
+perplexity filter, self-trained: documents whose token transitions are
+improbable under the corpus's own bigram statistics are boilerplate,
+wordlists, OCR noise, or another language, and score far below prose.
+
+``bigram_logprob`` trains and scores in ONE lineage with no join-back:
+bigram occurrences are exploded once, and both count tables the model
+needs — c(w1,w2) and its prefix marginal c(w1) — are computed as WINDOW
+counts over the occurrence stream (the tfidf.py df lesson: a groupBy
+joined back to its source would re-explode the corpus; a window consumes
+it in place for the same shuffle cost). Per-row log-probability is then
+a projection and the doc score one final doc-keyed aggregate.
+
+Smoothing is add-alpha over the corpus vocabulary:
+``P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V)`` — every probability is
+finite and the score is a total function of the corpus, exactly
+recomputable by any SQL engine (the oracle contract). Scoring is
+in-corpus by construction (train == score corpus), so no unseen-bigram
+branch exists; scoring a NEW corpus against stored counts is the same
+plan with the count windows swapped for a (broadcast-gated) join against
+the persisted model table.
+
+Scale: three key-partitioned shuffles — (w1,w2), (w1), (doc) — each
+map-side combinable, state one row per distinct key in flight; V rides
+a broadcast 1-row aggregate. Linear in corpus size; a hot prefix (every
+sentence starts with "the") concentrates one WINDOW partition — the
+window is a count, so Spark's partial aggregation bounds it, unlike a
+sort-based window function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.operators.tfidf import term_array, tokenize
+
+
+def bigram_occurrences(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per adjacent token pair per document: zip the token array
+    with its own 1-shifted slice (a narrow projection — no posexplode +
+    self-join on position). Documents with <2 tokens yield no rows."""
+    base = docs.select(
+        id_col, F.filter(term_array(text_col), lambda t: t != "").alias("__tk")
+    ).filter(F.size("__tk") >= 2)  # slice needs a non-negative length
+    tk = F.col("__tk")
+    pairs = F.arrays_zip(
+        F.slice(tk, 1, F.size(tk) - 1).alias("w1"),
+        F.slice(tk, 2, F.size(tk) - 1).alias("w2"),
+    )
+    return base.select(id_col, F.explode(pairs).alias("__bg")).select(
+        id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    add-alpha bigram model (see module docstring). Returns one row per
+    document with ≥2 tokens: ``avg_logprob`` (rounded — float-fold
+    reproducibility contract) and ``n_bigrams``."""
+    occ = bigram_occurrences(docs, id_col, text_col)
+    c12 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    vocab = tokenize(docs, id_col, text_col).select(
+        F.countDistinct("term").alias("__v")
+    )
+    scored = (
+        occ.withColumn("__c12", c12)
+        .withColumn("__c1", c1)
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.col("__c12") + F.lit(alpha))
+                / (F.col("__c1") + F.lit(alpha) * F.col("__v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lp"), round_to).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

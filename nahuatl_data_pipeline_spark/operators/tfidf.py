@@ -135,3 +135,98 @@ def vocab_growth(
         "new_types",
         F.sum("new_types").over(w).cast("long").alias("cum_types"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    df_cap: int | None = None,
+    max_df_frac: float | None = 0.05,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """All document pairs with tf-idf cosine similarity ≥ ``threshold``,
+    via an inverted-index join — the sparse-vector complement of the
+    embedding-cosine path (similarity.py): no model, exact lexical
+    similarity, the classic IR near-dup/citation detector.
+
+    ``shingle_n`` picks the term space: 1 = unigram bag with tf counts;
+    >1 = distinct n-gram shingles (set semantics, tf≡1) — the right
+    space when the unigram vocabulary is tiny or heavily shared (every
+    term a stop-term), where unigram cosine degenerates to 1.0-or-shed.
+
+    The df cap is THE scale lever: terms above it are dropped before
+    the index join (they carry ~zero idf weight but quadratic
+    posting-list cost — one stop-term's posting list at 100 TB would
+    alone generate more candidate pairs than the rest of the corpus
+    combined). ``max_df_frac`` expresses it as a fraction of the corpus
+    (sklearn's max_df), so the cap tracks corpus growth; ``df_cap``
+    pins it absolutely and wins if both are given. With a cap, join
+    work is Σ df² ≤ cap · Σ df — linear in corpus size with a constant
+    chosen by the cap. Weights and norms are defined over the capped
+    vocabulary (documented semantics, so the oracle recomputes them
+    identically).
+
+    Plan: tokenize/shingle once → tf rows → df and the per-document L2
+    norm both as WINDOWS over the tf rows ([shuffle by term], [shuffle
+    by doc]) — never a groupBy joined back to its source, which would
+    re-tokenize the corpus (module-docstring lesson) → posting
+    self-join on term → pair-keyed sum. Cosine is rounded before
+    thresholding: the pair dot product is a float fold whose last ulp
+    depends on summation order (the anomaly.py reproducibility
+    contract).
+    """
+    from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
+
+    if shingle_n == 1:
+        toks = tokenize(docs, id_col, text_col)
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    else:
+        # word_shingles is distinct-per-doc → tf ≡ 1, no aggregate needed
+        tf = docs.select(
+            id_col,
+            F.explode(word_shingles(text_col, n=shingle_n)).alias("term"),
+        ).withColumn("tf", F.lit(1))
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    cap = (
+        F.lit(df_cap)
+        if df_cap is not None
+        else F.ceil(F.lit(float(max_df_frac)) * F.col("__n"))
+    )
+    w = (
+        with_df.crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= cap)
+        .withColumn(
+            "w", F.col("tf") * F.log((1 + F.col("__n")) / (1 + F.col("df")))
+        )
+    )
+    normed = w.withColumn(
+        "wn",
+        F.col("w")
+        / F.sqrt(
+            F.sum(F.col("w") * F.col("w")).over(Window.partitionBy(id_col))
+        ),
+    ).select(F.col(id_col).alias("__doc"), "term", "wn")
+    # both self-join legs consume the posting table — materialize it once
+    # or the whole tokenize→tf→window subtree runs twice (module lesson).
+    # Size is one row per (doc, sub-cap term): the capped index, far
+    # smaller than the corpus it came from.
+    normed = normed.localCheckpoint(eager=True)
+    a = normed.select(
+        F.col("__doc").alias("id_a"), "term", F.col("wn").alias("wa")
+    )
+    b = normed.select(
+        F.col("__doc").alias("id_b"), "term", F.col("wn").alias("wb")
+    )
+    return (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), round_to).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -234,3 +234,140 @@ def q107_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return vocab_growth(docs, "doc_id", "text", bucket_docs=50)
+
+
+# ---------------------------------------------------------------------------
+# q108: sparse tf-idf cosine pairs via inverted index (df-capped)
+# ---------------------------------------------------------------------------
+
+_Q108_TAIL = " tail token alpha beta"
+
+# Planted near-dups (q38's pattern): doc_id<100 re-enter with a 4-token
+# tail at id+1000000. Term space is DISTINCT 3-gram shingles (tf≡1) —
+# the raw corpus has only 31 unigram types with df ≈ 80% of docs, so
+# unigram tf-idf degenerates (every term a stop-term at any sane cap),
+# while its ~30k shingle types have low df. The cap is RELATIVE
+# (max_df 5% of docs), so it tracks corpus growth; each planted pair
+# shares all its original shingles and scores ≈1.0.
+_Q108_SQL = rf"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '{_Q108_TAIL}' AS text
+      FROM documents WHERE doc_id < 100
+    ),
+    tk AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                    i -> ARRAY_TO_STRING(tk[i:i+2], ' ')))) AS term,
+             1 AS tf
+      FROM tk WHERE LEN(tk) >= 3
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, term, tf,
+               COUNT(*) OVER (PARTITION BY term) AS df
+        FROM tf
+      ) WHERE df <= CEIL(0.05 * (SELECT COUNT(*) FROM base))
+    ),
+    weighted AS (
+      SELECT doc_id, term,
+             tf * LN((1 + (SELECT COUNT(*) FROM base)) / (1.0 + df))
+               AS w
+      FROM capped
+    ),
+    normed AS (
+      SELECT doc_id, term,
+             w / SQRT(SUM(w * w) OVER (PARTITION BY doc_id)) AS wn
+      FROM weighted
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(SUM(a.wn * b.wn), 6) AS cosine
+    FROM normed a JOIN normed b
+      ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING ROUND(SUM(a.wn * b.wn), 6) >= 0.5
+"""
+
+
+@register("q108_tfidf_cosine_pairs", _Q108_SQL)
+def q108_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pairs by sparse tf-idf cosine over an inverted
+    index, stop-terms shed by the df cap (the Σ df² → linear scale
+    lever; operators/tfidf.py:tfidf_cosine_pairs). The model-free
+    counterpart of q39's embedding cosine and the weighted complement
+    of q38's set Jaccard: same 3-gram shingle space, but a shared RARE
+    shingle moves the score more than a shared common one."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_Q108_TAIL)).alias("text"),
+    )
+    return tfidf_cosine_pairs(
+        docs.unionByName(planted),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        max_df_frac=0.05,
+        threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109: self-trained bigram LM quality score (perplexity filter)
+# ---------------------------------------------------------------------------
+
+_Q109_SQL = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                   i -> {'w1': tk[i], 'w2': tk[i + 1]}),
+                    recursive := true)
+      FROM tk WHERE LEN(tk) >= 2
+    ),
+    counted AS (
+      SELECT doc_id,
+             COUNT(*) OVER (PARTITION BY w1, w2) AS c12,
+             COUNT(*) OVER (PARTITION BY w1) AS c1
+      FROM occ
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT term) AS v FROM (
+        SELECT UNNEST(tk) AS term FROM tk
+      )
+    )
+    SELECT doc_id,
+           ROUND(AVG(LN((c12 + 0.1) / (c1 + 0.1 * (SELECT v FROM v)))), 4)
+             AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM counted
+    GROUP BY doc_id
+"""
+
+
+@register("q109_bigram_lm_score", _Q109_SQL)
+def q109_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style perplexity filter, self-trained: mean bigram
+    log-probability per document under the corpus's own add-alpha
+    bigram model (operators/ngram_lm.py — counts as windows over one
+    exploded occurrence stream, no join-back, no model file)."""
+    from nahuatl_data_pipeline_spark.operators.ngram_lm import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs, "doc_id", "text", alpha=0.1)

@@ -100,3 +100,67 @@ def test_vocab_growth_monotone_and_totals(spark):
     assert cums == sorted(cums)  # monotone
     # tok0..tok10 from the %11 set are all inside the %37 set → 37+1 types
     assert cums[-1] == 37 + 1
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_pairs_identical_docs_score_one(spark):
+    from nahuatl_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+        ],
+    )
+    got = tfidf_cosine_pairs(docs, "doc_id", "text", df_cap=10,
+                             threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_cosine_pairs_df_cap_sheds_stop_terms(spark):
+    """'common' appears in every doc; with df_cap below the corpus size
+    it is shed from the index, so docs sharing ONLY that term produce
+    no pair at all (their capped vectors are orthogonal)."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "common unique1 unique2"),
+            (2, "common unique3 unique4"),
+            (3, "common unique5 unique6"),
+        ],
+    )
+    assert (
+        tfidf_cosine_pairs(
+            docs, "doc_id", "text", df_cap=2, threshold=0.01
+        ).count()
+        == 0
+    )
+
+
+def test_cosine_pairs_symmetric_ordering_and_bounds(spark):
+    from nahuatl_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, f"shared word tok{i} tok{i + 1} tok{i + 2}") for i in range(8)],
+    )
+    rows = tfidf_cosine_pairs(
+        docs, "doc_id", "text", df_cap=8, threshold=0.05
+    ).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 <= r["cosine"] <= 1.0 + 1e-9
