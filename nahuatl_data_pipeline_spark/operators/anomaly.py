@@ -149,3 +149,56 @@ def mad_outliers(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    round_bounds: int = 4,
+    round_stats: int = 2,
+) -> DataFrame:
+    """Winsorized per-group aggregates: values are CLAMPED to the
+    group's [lower_q, upper_q] exact interpolated percentiles before
+    averaging — the robust mean that keeps every row (unlike trimming)
+    while bounding any single tail value's influence. The standard
+    guard for metric dashboards a few corrupt rows would otherwise
+    swing.
+
+    Returns per group: both bounds (rounded — the module's
+    reproducibility contract, applied BEFORE clamping so the clamped
+    values are engine-identical), winsorized mean and sum, and the
+    count of rows that were clamped at either end.
+
+    Plan: one percentile pass (both bounds from the SAME aggregate —
+    bounded-group exact contract, q101), stats localCheckpoint'ed and
+    broadcast back, then one clamp+aggregate pass: two pruned scans
+    total. Unbounded-group / 100 TB path: approx_percentile bounds
+    (q64) at ±ε, same second pass.
+    """
+    v = F.col(value_col)
+    bounds = (
+        df.groupBy(*keys)
+        .agg(
+            F.round(F.percentile(v, lower_q), round_bounds).alias("lo"),
+            F.round(F.percentile(v, upper_q), round_bounds).alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        df.join(F.broadcast(bounds), keys)
+        .groupBy(*keys)
+        .agg(
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.round(F.avg(clamped), round_stats).alias("winsorized_mean"),
+            F.round(F.sum(clamped), round_stats).alias("winsorized_sum"),
+            F.sum(((v < F.col("lo")) | (v > F.col("hi"))).cast("long")).alias(
+                "n_clamped"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

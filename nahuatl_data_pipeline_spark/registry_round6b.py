@@ -371,3 +371,144 @@ def q109_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_logprob(docs, "doc_id", "text", alpha=0.1)
+
+
+# ---------------------------------------------------------------------------
+# q110: winsorized per-group price aggregates
+# ---------------------------------------------------------------------------
+
+_Q110_SQL = """
+    WITH b AS (
+      SELECT o_orderpriority,
+             ROUND(PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY o_totalprice),
+                   4) AS lo,
+             ROUND(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o_totalprice),
+                   4) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           MIN(b.lo) AS lo,
+           MIN(b.hi) AS hi,
+           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)), 2)
+             AS winsorized_mean,
+           ROUND(SUM(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)), 2)
+             AS winsorized_sum,
+           CAST(SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("q110_winsorized_prices", _Q110_SQL)
+def q110_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price aggregates per priority: tails clamped to the
+    group's exact [p05, p95] before averaging (operators/anomaly.py:
+    winsorized_stats — the robust-mean sibling of q105's MAD detector:
+    q105 FLAGS the tail, this BOUNDS its influence)."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        winsorized_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return winsorized_stats(
+        orders, keys=["o_orderpriority"], value_col="o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111: count-min sketch heavy hitters (portable, bit-exact oracle)
+# ---------------------------------------------------------------------------
+
+_Q111_W = 2048
+_Q111_D = 3
+
+_Q111_BUCKET = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST({row} AS VARCHAR) || ':' || {key}),"
+    " 1, 15)) AS BIGINT) % 2147483647 % " + str(_Q111_W)
+)
+
+_Q111_SQL = rf"""
+    WITH sh AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                    i -> ARRAY_TO_STRING(tk[i:i+2], ' ')))) AS term
+      FROM (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+      ) WHERE LEN(tk) >= 3
+    ),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM sh GROUP BY term),
+    rows AS (SELECT UNNEST([0, 1, 2]) AS row),
+    cells AS (
+      SELECT row, {_Q111_BUCKET.format(row="row", key="term")} AS bucket,
+             SUM(cnt) AS cnt
+      FROM counts, rows GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT term, cnt AS true_count FROM counts
+      ORDER BY cnt DESC, term LIMIT 20
+    ),
+    probes AS (
+      SELECT t.term, t.true_count, r.row,
+             {_Q111_BUCKET.format(row="r.row", key="t.term")} AS bucket
+      FROM top t, rows r
+    )
+    SELECT p.term,
+           CAST(p.true_count AS BIGINT) AS true_count,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate,
+           CAST(MIN(COALESCE(c.cnt, 0)) - p.true_count AS BIGINT)
+             AS overcount
+    FROM probes p LEFT JOIN cells c USING (row, bucket)
+    GROUP BY p.term, p.true_count
+"""
+
+
+@register("q111_cms_heavy_hitters", _Q111_SQL)
+def q111_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the corpus's 3-gram shingles, with
+    the estimate's one-sided error EXHIBITED: the top-20 true-frequency
+    shingles with true count, CMS estimate, and overcount (≥ 0 always —
+    CMS never undercounts). The sketch is the portable md5 family
+    (operators/sketches.py), so the oracle recomputes every cell
+    bit-for-bit — unlike the built-in HLL/KLL paths (q63/q64), which
+    are bounded-error-only. This query computes the exact table too (it
+    IS the verification); production keeps only the depth×width sketch
+    and a candidate heap."""
+    from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = docs.select(
+        F.explode(word_shingles("text", n=3)).alias("term")
+    )
+    # one shingle pass: exact counts first (checkpointed), sketch built
+    # FROM the counts — cell-wise identical to the streaming build
+    counts = (
+        stream.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = cms_build(
+        counts, "term", width=_Q111_W, depth=_Q111_D, count_col="cnt"
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+        .select("term", F.col("cnt").alias("true_count"))
+    )
+    est = cms_estimate(sketch, top, "term", width=_Q111_W, depth=_Q111_D)
+    return top.join(est, "term").select(
+        "term",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+    )

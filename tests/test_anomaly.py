@@ -135,3 +135,37 @@ def test_mad_multiple_groups_independent(spark):
     # constant group: MAD=0 → cut=0 → no absdev exceeds it
     assert got["b"]["group_mad"] == 0.0
     assert got["b"]["n_outliers"] == 0
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_bounds_tail_influence(spark):
+    """1..99 plus one 1e9: the winsorized mean stays near the raw
+    99-row mean while the naive mean is dragged 7 orders of magnitude;
+    exactly the tail rows are counted as clamped."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        winsorized_stats,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 100)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = winsorized_stats(df, ["k"], "v").collect()[0]
+    assert r["n_rows"] == 100
+    assert r["lo"] < 10 and r["hi"] < 100.0  # p95 of the bulk
+    assert 40 < r["winsorized_mean"] < 60  # near the bulk mean
+    assert r["n_clamped"] == 10  # 5% each tail of 100 rows
+
+
+def test_winsorize_constant_group_untouched(spark):
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame([("g", 7.0)] * 20, ["k", "v"])
+    r = winsorized_stats(df, ["k"], "v").collect()[0]
+    assert r["lo"] == r["hi"] == 7.0
+    assert r["winsorized_mean"] == 7.0
+    assert r["n_clamped"] == 0

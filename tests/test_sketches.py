@@ -52,3 +52,66 @@ def test_quantile_sketch_within_rank_error(spark):
         # sketch must be exact to within one discrete value step
         for approx, ex in zip(got, row["qs"]):
             assert abs(approx - ex) <= max(2, 0.02 * ex), (row["lang"], got, row["qs"])
+
+
+# ---------------------------------------------------------------------------
+# Portable Count-Min sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(5000)], ["k"]
+    )
+    sketch = cms_build(df, "k", width=1024, depth=3)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(sketch, keys, "k", width=1024, depth=3).collect()
+    }
+    # true count is exactly 100 per key; 50 keys in 1024 buckets → with
+    # depth 3 the min row is collision-free and the estimate exact
+    assert all(v >= 100 for v in est.values())  # one-sided error
+    assert all(v == 100 for v in est.values())  # sparse → tight
+
+
+def test_cms_streaming_and_preaggregated_builds_identical(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame(
+        [(f"t{i % 17}",) for i in range(300)], ["k"]
+    )
+    stream = cms_build(df, "k", width=64, depth=2)
+    pre = cms_build(
+        df.groupBy("k").agg(F.count(F.lit(1)).alias("n")),
+        "k",
+        width=64,
+        depth=2,
+        count_col="n",
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(
+        map(tuple, pre.collect())
+    )
+
+
+def test_cms_unseen_key_reads_zero_or_collision(spark):
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    sketch = cms_build(df, "k", width=1024, depth=3)
+    probe = spark.createDataFrame([("never-seen",)], ["k"])
+    got = cms_estimate(sketch, probe, "k", width=1024, depth=3).collect()
+    # 3 keys in 3×1024 cells: the unseen key's min row is empty → 0
+    assert got[0]["cms_estimate"] == 0
