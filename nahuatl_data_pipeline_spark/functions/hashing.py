@@ -13,6 +13,8 @@ generation oracle-checkable, unlike seeded ``pyspark.ml`` MinHashLSH
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column
@@ -34,6 +36,11 @@ def content_id(*cols: ColumnOrName, length: int = 16, sep: str = "_") -> Column:
     )
 
 
+# THE whitespace class: Java regex \s ≡ RE2 \s ≡ re.ASCII \s — shared by
+# every tokenizer path (expression, oracle, and the pandas_udf below)
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
+
+
 def token_set(c: ColumnOrName, lowercase: bool = True) -> Column:
     """Distinct whitespace tokens (deduplication.py:15 tokenization)."""
     base = F.lower(_col(c)) if lowercase else _col(c)
@@ -49,20 +56,27 @@ def word_shingles(c: ColumnOrName, n: int = 3, lowercase: bool = True) -> Column
     n > 1 runs as an Arrow-batched pandas_udf: the pure-expression
     formulation (transform over a sequence of offsets + slice + concat_ws)
     is a nested higher-order function, which Spark evaluates INTERPRETED —
-    measured ~1.7 ms/doc vs ~0.1 ms/doc through Arrow. Python's
-    str.split() ≡ splitting on ``\\s+`` after trim, so SQL oracles
-    (REGEXP_SPLIT_TO_ARRAY + LIST_TRANSFORM slices) produce the identical
-    shingle *set*.
+    measured ~1.7 ms/doc vs ~0.1 ms/doc through Arrow. Tokenization is
+    an ASCII ``\\s+`` regex split (``re.ASCII``), NOT str.split(): Java
+    regex ``\\s`` and DuckDB/RE2 ``\\s`` are both the ASCII class
+    ``[ \\t\\n\\v\\f\\r]``, while str.split() also breaks on Unicode
+    whitespace (NBSP, ideographic space…) — a crawl doc containing one
+    would give this path a different token stream than every expression
+    path and every SQL oracle. One class definition across all three.
     """
     if n == 1:
         return token_set(c, lowercase=lowercase)
+
+    ws = _ASCII_WS
 
     @F.pandas_udf(ArrayType(StringType()))
     def _shingle(s: pd.Series) -> pd.Series:
         def one(t):
             if t is None:
                 return []
-            tk = (t.lower() if lowercase else t).split()
+            tk = [
+                x for x in ws.split(t.lower() if lowercase else t) if x
+            ]
             if len(tk) < n:
                 return []
             return list(

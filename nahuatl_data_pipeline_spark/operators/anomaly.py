@@ -90,12 +90,37 @@ def zscore_outliers(
     )
 
 
+def _gated_stats_join(
+    df: DataFrame,
+    stats: DataFrame,
+    keys: list[str],
+    broadcast_max_groups: int,
+) -> DataFrame:
+    """Join per-group ``stats`` (key columns pre-aliased ``__g_{k}``)
+    back onto ``df`` under the module's shared contract: NULL-safe on
+    every key (NULL keys are real groups — zscore_outliers' docstring),
+    broadcast only when a bounded ``limit().count()`` probe says the
+    group count fits (a near-unique key column falls back to a shuffle
+    join instead of an unbounded broadcast). ``stats`` must already be
+    localCheckpoint'ed: it is consumed twice (probe + join)."""
+    fits = (
+        stats.limit(broadcast_max_groups + 1).count() <= broadcast_max_groups
+    )
+    side = F.broadcast(stats) if fits else stats
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__g_{k}"))
+        cond = c if cond is None else (cond & c)
+    return df.join(side, cond).drop(*[f"__g_{k}" for k in keys])
+
+
 def mad_outliers(
     df: DataFrame,
     keys: list[str],
     value_col: str,
     threshold: float = 3.0,
     round_stats: int = 4,
+    broadcast_max_groups: int = 2_000_000,
 ) -> DataFrame:
     """Robust per-group outlier stats via Median Absolute Deviation:
     a value is anomalous when ``|x - median| > threshold * 1.4826 *
@@ -105,28 +130,34 @@ def mad_outliers(
     the estimator every curation playbook reaches for on heavy-tailed
     metrics (doc lengths, prices, crawl sizes).
 
-    Returns one row per group: rounded median and MAD, outlier count,
-    and row count.
+    Returns one row per group: rounded median and MAD, outlier count
+    (0, never NULL, for all-NULL groups — the SQL ``SUM(CASE…ELSE 0)``
+    contract), and row count. NULL group keys are real groups and the
+    stats broadcasts are size-gated — the module's shared join contract
+    (``_gated_stats_join``).
 
     Plan: exact MAD is inherently two-pass — median first, then the
     median OF deviations — so the fact table is scanned twice plus a
     final flagging pass, each scan pruned to ``keys + value`` columns
     at the source. The per-group medians are exact interpolated
     percentiles (bounded-group assumption, same contract as q101);
-    stats frames are group-count-sized, localCheckpoint'ed (consumed
-    by probe + join) and broadcast back. The one-pass / unbounded
-    alternative at 100 TB is an ``approx_percentile`` sketch of both
-    medians (q64's path) at ±ε accuracy. Medians are ROUNDED before
-    the deviation/threshold comparisons — the module's reproducibility
+    stats frames are group-count-sized and localCheckpoint'ed
+    (consumed by probe + join). The one-pass / unbounded alternative at
+    100 TB is an ``approx_percentile`` sketch of both medians (q64's
+    path) at ±ε accuracy. Medians are ROUNDED before the
+    deviation/threshold comparisons — the module's reproducibility
     contract — so the flagged set is identical in any engine.
     """
     v = F.col(value_col)
     med = (
         df.groupBy(*keys)
         .agg(F.round(F.percentile(v, 0.5), round_stats).alias("group_median"))
+        .select(
+            *[F.col(k).alias(f"__g_{k}") for k in keys], "group_median"
+        )
         .localCheckpoint(eager=True)
     )
-    dev = df.join(F.broadcast(med), keys).withColumn(
+    dev = _gated_stats_join(df, med, keys, broadcast_max_groups).withColumn(
         "__absdev", F.abs(v - F.col("group_median"))
     )
     mad = (
@@ -136,16 +167,19 @@ def mad_outliers(
                 "group_mad"
             )
         )
+        .select(*[F.col(k).alias(f"__g_{k}") for k in keys], "group_mad")
         .localCheckpoint(eager=True)
     )
     cut = F.lit(threshold) * F.lit(1.4826) * F.col("group_mad")
     return (
-        dev.join(F.broadcast(mad), keys)
+        _gated_stats_join(dev, mad, keys, broadcast_max_groups)
         .groupBy(*keys)
         .agg(
             F.min("group_median").alias("group_median"),
             F.min("group_mad").alias("group_mad"),
-            F.sum((F.col("__absdev") > cut).cast("long")).alias("n_outliers"),
+            F.coalesce(
+                F.sum((F.col("__absdev") > cut).cast("long")), F.lit(0)
+            ).alias("n_outliers"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -159,6 +193,7 @@ def winsorized_stats(
     upper_q: float = 0.95,
     round_bounds: int = 4,
     round_stats: int = 2,
+    broadcast_max_groups: int = 2_000_000,
 ) -> DataFrame:
     """Winsorized per-group aggregates: values are CLAMPED to the
     group's [lower_q, upper_q] exact interpolated percentiles before
@@ -170,11 +205,16 @@ def winsorized_stats(
     Returns per group: both bounds (rounded — the module's
     reproducibility contract, applied BEFORE clamping so the clamped
     values are engine-identical), winsorized mean and sum, and the
-    count of rows that were clamped at either end.
+    count of rows that were clamped at either end. NULL values stay
+    NULL (``greatest``/``least`` skip NULLs, which would otherwise
+    fabricate a p05 datum out of missing data) and are excluded from
+    mean/sum/clamp-count exactly as ``AVG(value)`` would exclude them;
+    ``n_rows`` still counts them. NULL group keys are real groups and
+    the bounds broadcast is size-gated (``_gated_stats_join``).
 
     Plan: one percentile pass (both bounds from the SAME aggregate —
-    bounded-group exact contract, q101), stats localCheckpoint'ed and
-    broadcast back, then one clamp+aggregate pass: two pruned scans
+    bounded-group exact contract, q101), bounds localCheckpoint'ed
+    (probe + join), then one clamp+aggregate pass: two pruned scans
     total. Unbounded-group / 100 TB path: approx_percentile bounds
     (q64) at ±ε, same second pass.
     """
@@ -185,20 +225,26 @@ def winsorized_stats(
             F.round(F.percentile(v, lower_q), round_bounds).alias("lo"),
             F.round(F.percentile(v, upper_q), round_bounds).alias("hi"),
         )
+        .select(*[F.col(k).alias(f"__g_{k}") for k in keys], "lo", "hi")
         .localCheckpoint(eager=True)
     )
-    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    clamped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    )
     return (
-        df.join(F.broadcast(bounds), keys)
+        _gated_stats_join(df, bounds, keys, broadcast_max_groups)
         .groupBy(*keys)
         .agg(
             F.min("lo").alias("lo"),
             F.min("hi").alias("hi"),
             F.round(F.avg(clamped), round_stats).alias("winsorized_mean"),
             F.round(F.sum(clamped), round_stats).alias("winsorized_sum"),
-            F.sum(((v < F.col("lo")) | (v > F.col("hi"))).cast("long")).alias(
-                "n_clamped"
-            ),
+            F.coalesce(
+                F.sum(
+                    ((v < F.col("lo")) | (v > F.col("hi"))).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_clamped"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

@@ -524,12 +524,12 @@ def prefix_containment_pairs(
     verify — work is Σ bucket² over hash-spread buckets, never n².
     """
     from nahuatl_data_pipeline_spark.functions.hashing import hash64
+    from nahuatl_data_pipeline_spark.operators.tfidf import term_array
 
     release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda t: t != "",
-    )
+    # the canonical tokenizer (tfidf.term_array) — NOT a fresh split
+    # expression, so the prefix cut can never drift from the corpus view
+    toks = F.filter(term_array(text_col), lambda t: t != "")
     prefix = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
     key = F.array_min(
         F.transform(word_shingles(prefix, n=shingle_n), hash64)

@@ -176,7 +176,12 @@ def weighted_topk_sample(
         F.substring(seeded_md5(F.col(key), seed), 1, 8), 16, 10
     ).cast("double")
     u = (h + F.lit(1.0)) / F.lit(_DENOM)
-    w = F.greatest(weight.cast("double"), F.lit(1e-12))
+    # nanvl first: greatest(NaN, floor) = NaN in Spark, and NaN sorts
+    # ABOVE every double — unguarded NaN weights would monopolize the
+    # sample. NaN/NULL weights collapse to the floor (≈ never drawn).
+    w = F.greatest(
+        F.nanvl(weight.cast("double"), F.lit(1e-12)), F.lit(1e-12)
+    )
     es_key = F.log(u) / w
     top = (
         df.withColumn("__es", es_key)

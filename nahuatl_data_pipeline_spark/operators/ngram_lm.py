@@ -20,12 +20,16 @@ branch exists; scoring a NEW corpus against stored counts is the same
 plan with the count windows swapped for a (broadcast-gated) join against
 the persisted model table.
 
-Scale: three key-partitioned shuffles — (w1,w2), (w1), (doc) — each
-map-side combinable, state one row per distinct key in flight; V rides
-a broadcast 1-row aggregate. Linear in corpus size; a hot prefix (every
-sentence starts with "the") concentrates one WINDOW partition — the
-window is a count, so Spark's partial aggregation bounds it, unlike a
-sort-based window function.
+Scale: three key-partitioned shuffles — (w1,w2), (w1), (doc) — linear
+in corpus size; V rides a broadcast 1-row aggregate. Caveat: window
+aggregates have NO map-side partial aggregation (unlike groupBy), so a
+hot prefix (every sentence starting "the" — Zipf guarantees one) lands
+its whole occurrence slice in one task: sort-spill keeps it from OOM,
+but it is the straggler at extreme scale. The fix at that regime is
+the model-table variant sketched above — c(w1,w2)/c(w1) as groupBy
+COUNT tables (map-side combined, vocabulary-bounded output) joined
+back broadcast-gated, at the price of a second pass over the
+occurrence stream.
 """
 
 from __future__ import annotations

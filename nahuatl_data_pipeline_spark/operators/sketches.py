@@ -37,6 +37,22 @@ def _bucket(key, row: int, width: int):
     return hash64(F.concat(F.lit(f"{row}:"), key.cast("string"))) % width
 
 
+def _cell_array(key, width: int, depth: int):
+    """The depth cell addresses ``(row, bucket)`` for ``key`` — ONE
+    definition used by both build and estimate, so the two sides can
+    never drift to different cells (which would silently break the
+    never-undercount guarantee)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(key, r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
@@ -53,15 +69,7 @@ def cms_build(
     raw stream: cell values are Σ counts, bit-identical to the streaming
     build (CMS cells are sums — the same mergeability that lets partial
     sketches add cell-wise)."""
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                _bucket(F.col(key_col), r, width).alias("bucket"),
-            )
-            for r in range(depth)
-        ]
-    )
+    cells = _cell_array(F.col(key_col), width, depth)
     inc = F.lit(1) if count_col is None else F.col(count_col)
     return (
         df.select(inc.alias("__inc"), F.explode(cells).alias("__c"))
@@ -84,17 +92,7 @@ def cms_estimate(
     shuffle-free. ``width``/``depth`` must match the build."""
     probes = keys.select(
         key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _bucket(F.col(key_col), r, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("__p"),
+        F.explode(_cell_array(F.col(key_col), width, depth)).alias("__p"),
     ).select(key_col, F.col("__p.row").alias("row"), F.col("__p.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")

@@ -180,6 +180,11 @@ def tfidf_cosine_pairs(
     """
     from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
 
+    if df_cap is None and max_df_frac is None:
+        raise ValueError(
+            "one of df_cap / max_df_frac is required: an uncapped inverted "
+            "index makes every stop-term posting list a quadratic join input"
+        )
     if shingle_n == 1:
         toks = tokenize(docs, id_col, text_col)
         tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -85,7 +85,8 @@ _Q105_SQL = """
     dev AS (
       SELECT o.o_orderpriority, m.group_median,
              ABS(o.o_totalprice - m.group_median) AS absdev
-      FROM orders o JOIN med m USING (o_orderpriority)
+      FROM orders o JOIN med m
+        ON o.o_orderpriority IS NOT DISTINCT FROM m.o_orderpriority
     ),
     mad AS (
       SELECT o_orderpriority,
@@ -99,7 +100,8 @@ _Q105_SQL = """
            CAST(SUM(CASE WHEN d.absdev > 3.0 * 1.4826 * a.group_mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM dev d JOIN mad a USING (o_orderpriority)
+    FROM dev d JOIN mad a
+      ON d.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority
     GROUP BY d.o_orderpriority
 """
 
@@ -180,10 +182,10 @@ def q106_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_containment_pairs,
     )
 
+    from nahuatl_data_pipeline_spark.operators.tfidf import term_array
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
-    )
+    toks = F.filter(term_array("text"), lambda t: t != "")
     planted = docs.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 10), " ").alias("text"),
@@ -389,14 +391,17 @@ _Q110_SQL = """
     SELECT o.o_orderpriority,
            MIN(b.lo) AS lo,
            MIN(b.hi) AS hi,
-           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)), 2)
-             AS winsorized_mean,
-           ROUND(SUM(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)), 2)
-             AS winsorized_sum,
+           ROUND(AVG(CASE WHEN o.o_totalprice IS NULL THEN NULL
+                          ELSE LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)
+                     END), 2) AS winsorized_mean,
+           ROUND(SUM(CASE WHEN o.o_totalprice IS NULL THEN NULL
+                          ELSE LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)
+                     END), 2) AS winsorized_sum,
            CAST(SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
            CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM orders o JOIN b USING (o_orderpriority)
+    FROM orders o JOIN b
+      ON o.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
     GROUP BY o.o_orderpriority
 """
 

@@ -169,3 +169,51 @@ def test_winsorize_constant_group_untouched(spark):
     assert r["lo"] == r["hi"] == 7.0
     assert r["winsorized_mean"] == 7.0
     assert r["n_clamped"] == 0
+
+
+def test_mad_and_winsorize_keep_null_key_group(spark):
+    """NULL group keys are real groups (module contract): both robust
+    operators must emit a stats row for them, not drop the rows in a
+    plain equi-join."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        mad_outliers,
+        winsorized_stats,
+    )
+
+    rows = [(None, float(v)) for v in range(1, 10)] + [(None, 1000.0)] + [
+        ("g", 5.0)
+    ] * 3
+    df = spark.createDataFrame(rows, ["k", "v"])
+    m = {r["k"]: r for r in mad_outliers(df, ["k"], "v").collect()}
+    assert set(m) == {None, "g"}
+    assert m[None]["n_outliers"] == 1
+    w = {r["k"]: r for r in winsorized_stats(df, ["k"], "v").collect()}
+    assert set(w) == {None, "g"}
+    assert w[None]["n_rows"] == 10
+
+
+def test_winsorize_null_values_stay_null(spark):
+    """A NULL value must not be fabricated into the p05 bound (Spark's
+    greatest/least skip NULLs): excluded from mean/sum/clamp count,
+    still counted in n_rows."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        winsorized_stats,
+    )
+
+    rows = [("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", None)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = winsorized_stats(df, ["k"], "v").collect()[0]
+    assert r["n_rows"] == 4
+    assert r["n_clamped"] == 2  # p05/p95 of 3 values clamp the two ends
+    # mean over the 3 real values' clamped forms only — no fourth datum
+    assert abs(r["winsorized_sum"] - 3 * r["winsorized_mean"]) < 0.02
+
+
+def test_mad_all_null_group_reports_zero_outliers(spark):
+    from nahuatl_data_pipeline_spark.operators.anomaly import mad_outliers
+
+    rows = [("g", None), ("g", None)]
+    df = spark.createDataFrame(rows, schema="k string, v double")
+    r = mad_outliers(df, ["k"], "v").collect()[0]
+    assert r["n_outliers"] == 0  # SUM(CASE…ELSE 0) contract, not NULL
+    assert r["group_median"] is None

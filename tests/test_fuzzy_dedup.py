@@ -314,3 +314,14 @@ def test_containment_short_docs_dropped(spark):
     )
     # < shingle_n tokens → no shingles → filtered, no pairs, no crash
     assert prefix_containment_pairs(df, "doc_id", "text").collect() == []
+
+
+def test_word_shingles_ascii_whitespace_contract(spark):
+    """The pandas_udf tokenizer must split on the SAME ASCII \\s class
+    as the Java-regex/oracle paths: a non-breaking space is NOT a
+    separator, so 'a\\xa0b' stays one token everywhere."""
+    from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
+
+    df = spark.createDataFrame([("a\xa0b c d e",)], ["text"])
+    got = df.select(word_shingles("text", n=3).alias("sh")).collect()[0]["sh"]
+    assert got == ["a\xa0b c d", "c d e"]

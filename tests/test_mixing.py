@@ -197,3 +197,19 @@ def test_weighted_topk_validates_k(spark):
 
     with pytest.raises(ValueError):
         weighted_topk_sample(spark.range(5), "id", F.lit(1.0), k=0)
+
+
+def test_weighted_topk_nan_weight_does_not_monopolize(spark):
+    """NaN sorts above every double in Spark: an unguarded NaN weight
+    would put its rows at the top of every sample. The operator floors
+    NaN/NULL weights instead."""
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        weighted_topk_sample,
+    )
+
+    df = spark.range(500).withColumn(
+        "w",
+        F.when(F.col("id") < 5, F.lit(float("nan"))).otherwise(F.lit(10.0)),
+    )
+    out = weighted_topk_sample(df, "id", F.col("w"), k=50, seed=5)
+    assert out.filter(F.col("id") < 5).count() == 0  # floored, not first

@@ -16,7 +16,9 @@ from tests.conftest import SF_SMOKE
 # crossJoin against a broadcast scalar/tiny frame is the intended shape:
 # q24/q44 (1-row query-count / norm totals), q51 (tiny seed table),
 # q75 (1-row corpus N), q79 (1-row quantile cuts), q83 (1-row vocab
-# totals), q94 (1-row grand totals + |A|x|B| marginal grid).
+# totals), q94 (1-row grand totals + |A|x|B| marginal grid),
+# q108 (1-row corpus N for idf + relative df cap), q109 (1-row
+# vocabulary size V for add-alpha smoothing).
 _BNLJ_OK = {
     "q24_cosine_topk",
     "q44_alignment_join",
@@ -25,6 +27,8 @@ _BNLJ_OK = {
     "q79_approx_length_buckets",
     "q83_corpus_drift",
     "q94_event_weekday_chi2",
+    "q108_tfidf_cosine_pairs",
+    "q109_bigram_lm_score",
 }
 
 
