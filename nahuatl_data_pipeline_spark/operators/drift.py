@@ -23,7 +23,7 @@ pair of corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def _counts(df: DataFrame, text_col: str, name: str) -> DataFrame:
@@ -103,4 +103,63 @@ def token_drift(
             / 2,
             6,
         ).alias("drift_score"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of two groups: ``D = sup_x |F_a(x) -
+    F_b(x)|`` — the numeric-distribution drift test beside
+    ``token_drift``'s categorical KL (value shift in a metric two
+    scrapers disagree on, price drift between order cohorts, …).
+
+    Exact plan: per DISTINCT value, both groups' counts from one
+    map-side-combined aggregate [shuffle 1 on value]; empirical CDFs
+    via cumulative-sum windows ORDERED BY value; D = one max fold to a
+    single row. Evaluating at distinct values with counts aggregated
+    FIRST handles ties exactly (the CDF steps once per distinct value,
+    however many rows share it). The CDF window orders globally → one
+    task holds the DISTINCT-VALUE table (not the rows); like q76's
+    exact ntile this pins semantics, and the 100 TB path is the same
+    statistic over q79's sketch-cut bins (D computed on binned CDFs,
+    error ≤ bin mass). CDF ratios are rounded before the |Δ| max — the
+    reproducibility contract (summation order of the cumsum is fixed
+    by the value order, but the division is where engines could drift
+    an ulp).
+    """
+    g = F.col(group_col)
+    counted = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum((g == group_a).cast("long")).alias("ca"),
+            F.sum((g == group_b).cast("long")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # same ordered single-task window, full frame → the grand totals,
+    # without a separate 1-row aggregate crossJoin
+    totals = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = counted.select(
+        (F.sum("ca").over(w) / F.sum("ca").over(totals)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(totals)).alias("fb"),
+        F.sum("ca").over(totals).alias("na"),
+        F.sum("cb").over(totals).alias("nb"),
+    )
+    return cdf.groupBy().agg(
+        F.round(
+            F.max(F.abs(F.round("fa", round_to) - F.round("fb", round_to))),
+            round_to,
+        ).alias("ks_stat"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
     )

@@ -75,3 +75,60 @@ def transition_counts(
         .groupBy("prev_state", F.col(state).alias("next_state"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def ewma_last(
+    df,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    alpha: float = 0.2,
+    round_to: int = 6,
+):
+    """Final exponentially-weighted moving average per group:
+    ``s ← α·x + (1-α)·s`` folded over the group's rows in
+    ``(ts, tiebreak)`` order, seeded with the first value — the
+    standard smoothed-level summary (monitoring baselines, trend
+    denoising) whose recurrence no built-in aggregate expresses.
+
+    This is the repo's tier-(b) custom-operator shape (SURVEY §custom):
+    a per-group sequential fold via Arrow-batched ``applyInPandas`` —
+    one shuffle on ``keys``, then each group folds independently. Scale
+    contract: parallelism = group count, state = one scalar per group;
+    per-ENTITY series (user, source — millions of parallel groups) are
+    the intended regime, while few-group demos (5 event types) pin
+    semantics but serialize per group — same trade documented at q76.
+    The closed-form "windowable" rewrite s_t = Σ α(1-α)^(t-i)·x_i is
+    deliberately NOT used: (1-α)^(-i) overflows doubles after ~700
+    rows, so the fold is the numerically honest formulation.
+
+    ``order_tiebreak`` must complete a TOTAL order within each group —
+    float identity across engines (and runs) requires folding in one
+    canonical sequence. β = 1-α is materialized once on both engine
+    sides so literal rounding cannot diverge, and the final rounding
+    happens JVM-side (``F.round`` = SQL HALF_UP; Python's ``round`` is
+    banker's and would diverge at .5 boundaries).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    beta = 1.0 - alpha
+    out_fields = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    schema = f"{out_fields}, ewma double, n bigint"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, order_tiebreak])
+        s = None
+        for x in pdf[value_col].astype(float):
+            s = x if s is None else alpha * x + beta * s
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row["ewma"] = s
+        row["n"] = len(pdf)
+        return pd.DataFrame([row])
+
+    out = df.groupBy(*keys).applyInPandas(fold, schema=schema)
+    return out.withColumn("ewma", F.round(F.col("ewma"), round_to))

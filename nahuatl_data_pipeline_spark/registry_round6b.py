@@ -517,3 +517,96 @@ def q111_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q112: final EWMA per event type (applyInPandas sequential fold)
+# ---------------------------------------------------------------------------
+
+# Both engines fold in (ts, event_id) order with literal 0.2/0.8
+# coefficients: identical IEEE op sequence → identical double, before
+# a HALF_UP round on each side.
+_Q112_SQL = """
+    SELECT event_type,
+           ROUND(LIST_REDUCE(LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             (s, x) -> 0.2 * x + 0.8 * s), 6) AS ewma,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("q112_event_value_ewma", _Q112_SQL)
+def q112_event_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final exponentially-weighted value level per event type — the
+    recurrence (s ← αx + (1-α)s) no built-in aggregate expresses,
+    implemented as the tier-(b) custom-operator shape: per-group
+    sequential fold via Arrow applyInPandas
+    (operators/timeseries.py:ewma_last). The oracle folds the SAME
+    canonical order with DuckDB's LIST_REDUCE — exact, not
+    bounded-error."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import ewma_last
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return ewma_last(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        order_tiebreak="event_id",
+        alpha=0.2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113: two-sample Kolmogorov–Smirnov drift between order cohorts
+# ---------------------------------------------------------------------------
+
+_Q113_SQL = """
+    WITH counted AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS ca,
+             SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS cb
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_totalprice
+    ),
+    cdf AS (
+      SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+               / SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS fa,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+               / SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS fb,
+             SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS na,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS nb
+      FROM counted
+    )
+    SELECT ROUND(MAX(ABS(ROUND(fa, 6) - ROUND(fb, 6))), 6) AS ks_stat,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM cdf
+"""
+
+
+@register("q113_price_ks_drift", _Q113_SQL)
+def q113_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the urgent and low-priority
+    price distributions (operators/drift.py:ks_two_sample) — the
+    numeric-distribution drift test beside q83's categorical KL. Exact
+    path pins semantics (distinct-value CDF window); the 100 TB path is
+    the same statistic over q79's sketch bins."""
+    from nahuatl_data_pipeline_spark.operators.drift import ks_two_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return ks_two_sample(
+        orders, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )

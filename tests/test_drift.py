@@ -39,3 +39,44 @@ def test_drift_is_symmetric(spark):
     ba = token_drift(b, a).first()
     assert ab["drift_score"] == ba["drift_score"]
     assert ab["kl_ab"] == ba["kl_ba"]
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample
+# ---------------------------------------------------------------------------
+
+
+def test_ks_identical_samples_zero(spark):
+    from nahuatl_data_pipeline_spark.operators.drift import ks_two_sample
+
+    rows = [("a", float(v)) for v in range(50)] + [
+        ("b", float(v)) for v in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r["ks_stat"] == 0.0
+    assert r["n_a"] == r["n_b"] == 50
+
+
+def test_ks_disjoint_samples_one(spark):
+    from nahuatl_data_pipeline_spark.operators.drift import ks_two_sample
+
+    rows = [("a", float(v)) for v in range(50)] + [
+        ("b", 1000.0 + v) for v in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r["ks_stat"] == 1.0
+
+
+def test_ks_half_shifted(spark):
+    """b = a shifted by half the support: D = 0.5 exactly for uniform
+    grids (CDFs diverge over the non-overlapping half)."""
+    from nahuatl_data_pipeline_spark.operators.drift import ks_two_sample
+
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v) + 50.0) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r["ks_stat"] == 0.5

@@ -99,3 +99,39 @@ def test_transition_equal_ts_tiebreak_deterministic(spark):
         df, by="user_id", state="state", order_by=["ts", "event_id"]
     )
     assert [tuple(r) for r in out.collect()] == [("a", "b", 1)]
+
+
+# ---------------------------------------------------------------------------
+# ewma_last
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_hand_computed_in_timestamp_order(spark):
+    """Rows arrive shuffled; fold must follow (ts, tiebreak):
+    1 → 0.2·2+0.8·1 = 1.2 → 0.2·3+0.8·1.2 = 1.56."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import ewma_last
+
+    rows = [
+        ("g", 3, "c", 3.0),
+        ("g", 1, "a", 1.0),
+        ("g", 2, "b", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "tb", "value"])
+    r = ewma_last(
+        df, ["k"], ts_col="t", value_col="value", order_tiebreak="tb",
+        alpha=0.2,
+    ).collect()[0]
+    assert r["ewma"] == 1.56
+    assert r["n"] == 3
+
+
+def test_ewma_partition_independent(spark):
+    from nahuatl_data_pipeline_spark.operators.timeseries import ewma_last
+
+    rows = [("g", i, str(i), float(i % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "t", "tb", "value"])
+    a = ewma_last(df, ["k"], "t", "value", "tb").collect()[0]["ewma"]
+    b = ewma_last(df.repartition(17), ["k"], "t", "value", "tb").collect()[0][
+        "ewma"
+    ]
+    assert a == b  # canonical fold order → bit-identical result
