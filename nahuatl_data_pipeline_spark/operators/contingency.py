@@ -18,7 +18,7 @@ the first exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,3 +80,46 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         ((F.first("ka") - 1) * (F.first("kb") - 1)).cast("long").alias("dof"),
         F.first("n").cast("long").alias("n_obs"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-``col_a``-level mutual-information contribution against
+    ``col_b``: ``MI(a) = Σ_b p(a,b)·ln(p(a,b)/(p(a)·p(b)))`` — the
+    feature-selection complement of ``chi2_independence``: chi² answers
+    "are the columns dependent at all?", this ranks WHICH levels carry
+    the dependence (e.g. which tokens are source-discriminative — the
+    classic leakage/contamination tripwire: a token with high MI
+    against the split column identifies memorizable split markers).
+
+    Only observed (a, b) cells contribute (0·ln 0 = 0 — unlike chi²'s
+    expected grid, absent cells add exactly nothing here). Plan: one
+    (a,b)-keyed count aggregate [the only full-data shuffle, map-side
+    combined]; marginals AND the grand total as WINDOWS over the cell
+    table (the tfidf.py no-join-back lesson) — the unpartitioned total
+    window holds the |A|×|B| CELL table in one task, bounded by level
+    cardinalities, never the raw rows. Per-level sums are rounded
+    (float-fold contract).
+    """
+    cnt = F.col("cnt").cast("double")
+    ca = F.sum("cnt").over(Window.partitionBy(col_a)).cast("double")
+    cb = F.sum("cnt").over(Window.partitionBy(col_b)).cast("double")
+    n = F.sum("cnt").over(Window.partitionBy()).cast("double")
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("cnt"))
+    contrib = (cnt / n) * F.log(cnt * n / (ca * cb))
+    out = (
+        cells.withColumn("__mi", contrib)
+        .groupBy(col_a)
+        .agg(
+            F.round(F.sum("__mi"), round_to).alias("mi"),
+            F.sum("cnt").alias("n_obs"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("mi"), F.asc(col_a)).limit(top_k)
+    return out

@@ -610,3 +610,53 @@ def q113_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(
         orders, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
     )
+
+
+# ---------------------------------------------------------------------------
+# q114: token↔source mutual information (leakage / discriminativeness)
+# ---------------------------------------------------------------------------
+
+_Q114_SQL = r"""
+    WITH toks AS (
+      SELECT source,
+             UNNEST(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+               t -> t <> '')) AS term
+      FROM documents
+    ),
+    cells AS (SELECT term, source, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    m AS (
+      SELECT term, source, cnt,
+             SUM(cnt) OVER (PARTITION BY term) AS ct,
+             SUM(cnt) OVER (PARTITION BY source) AS cs,
+             SUM(cnt) OVER () AS n
+      FROM cells
+    )
+    SELECT term,
+           ROUND(SUM((CAST(cnt AS DOUBLE) / n)
+                     * LN(CAST(cnt AS DOUBLE) * n
+                          / (CAST(ct AS DOUBLE) * cs))), 6) AS mi,
+           CAST(SUM(cnt) AS BIGINT) AS n_obs
+    FROM m
+    GROUP BY term
+    ORDER BY mi DESC, term
+    LIMIT 15
+"""
+
+
+@register("q114_token_source_mi", _Q114_SQL)
+def q114_token_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top source-discriminative tokens by mutual information
+    (operators/contingency.py:mutual_information) — the
+    feature-selection complement of q94's chi²: ranks WHICH vocabulary
+    levels carry the token↔source dependence. In a training pipeline
+    this is the split-leakage tripwire: a token with high MI against
+    the split/source column is a memorizable marker."""
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        mutual_information,
+    )
+    from nahuatl_data_pipeline_spark.operators.tfidf import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = tokenize(docs, "source", "text")
+    return mutual_information(toks, "term", "source", top_k=15)

@@ -69,3 +69,53 @@ def test_chi2_single_scan_of_input(spark, tmp_path):
     out = chi2_independence(df, "a", "b")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 0  # all legs read the checkpoint
+
+
+# ---------------------------------------------------------------------------
+# mutual_information
+# ---------------------------------------------------------------------------
+
+
+def test_mi_independent_columns_zero(spark):
+    """Perfectly balanced joint (independent) → MI exactly 0 per level:
+    ln(p(a,b)/(p(a)p(b))) = ln(1) for every cell."""
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        mutual_information,
+    )
+
+    rows = [(a, b) for a in ["x", "y"] for b in ["s", "t"] for _ in range(25)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {r["a"]: r["mi"] for r in mutual_information(df, "a", "b").collect()}
+    assert got == {"x": 0.0, "y": 0.0}
+
+
+def test_mi_deterministic_association_ln2(spark):
+    """a fully determines b over a uniform 2×2 diagonal: each level's
+    contribution is p(a)·ln(1/p(b)) = 0.5·ln 2."""
+    import math
+
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        mutual_information,
+    )
+
+    rows = [("x", "s")] * 50 + [("y", "t")] * 50
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {r["a"]: r["mi"] for r in mutual_information(df, "a", "b").collect()}
+    expect = round(0.5 * math.log(2), 6)
+    assert got == {"x": expect, "y": expect}
+
+
+def test_mi_topk_ranks_discriminative_levels_first(spark):
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        mutual_information,
+    )
+
+    rows = (
+        [("loaded", "s1")] * 60
+        + [("loaded", "s2")] * 5
+        + [("flat", "s1")] * 30
+        + [("flat", "s2")] * 30
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    top = mutual_information(df, "a", "b", top_k=1).collect()
+    assert top[0]["a"] == "loaded"

@@ -171,3 +171,55 @@ def test_stream_equals_batch_ohlc(spark, event_dir):
     assert (b["open"], b["high"], b["low"], b["close"], b["volume"]) == (
         1.0, 2.0, 1.0, 2.0, 2
     )
+
+
+def test_stream_cms_equals_batch_sketch(spark, tmp_path):
+    """Streaming CMS accumulation (cell-wise merge per micro-batch) must
+    be BIT-IDENTICAL to one batch cms_build over the same rows — the
+    mergeability contract that makes the sketch valid streaming state."""
+    from nahuatl_data_pipeline_spark.operators.sketches import cms_build
+    from nahuatl_data_pipeline_spark.streaming.sketch_sink import (
+        CmsAccumulator,
+    )
+
+    rows = [
+        (i, _ts(10 + i % 3), 100 + i, f"type{i % 7}", float(i), None)
+        for i in range(200)
+    ]
+    path = str(tmp_path / "cms_events")
+    spark.createDataFrame(rows, EVENT_SCHEMA).repartition(4).write.parquet(
+        path
+    )
+
+    acc = CmsAccumulator("event_type", width=256, depth=3)
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(acc.merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert acc.batches_merged > 1  # actually exercised the merge path
+
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            spark.read.parquet(path), "event_type", width=256, depth=3
+        ).collect()
+    }
+    assert acc.cells == batch
+
+    # accumulated sketch is a drop-in for cms_estimate
+    from nahuatl_data_pipeline_spark.operators.sketches import cms_estimate
+
+    keys = spark.createDataFrame([(f"type{i}",) for i in range(7)], ["k"])
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(
+            acc.to_df(spark), keys, "k", width=256, depth=3
+        ).collect()
+    }
+    import collections
+
+    true = collections.Counter(f"type{i % 7}" for i in range(200))
+    assert all(est[k] >= true[k] for k in true)  # one-sided error holds
