@@ -446,3 +446,35 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """Per-group embedding centroid in LONG format — one row per
+    (group, dimension) with the element-wise mean — the building block
+    for cluster summaries, per-source drift of embedding spaces, and
+    IVF coarse codebooks seeded from labels.
+
+    Long format is the deliberate scale shape: ``posexplode`` (a narrow
+    generator) followed by ONE (group, pos)-keyed aggregate — map-side
+    combine reduces every task to |groups|·dim partial cells, whereas
+    an array-typed mean would need a custom fold that Spark cannot
+    partially aggregate. Re-assembling vectors downstream is
+    ``collect_list`` over a dim-sorted window per group (|groups|·dim
+    rows — trivial). Elements are cast to double BEFORE summation
+    (float32 accumulation drifts), means rounded per the float-fold
+    contract.
+    """
+    exploded = df.select(
+        group_col, F.posexplode(vec_col).alias("pos", "__v")
+    )
+    return exploded.groupBy(group_col, "pos").agg(
+        F.round(F.avg(F.col("__v").cast("double")), round_to).alias(
+            "centroid"
+        ),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

@@ -660,3 +660,37 @@ def q114_token_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     toks = tokenize(docs, "source", "text")
     return mutual_information(toks, "term", "source", top_k=15)
+
+
+# ---------------------------------------------------------------------------
+# q115: per-label embedding centroids (array-column aggregation)
+# ---------------------------------------------------------------------------
+
+_Q115_SQL = """
+    SELECT label,
+           CAST(e.pos AS INT) AS pos,
+           ROUND(AVG(CAST(e.v AS DOUBLE)), 5) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM (
+      SELECT label,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                                   i -> {'pos': i - 1, 'v': embedding[i]}),
+                    recursive := true)
+      FROM embeddings
+    ) e
+    GROUP BY label, e.pos
+"""
+
+
+@register("q115_embedding_centroids", _Q115_SQL)
+def q115_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise per-label centroid of the 64-d embedding column
+    (operators/similarity.py:embedding_centroids): posexplode + one
+    map-side-combined (label, pos) aggregate — the long-format shape
+    that scales where an array-typed mean cannot partially aggregate."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return embedding_centroids(emb, "label")

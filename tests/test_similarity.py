@@ -160,3 +160,46 @@ def test_ivf_gate_fallback_matches_broadcast(spark, emb):
         # the fallback is a shuffle hash join on __cell, not a cartesian
         assert "Cartesian" not in plan and "NestedLoop" not in plan
         assert sorted(map(tuple, gated.collect())) == fast
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroids
+# ---------------------------------------------------------------------------
+
+
+def test_centroids_hand_computed(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    rows = [
+        (0, [1.0, 2.0]),
+        (0, [3.0, 4.0]),
+        (1, [10.0, 20.0]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {
+        (r["label"], r["pos"]): (r["centroid"], r["n_vecs"])
+        for r in embedding_centroids(df, "label").collect()
+    }
+    assert got == {
+        (0, 0): (2.0, 2),
+        (0, 1): (3.0, 2),
+        (1, 0): (10.0, 1),
+        (1, 1): (20.0, 1),
+    }
+
+
+def test_centroids_full_dim_coverage(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_centroids,
+    )
+    from nahuatl_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "label", "embedding"
+    )
+    out = embedding_centroids(emb, "label")
+    n_labels = emb.select("label").distinct().count()
+    assert out.count() == 64 * n_labels  # every (label, dim) cell present
