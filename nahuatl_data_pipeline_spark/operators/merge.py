@@ -164,3 +164,54 @@ def scd2_merge(
         .withColumn(current_col, F.lit(True))
     )
     return base_rows.unionByName(new_rows)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    content_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two dataset snapshots: one row per key
+    seen in either side with ``status`` ∈ added / removed / modified /
+    unchanged — the dataset-versioning audit every training-data
+    release needs ("what changed since the corpus we trained on?").
+
+    Change detection compares md5 over ``content_cols`` (concat_ws with
+    a unit separator so column boundaries can't alias), computed as a
+    narrow projection on each side — only keys + 2 hashes flow into the
+    single FULL OUTER join, never the payload. That join is the one
+    shuffle, key-partitioned both sides, AQE-planned; output is
+    key-cardinality rows. NULL-safe status logic: a key present on both
+    sides with equal hashes is unchanged even if the key itself is
+    NULL-ish (coalesce over the two key copies keeps it).
+    """
+    sep = "\x1f"
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(F.concat_ws(sep, *[F.col(c) for c in content_cols]))
+        return df.select(
+            *[F.col(k).alias(f"{alias}_{k}") for k in keys],
+            h.alias(f"{alias}_hash"),
+        )
+
+    o = hashed(old, "o")
+    n = hashed(new, "n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    status = (
+        F.when(F.col("o_hash").isNull(), F.lit("added"))
+        .when(F.col("n_hash").isNull(), F.lit("removed"))
+        .when(F.col("o_hash") == F.col("n_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"o_{k}"), F.col(f"n_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("status"),
+    )

@@ -694,3 +694,69 @@ def q115_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
     return embedding_centroids(emb, "label")
+
+
+# ---------------------------------------------------------------------------
+# q116: corpus snapshot diff (dataset-versioning audit)
+# ---------------------------------------------------------------------------
+
+# The "new" snapshot is derived deterministically from the old one:
+# doc_id < 50 edited (text || ' v2'), doc_id >= 450 dropped, 25 fresh
+# docs appended at id+3000000 — all four statuses exercised.
+_Q116_SQL = """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 50 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id < 450
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN MD5(o.text) = MD5(n.text) THEN 'unchanged'
+                  ELSE 'modified' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM diff GROUP BY status
+"""
+
+
+@register("q116_corpus_snapshot_diff", _Q116_SQL)
+def q116_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit (operators/merge.py:snapshot_diff):
+    added/removed/modified/unchanged per doc between two corpus
+    snapshots — only keys + content hashes cross the single full-outer
+    join, never the text payload."""
+    from nahuatl_data_pipeline_spark.operators.merge import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") < 450)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") < 50, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 25).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
+            )
+        )
+    )
+    diff = snapshot_diff(docs, new, keys=["doc_id"], content_cols=["text"])
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -122,3 +122,44 @@ def test_scd2_base_scanned_once_in_output_plan(spark, tmp_path):
     out = scd2_merge(base, updates, keys=["k"], tracked=["val"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from nahuatl_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["id", "text"]
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, ["id"], ["text"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_multi_content_cols_no_aliasing(spark):
+    """concat_ws with a separator: ('ab','c') must differ from
+    ('a','bc') — naked concat would hash them identically."""
+    from nahuatl_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "ab", "c")], ["id", "x", "y"])
+    new = spark.createDataFrame([(1, "a", "bc")], ["id", "x", "y"])
+    got = snapshot_diff(old, new, ["id"], ["x", "y"]).collect()
+    assert got[0]["status"] == "modified"
+
+
+def test_snapshot_diff_null_key_matches_null_safely(spark):
+    from nahuatl_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(None, "a")], "id int, text string")
+    new = spark.createDataFrame([(None, "a")], "id int, text string")
+    got = snapshot_diff(old, new, ["id"], ["text"]).collect()
+    assert len(got) == 1 and got[0]["status"] == "unchanged"
