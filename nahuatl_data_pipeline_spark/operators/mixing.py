@@ -193,3 +193,33 @@ def weighted_topk_sample(
     return top.withColumn(
         "sample_rank", F.row_number().over(rw).cast("long")
     ).drop("__es")
+
+
+def mix_concentration(
+    df: DataFrame, strata_col: str, round_to: int = 6
+) -> DataFrame:
+    """One-row concentration profile of the corpus mix: Herfindahl–
+    Hirschman index (Σ share² — 1/k for a balanced k-way mix, →1 as one
+    stratum dominates), Shannon entropy in nats (ln k when balanced),
+    and the stratum count — the "is one source swamping the training
+    mix?" dashboard number that motivates ``cap_per_group``.
+
+    Plan: one strata-keyed count [map-side combined] → the share math
+    folds over the |strata| count rows (second tiny aggregate). NULL
+    strata count as a real stratum (null-safe group convention).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    total = Window.partitionBy()
+    share = F.col("__n") / F.sum("__n").over(total)
+    return (
+        counts.select(share.alias("__p"))
+        .agg(
+            F.round(F.sum(F.col("__p") * F.col("__p")), round_to).alias("hhi"),
+            F.round(
+                -F.sum(F.col("__p") * F.log(F.col("__p"))), round_to
+            ).alias("entropy"),
+            F.count(F.lit(1)).alias("n_strata"),
+        )
+    )

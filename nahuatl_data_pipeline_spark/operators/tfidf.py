@@ -235,3 +235,72 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("wa") * F.col("wb")), round_to).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_pair_docs: int = 5,
+    top_k: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Token-pair collocations by pointwise mutual information over
+    DOCUMENT co-occurrence: ``pmi(a,b) = ln(n_ab·N / (n_a·n_b))`` with
+    ``n_x`` = documents containing x — the phrase/topic-pair detector
+    (tokens that travel together far above chance), and the unordered
+    complement of q95's sequential transitions / q109's adjacency
+    bigrams.
+
+    Plan: distinct (doc, term) once → pair table via an id-keyed
+    self-join (ta < tb) + one map-side-combined count [the only big
+    shuffle; per-doc pair fan-out is C(d,2) over DISTINCT tokens, so
+    production use restricts the vocabulary first — the q108 df-cap
+    idea]; per-term doc counts are a separate vocab-bounded aggregate
+    joined onto the (vocab²-bounded) pair table — joining small onto
+    small, never back onto the token stream. ``min_pair_docs`` floors
+    support: PMI of a 1-document pair is pure noise.
+    """
+    from nahuatl_data_pipeline_spark.functions.hashing import token_set
+
+    dt = docs.select(
+        id_col, F.explode(token_set(text_col)).alias("term")
+    )
+    a = dt.select(F.col(id_col).alias("__d"), F.col("term").alias("term_a"))
+    b = dt.select(F.col(id_col).alias("__d"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "__d")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    tc = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    ta = tc.select(
+        F.col("term").alias("term_a"), F.col("n_t").alias("__na")
+    )
+    tb = tc.select(
+        F.col("term").alias("term_b"), F.col("n_t").alias("__nb")
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("__n")
+        / (F.col("__na").cast("double") * F.col("__nb"))
+    )
+    out = (
+        pairs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(pmi, round_to).alias("pmi"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
+        ).limit(top_k)
+    return out

@@ -760,3 +760,79 @@ def q116_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q117: corpus mix concentration (HHI / entropy)
+# ---------------------------------------------------------------------------
+
+_Q117_SQL = """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    shares AS (
+      SELECT CAST(n AS DOUBLE) / SUM(n) OVER () AS p FROM counts
+    )
+    SELECT ROUND(SUM(p * p), 6) AS hhi,
+           ROUND(-SUM(p * LN(p)), 6) AS entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_strata
+    FROM shares
+"""
+
+
+@register("q117_source_concentration", _Q117_SQL)
+def q117_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl index + Shannon entropy of the source mix
+    (operators/mixing.py:mix_concentration) — the one-row "is a single
+    source swamping the training mix?" dashboard that motivates
+    cap_per_group/stratified_mix."""
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        mix_concentration,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    return mix_concentration(docs, "source")
+
+
+# ---------------------------------------------------------------------------
+# q118: PMI collocations over document co-occurrence
+# ---------------------------------------------------------------------------
+
+_Q118_SQL = r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(
+                 REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                 t -> t <> '')) AS term
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 25
+    ),
+    tc AS (SELECT term, COUNT(*) AS n_t FROM dt GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT p.term_a, p.term_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+           ROUND(LN(CAST(p.n_ab AS DOUBLE) * (SELECT n FROM n)
+                    / (CAST(ta.n_t AS DOUBLE) * tb.n_t)), 6) AS pmi
+    FROM pairs p
+    JOIN tc ta ON p.term_a = ta.term
+    JOIN tc tb ON p.term_b = tb.term
+    ORDER BY pmi DESC, p.term_a, p.term_b
+    LIMIT 15
+"""
+
+
+@register("q118_token_collocations", _Q118_SQL)
+def q118_token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token-pair collocations by document-co-occurrence PMI
+    (operators/tfidf.py:pmi_cooccurrence) — unordered complement of
+    q95's transitions and q109's adjacency bigrams; support-floored."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import pmi_cooccurrence
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_cooccurrence(
+        docs, "doc_id", "text", min_pair_docs=25, top_k=15
+    )

@@ -213,3 +213,25 @@ def test_weighted_topk_nan_weight_does_not_monopolize(spark):
     )
     out = weighted_topk_sample(df, "id", F.col("w"), k=50, seed=5)
     assert out.filter(F.col("id") < 5).count() == 0  # floored, not first
+
+
+def test_mix_concentration_balanced_vs_skewed(spark):
+    import math
+
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        mix_concentration,
+    )
+
+    balanced = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(400)], ["src"]
+    )
+    r = mix_concentration(balanced, "src").collect()[0]
+    assert r["hhi"] == 0.25  # 1/k for balanced k=4
+    assert r["entropy"] == round(math.log(4), 6)
+    assert r["n_strata"] == 4
+
+    skewed = spark.createDataFrame(
+        [("big",)] * 97 + [("tiny",)] * 3, ["src"]
+    )
+    s = mix_concentration(skewed, "src").collect()[0]
+    assert s["hhi"] > 0.9  # one stratum dominates

@@ -18,7 +18,8 @@ from tests.conftest import SF_SMOKE
 # q75 (1-row corpus N), q79 (1-row quantile cuts), q83 (1-row vocab
 # totals), q94 (1-row grand totals + |A|x|B| marginal grid),
 # q108 (1-row corpus N for idf + relative df cap), q109 (1-row
-# vocabulary size V for add-alpha smoothing).
+# vocabulary size V for add-alpha smoothing), q118 (1-row corpus N
+# joined onto the vocab²-bounded pair table).
 _BNLJ_OK = {
     "q24_cosine_topk",
     "q44_alignment_join",
@@ -29,6 +30,7 @@ _BNLJ_OK = {
     "q94_event_weekday_chi2",
     "q108_tfidf_cosine_pairs",
     "q109_bigram_lm_score",
+    "q118_token_collocations",
 }
 
 

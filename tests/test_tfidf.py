@@ -164,3 +164,32 @@ def test_cosine_pairs_symmetric_ordering_and_bounds(spark):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert 0.0 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_pmi_collocation_detects_planted_pair(spark):
+    """'alpha' and 'beta' co-occur in every doc they appear in; 'alpha'
+    and 'noise' co-occur at chance. PMI must rank the planted pair
+    first and give the chance pair ≈ 0."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import pmi_cooccurrence
+
+    rows = [(i, "alpha beta filler") for i in range(25)] + [
+        (100 + i, "noise filler") for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = pmi_cooccurrence(docs, "doc_id", "text", min_pair_docs=5).collect()
+    by_pair = {(r["term_a"], r["term_b"]): r["pmi"] for r in got}
+    import math
+
+    # alpha∩beta = 25 docs, each marginal 25, N=50 → pmi = ln 2
+    assert by_pair[("alpha", "beta")] == round(math.log(2), 6)
+    # filler appears everywhere → pmi(alpha, filler) = ln(25·50/(25·50)) = 0
+    assert by_pair[("alpha", "filler")] == 0.0
+
+
+def test_pmi_support_floor(spark):
+    from nahuatl_data_pipeline_spark.operators.tfidf import pmi_cooccurrence
+
+    rows = [(1, "rare1 rare2")] + [(i, "common stuff") for i in range(2, 40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = pmi_cooccurrence(docs, "doc_id", "text", min_pair_docs=5).collect()
+    assert ("rare1", "rare2") not in {(r["term_a"], r["term_b"]) for r in got}
