@@ -223,3 +223,70 @@ def mix_concentration(
             F.count(F.lit(1)).alias("n_strata"),
         )
     )
+
+
+def negative_samples(
+    queries: DataFrame,
+    corpus_count,
+    id_col: str,
+    k: int = 3,
+    seed: int = 13,
+) -> DataFrame:
+    """K deterministic random negatives per query row for contrastive
+    training pairs: negative ``j`` of id ``x`` is
+    ``md5("{seed}:{j}:" || x) mod N`` over a CONTIGUOUS [0, N) id space
+    (the standard post-index-assignment layout; ``seeded_split``'s
+    md5-rank produces exactly such ids). O(1) per pair — no join, no
+    shuffle against the corpus — and a pure content-hash function, so
+    the pair set survives re-runs/partitionings and any engine can
+    recompute it (vs ``rand()`` negatives, which are neither).
+
+    Collisions with the anchor step to ``(h+1) mod N``; repeats across
+    the K draws are sampling-with-replacement semantics (documented —
+    K ≪ N makes them rare). ``corpus_count`` is a 1-row DataFrame
+    holding N (column ``__n``), broadcast so the scalar never routes
+    through the driver.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    out = queries.select(id_col).crossJoin(F.broadcast(corpus_count))
+    draws = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("neg_rank"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{seed}:{j}:"),
+                                    F.col(id_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.col("__n")
+                ).alias("h"),
+            )
+            for j in range(k)
+        ]
+    )
+    exploded = out.select(
+        id_col, "__n", F.explode(draws).alias("__d")
+    ).select(
+        id_col,
+        F.col("__d.neg_rank").alias("neg_rank"),
+        F.col("__d.h").alias("__h"),
+        "__n",
+    )
+    neg = F.when(
+        F.col("__h") == F.col(id_col),
+        (F.col("__h") + 1) % F.col("__n"),
+    ).otherwise(F.col("__h"))
+    return exploded.select(
+        id_col, "neg_rank", neg.cast("long").alias("neg_id")
+    )

@@ -478,3 +478,55 @@ def embedding_centroids(
         ),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_to: int = 4,
+    broadcast_max_queries: int = BROADCAST_MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k`` corpus vectors MOST similar by cosine among those with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss, versus ``negative_samples``' cheap random draws (the standard
+    two-tier recipe: random negatives in bulk, hard negatives mined).
+
+    Same plan skeleton as ``cosine_topk``: broadcast query side while it
+    fits (corpus never shuffles), rounded-score + id tiebreak so ranking
+    is engine-identical; the label-inequality predicate rides the join
+    condition, so same-label pairs are dropped before scoring."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    cond = ~F.col("__ql").eqNullSafe(F.col("__cl"))
+    if _fits(q, broadcast_max_queries):
+        pairs = c.join(F.broadcast(q), cond)
+    else:
+        pairs = c.crossJoin(q).filter(cond)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_cols(F.col("__qv"), F.col("__cv")), round_to
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -836,3 +836,80 @@ def q118_token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_cooccurrence(
         docs, "doc_id", "text", min_pair_docs=25, top_k=15
     )
+
+
+# ---------------------------------------------------------------------------
+# q119: deterministic random negatives (contrastive pair construction)
+# ---------------------------------------------------------------------------
+
+_Q119_SQL = """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    q AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    draws AS (
+      SELECT q.doc_id, r.neg_rank,
+             CAST(('0x' || SUBSTRING(MD5('13:' || CAST(r.neg_rank AS VARCHAR)
+                                     || ':' || CAST(q.doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT)
+               % (SELECT n FROM n) AS h
+      FROM q, (SELECT UNNEST([0, 1, 2]) AS neg_rank) r
+    )
+    SELECT doc_id, CAST(neg_rank AS INT) AS neg_rank,
+           CAST(CASE WHEN h = doc_id THEN (h + 1) % (SELECT n FROM n)
+                     ELSE h END AS BIGINT) AS neg_id
+    FROM draws
+"""
+
+
+@register("q119_negative_samples", _Q119_SQL)
+def q119_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 deterministic random negatives per anchor doc
+    (operators/mixing.py:negative_samples): O(1) hash-mod draws over
+    the contiguous id space — no join against the corpus, reproducible
+    across runs/partitionings/engines. The bulk tier of the two-tier
+    negative recipe; q120 mines the hard tier."""
+    from nahuatl_data_pipeline_spark.operators.mixing import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    anchors = docs.filter(F.col("doc_id") < 100)
+    return negative_samples(anchors, n, "doc_id", k=3, seed=13)
+
+
+# ---------------------------------------------------------------------------
+# q120: hard-negative mining (most similar, different label)
+# ---------------------------------------------------------------------------
+
+_Q120_SQL = """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(
+               CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])),
+               4) AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE NOT (e.label IS NOT DISTINCT FROM q.label)
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("q120_hard_negatives", _Q120_SQL)
+def q120_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives):
+    per query embedding, the 5 most-cosine-similar vectors with a
+    DIFFERENT label — the negatives that move a contrastive loss.
+    Same broadcast-query / corpus-never-shuffles plan as q24, with the
+    label-inequality predicate riding the join condition."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -235,3 +235,28 @@ def test_mix_concentration_balanced_vs_skewed(spark):
     )
     s = mix_concentration(skewed, "src").collect()[0]
     assert s["hhi"] > 0.9  # one stratum dominates
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from nahuatl_data_pipeline_spark.operators.mixing import negative_samples
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    a = negative_samples(docs, n, "doc_id", k=3, seed=13).collect()
+    b = negative_samples(
+        docs.repartition(11), n, "doc_id", k=3, seed=13
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 3000
+    for r in a:
+        assert r["neg_id"] != r["doc_id"]  # anchor never its own negative
+        assert 0 <= r["neg_id"] < 1000
+
+
+def test_negative_samples_validates_k(spark):
+    from nahuatl_data_pipeline_spark.operators.mixing import negative_samples
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    with pytest.raises(ValueError):
+        negative_samples(docs, n, "doc_id", k=0)

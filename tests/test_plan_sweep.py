@@ -19,7 +19,9 @@ from tests.conftest import SF_SMOKE
 # totals), q94 (1-row grand totals + |A|x|B| marginal grid),
 # q108 (1-row corpus N for idf + relative df cap), q109 (1-row
 # vocabulary size V for add-alpha smoothing), q118 (1-row corpus N
-# joined onto the vocab²-bounded pair table).
+# joined onto the vocab²-bounded pair table), q119 (1-row corpus N
+# for the hash-mod negative draw), q120 (broadcast query side with a
+# non-equi label predicate — q24's designed brute-force shape).
 _BNLJ_OK = {
     "q24_cosine_topk",
     "q44_alignment_join",
@@ -31,6 +33,8 @@ _BNLJ_OK = {
     "q108_tfidf_cosine_pairs",
     "q109_bigram_lm_score",
     "q118_token_collocations",
+    "q119_negative_samples",
+    "q120_hard_negatives",
 }
 
 

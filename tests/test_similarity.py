@@ -203,3 +203,22 @@ def test_centroids_full_dim_coverage(spark):
     out = embedding_centroids(emb, "label")
     n_labels = emb.select("label").distinct().count()
     assert out.count() == 64 * n_labels  # every (label, dim) cell present
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label, most similar — must be skipped
+        (2, [0.9, 0.3], 1),
+        (3, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = hard_negatives(
+        emb.filter("vec_id = 0"), emb, k=2
+    ).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [2, 3]  # label-0 neighbors excluded, ordered by cosine
