@@ -136,7 +136,12 @@ def ks_two_sample(
     """
     g = F.col(group_col)
     counted = (
-        df.filter(g.isin([group_a, group_b]))
+        # NULL values are not CDF evaluation points (and Spark windows
+        # sort them FIRST while SQL engines sort them LAST — dropping
+        # them is the only engine-stable semantics). A group matching
+        # zero rows yields ks_stat = NULL (0/0), the caller's signal
+        # that the comparison is vacuous.
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(
             F.sum((g == group_a).cast("long")).alias("ca"),

@@ -177,19 +177,31 @@ def snapshot_diff(
     unchanged — the dataset-versioning audit every training-data
     release needs ("what changed since the corpus we trained on?").
 
-    Change detection compares md5 over ``content_cols`` (concat_ws with
-    a unit separator so column boundaries can't alias), computed as a
-    narrow projection on each side — only keys + 2 hashes flow into the
-    single FULL OUTER join, never the payload. That join is the one
-    shuffle, key-partitioned both sides, AQE-planned; output is
-    key-cardinality rows. NULL-safe status logic: a key present on both
-    sides with equal hashes is unchanged even if the key itself is
-    NULL-ish (coalesce over the two key copies keeps it).
+    Change detection compares md5 over ``content_cols``: each column is
+    first encoded null-distinguishably (NULL → a bare ``\\x00`` marker,
+    a value → ``"v" || value`` — no value can collide with the marker,
+    and ``('a',NULL)`` can never hash like ``(NULL,'a')``), then joined
+    with a unit separator so column BOUNDARIES can't alias either
+    (``('ab','c')`` ≠ ``('a','bc')``). Plain ``concat_ws`` alone fails
+    the first property: it silently DROPS null arguments and their
+    separators. The hash is a narrow projection on each side — only
+    keys + 2 hashes flow into the single FULL OUTER join, never the
+    payload. That join is the one shuffle, key-partitioned both sides,
+    AQE-planned; output is key-cardinality rows. NULL-safe status
+    logic: a key present on both sides with equal hashes is unchanged
+    even if the key itself is NULL-ish (coalesce over the two key
+    copies keeps it).
     """
     sep = "\x1f"
 
+    def _enc(c: str):
+        col = F.col(c).cast("string")
+        return F.when(col.isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("v"), col)
+        )
+
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        h = F.md5(F.concat_ws(sep, *[F.col(c) for c in content_cols]))
+        h = F.md5(F.concat_ws(sep, *[_enc(c) for c in content_cols]))
         return df.select(
             *[F.col(k).alias(f"{alias}_{k}") for k in keys],
             h.alias(f"{alias}_hash"),

@@ -111,6 +111,24 @@ def cosine_topk(
     cond = (
         F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
     )
+    return _brute_topk(q, c, cond, k, round_to, broadcast_max_queries)
+
+
+def _brute_topk(
+    q: DataFrame,
+    c: DataFrame,
+    cond,
+    k: int,
+    round_to: int,
+    broadcast_max_queries: int,
+) -> DataFrame:
+    """The shared brute-force skeleton behind ``cosine_topk`` and
+    ``hard_negatives``: size-gated query broadcast (shuffle-free corpus)
+    with blocked-cartesian fallback, rounded-cosine scoring, and the
+    (desc score, asc id) rank window — ONE definition so the gate and
+    tiebreak cannot drift between the two entry points. ``q`` must
+    carry ``query_id``/``__qv``, ``c`` ``neighbor_id``/``__cv``; extra
+    columns (labels) may ride along for ``cond`` and are dropped."""
     if _fits(q, broadcast_max_queries):
         pairs = c.join(F.broadcast(q), cond)
     else:
@@ -496,10 +514,11 @@ def hard_negatives(
     loss, versus ``negative_samples``' cheap random draws (the standard
     two-tier recipe: random negatives in bulk, hard negatives mined).
 
-    Same plan skeleton as ``cosine_topk``: broadcast query side while it
-    fits (corpus never shuffles), rounded-score + id tiebreak so ranking
-    is engine-identical; the label-inequality predicate rides the join
-    condition, so same-label pairs are dropped before scoring."""
+    Same plan skeleton as ``cosine_topk`` (shared ``_brute_topk``):
+    broadcast query side while it fits (corpus never shuffles),
+    rounded-score + id tiebreak so ranking is engine-identical; the
+    label-inequality predicate rides the join condition, so same-label
+    pairs are dropped before scoring."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -511,22 +530,4 @@ def hard_negatives(
         F.col(label_col).alias("__cl"),
     )
     cond = ~F.col("__ql").eqNullSafe(F.col("__cl"))
-    if _fits(q, broadcast_max_queries):
-        pairs = c.join(F.broadcast(q), cond)
-    else:
-        pairs = c.crossJoin(q).filter(cond)
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_cols(F.col("__qv"), F.col("__cv")), round_to
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _brute_topk(q, c, cond, k, round_to, broadcast_max_queries)

@@ -266,6 +266,10 @@ def pmi_cooccurrence(
     dt = docs.select(
         id_col, F.explode(token_set(text_col)).alias("term")
     )
+    # three consumers (both self-join legs + the marginal count) —
+    # materialize once or the tokenize subtree runs three times
+    # (module lesson, same as tfidf_cosine_pairs' posting table)
+    dt = dt.localCheckpoint(eager=True)
     a = dt.select(F.col(id_col).alias("__d"), F.col("term").alias("term_a"))
     b = dt.select(F.col(id_col).alias("__d"), F.col("term").alias("term_b"))
     pairs = (

@@ -105,10 +105,15 @@ def ewma_last(
 
     ``order_tiebreak`` must complete a TOTAL order within each group —
     float identity across engines (and runs) requires folding in one
-    canonical sequence. β = 1-α is materialized once on both engine
-    sides so literal rounding cannot diverge, and the final rounding
-    happens JVM-side (``F.round`` = SQL HALF_UP; Python's ``round`` is
-    banker's and would diverge at .5 boundaries).
+    canonical sequence. Returned ``n`` counts the FOLDED (non-null)
+    values. Oracle-parity caveats for authors: the fold uses
+    ``β = 1.0 - alpha`` computed in doubles — an SQL oracle writing β
+    as a decimal literal matches only when that literal IS the double
+    ``1.0 - alpha`` (true for α=0.2 → 0.8, NOT true for e.g. α=0.07 →
+    0.93), so either verify the identity or spell the oracle's β as
+    ``1.0 - α``. Final rounding happens JVM-side (``F.round`` = SQL
+    HALF_UP; Python's ``round`` is banker's and would diverge at .5
+    boundaries).
     """
     import pandas as pd
 
@@ -122,12 +127,20 @@ def ewma_last(
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values([ts_col, order_tiebreak])
+        # NULL values are SKIPPED like SQL aggregates skip them — an
+        # astype(float) NaN would otherwise poison every later step of
+        # the fold; an oracle must filter value IS NOT NULL to match.
         s = None
-        for x in pdf[value_col].astype(float):
+        n = 0
+        for x in pdf[value_col]:
+            if pd.isna(x):
+                continue
+            x = float(x)
             s = x if s is None else alpha * x + beta * s
+            n += 1
         row = {k: pdf[k].iloc[0] for k in keys}
         row["ewma"] = s
-        row["n"] = len(pdf)
+        row["n"] = n
         return pd.DataFrame([row])
 
     out = df.groupBy(*keys).applyInPandas(fold, schema=schema)

@@ -717,7 +717,8 @@ _Q116_SQL = """
       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
              CASE WHEN o.doc_id IS NULL THEN 'added'
                   WHEN n.doc_id IS NULL THEN 'removed'
-                  WHEN MD5(o.text) = MD5(n.text) THEN 'unchanged'
+                  WHEN MD5(o.text) IS NOT DISTINCT FROM MD5(n.text)
+                    THEN 'unchanged'
                   ELSE 'modified' END AS status
       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     )

@@ -80,3 +80,24 @@ def test_ks_half_shifted(spark):
     df = spark.createDataFrame(rows, ["g", "v"])
     r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
     assert r["ks_stat"] == 0.5
+
+
+def test_ks_null_values_dropped(spark):
+    """NULLs are not CDF evaluation points: a NULL-bearing sample must
+    score identically to the same sample without the NULL."""
+    from nahuatl_data_pipeline_spark.operators.drift import ks_two_sample
+
+    base = [("a", float(v)) for v in range(20)] + [
+        ("b", float(v) + 10) for v in range(20)
+    ]
+    df1 = spark.createDataFrame(base, "g string, v double")
+    df2 = spark.createDataFrame(
+        base + [("a", None), ("b", None)], "g string, v double"
+    )
+    r1 = ks_two_sample(df1, "v", "g", "a", "b").collect()[0]
+    r2 = ks_two_sample(df2, "v", "g", "a", "b").collect()[0]
+    assert (r1["ks_stat"], r1["n_a"], r1["n_b"]) == (
+        r2["ks_stat"],
+        r2["n_a"],
+        r2["n_b"],
+    )

@@ -163,3 +163,24 @@ def test_snapshot_diff_null_key_matches_null_safely(spark):
     new = spark.createDataFrame([(None, "a")], "id int, text string")
     got = snapshot_diff(old, new, ["id"], ["text"]).collect()
     assert len(got) == 1 and got[0]["status"] == "unchanged"
+
+
+def test_snapshot_diff_null_column_does_not_alias(spark):
+    """concat_ws drops NULLs and their separators, so without per-column
+    null encoding ('a', NULL) and (NULL, 'a') would hash identically —
+    and so would ('a', NULL, 'b') vs ('a', 'b', NULL)."""
+    from nahuatl_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None, "b"), (2, "x", None, None)],
+        "id int, c1 string, c2 string, c3 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b", None), (2, "x", None, None)],
+        "id int, c1 string, c2 string, c3 string",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, ["id"], ["c1", "c2", "c3"]).collect()
+    }
+    assert got == {1: "modified", 2: "unchanged"}

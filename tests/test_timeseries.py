@@ -135,3 +135,21 @@ def test_ewma_partition_independent(spark):
         "ewma"
     ]
     assert a == b  # canonical fold order → bit-identical result
+
+
+def test_ewma_skips_null_values(spark):
+    """A NULL value must not poison the fold (astype-float would turn
+    it into NaN and NaN every later step); it is skipped like SQL
+    aggregates skip NULLs, and n counts folded values only."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import ewma_last
+
+    rows = [
+        ("g", 1, "a", 1.0),
+        ("g", 2, "b", None),
+        ("g", 3, "c", 2.0),
+        ("g", 4, "d", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, tb string, value double")
+    r = ewma_last(df, ["k"], "t", "value", "tb", alpha=0.2).collect()[0]
+    assert r["ewma"] == 1.56  # fold over [1, 2, 3] only
+    assert r["n"] == 3
