@@ -99,3 +99,51 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+def bloom_positions(
+    df: DataFrame, key_col: str, width: int = 1 << 18, depth: int = 3
+) -> DataFrame:
+    """Build side of a portable Bloom filter: the DISTINCT ``(row,
+    bucket)`` cells the key set lights up — a partitioned Bloom (depth
+    independent width-bit arrays), same md5 cell addressing as the CMS
+    (``_cell_array``), so any engine recomputes the filter exactly. At
+    most depth·|keys| rows, typically ≪ width·depth; one map-side-
+    combined distinct."""
+    return (
+        df.select(F.explode(_cell_array(F.col(key_col), width, depth)).alias("__c"))
+        .select(F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
+        .distinct()
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    positions: DataFrame,
+    width: int = 1 << 18,
+    depth: int = 3,
+) -> DataFrame:
+    """Probe side: keep rows whose key lights ALL ``depth`` cells of
+    ``positions`` — no false negatives (every true match survives),
+    false positives at the standard Bloom rate (~(fill)^depth), to be
+    finished by the real join downstream.
+
+    THE 100 TB semi-join reduction: instead of shuffling a full fact
+    table into a join against a selective key set, the fixed-size
+    position table broadcasts and the facts are trimmed by ``depth``
+    MAP-SIDE broadcast left-semi joins — the fact side never
+    exchanges. ``positions`` is materialized here (key-set-bounded):
+    each of the depth join legs consumes it, and without the checkpoint
+    the build-side distinct would re-run per leg (the exchange-reuse
+    lesson). ``width``/``depth`` must match the build."""
+    positions = positions.localCheckpoint(eager=True)
+    out = df
+    for r in range(depth):
+        pos_r = positions.filter(F.col("row") == r).select("bucket")
+        out = out.join(
+            F.broadcast(pos_r),
+            _bucket(F.col(key_col), r, width) == F.col("bucket"),
+            "left_semi",
+        )
+    return out

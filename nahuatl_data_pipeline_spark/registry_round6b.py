@@ -914,3 +914,94 @@ def q120_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         emb.filter(F.col("vec_id") < 10), emb, k=5
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q121: Bloom-filter semi-join reduction (no false negatives, measured FPR)
+# ---------------------------------------------------------------------------
+
+_Q121_W = 4096
+
+
+def _q121_bucket(row: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || SUBSTRING(MD5('{row}:' || CAST({key} AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % 2147483647 % {_Q121_W}"
+    )
+
+
+_Q121_SQL = f"""
+    WITH sel AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+    pos AS (
+      SELECT DISTINCT r.row, {_q121_bucket("r.row", "o_orderkey")
+        .replace("'r.row:'", "CAST(r.row AS VARCHAR) || ':'")} AS bucket
+      FROM sel, (SELECT UNNEST([0, 1, 2]) AS row) r
+    ),
+    li AS (SELECT l_orderkey FROM lineitem),
+    passed AS (
+      SELECT l_orderkey FROM li
+      WHERE {_q121_bucket(0, "l_orderkey")} IN
+              (SELECT bucket FROM pos WHERE row = 0)
+        AND {_q121_bucket(1, "l_orderkey")} IN
+              (SELECT bucket FROM pos WHERE row = 1)
+        AND {_q121_bucket(2, "l_orderkey")} IN
+              (SELECT bucket FROM pos WHERE row = 2)
+    ),
+    exact AS (
+      SELECT l_orderkey FROM li
+      WHERE l_orderkey IN (SELECT o_orderkey FROM sel)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_bloom,
+           CAST((SELECT COUNT(*) FROM passed)
+                - (SELECT COUNT(*) FROM exact) AS BIGINT) AS n_false_pos,
+           ROUND(CAST((SELECT COUNT(*) FROM passed)
+                      - (SELECT COUNT(*) FROM exact) AS DOUBLE)
+                 / ((SELECT COUNT(*) FROM li)
+                    - (SELECT COUNT(*) FROM exact)), 6) AS fp_rate
+"""
+
+
+@register("q121_bloom_semijoin", _Q121_SQL)
+def q121_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction audit
+    (operators/sketches.py:bloom_positions/bloom_prefilter): trim the
+    lineitem fact table against a selective order-key set with depth
+    map-side broadcast semi-joins — the fact side never shuffles — and
+    EXHIBIT the contract: n_bloom ≥ n_exact always (no false
+    negatives), with the false-positive rate measured against the
+    non-matching population. Width deliberately small (4096) so the FP
+    rate is non-trivially exercised; production sizes width to the key
+    cardinality."""
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        bloom_positions,
+        bloom_prefilter,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sel = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    pos = bloom_positions(sel, "o_orderkey", width=_Q121_W, depth=3)
+    passed = bloom_prefilter(li, "l_orderkey", pos, width=_Q121_W, depth=3)
+    exact = li.join(
+        sel.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_all = li.agg(F.count(F.lit(1)).alias("__n_all"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "n_exact",
+            "n_bloom",
+            (F.col("n_bloom") - F.col("n_exact")).alias("n_false_pos"),
+            F.round(
+                (F.col("n_bloom") - F.col("n_exact")).cast("double")
+                / (F.col("__n_all") - F.col("n_exact")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )

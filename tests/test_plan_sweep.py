@@ -35,6 +35,7 @@ _BNLJ_OK = {
     "q118_token_collocations",
     "q119_negative_samples",
     "q120_hard_negatives",
+    "q121_bloom_semijoin",  # three 1-row count aggregates crossJoined
 }
 
 

@@ -115,3 +115,48 @@ def test_cms_unseen_key_reads_zero_or_collision(spark):
     got = cms_estimate(sketch, probe, "k", width=1024, depth=3).collect()
     # 3 keys in 3×1024 cells: the unseen key's min row is empty → 0
     assert got[0]["cms_estimate"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join prefilter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        bloom_positions,
+        bloom_prefilter,
+    )
+
+    keys = spark.range(200).withColumnRenamed("id", "k")  # members 0..199
+    probes = spark.range(5000).withColumnRenamed("id", "k")
+    pos = bloom_positions(keys, "k", width=4096, depth=3)
+    passed = {r["k"] for r in bloom_prefilter(
+        probes, "k", pos, width=4096, depth=3).collect()}
+    assert set(range(200)) <= passed  # every true member survives
+    fp = len(passed) - 200
+    # fill ≈ 200/4096 per row; fpr ≈ 0.049³ ≈ 1e-4 → expect ≈ 0.5 FPs
+    assert fp <= 20
+
+
+def test_bloom_prefilter_plan_never_shuffles_facts(spark):
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        bloom_positions,
+        bloom_prefilter,
+    )
+
+    keys = spark.range(50).withColumnRenamed("id", "k")
+    probes = spark.range(1000).withColumnRenamed("id", "k")
+    pos = bloom_positions(keys, "k", width=1024, depth=3)
+    plan = (
+        bloom_prefilter(probes, "k", pos, width=1024, depth=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe side rides three broadcast semi-joins — no exchange of
+    # the fact stream (only the tiny position table broadcasts)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
