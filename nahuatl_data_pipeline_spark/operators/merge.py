@@ -177,28 +177,26 @@ def snapshot_diff(
     unchanged — the dataset-versioning audit every training-data
     release needs ("what changed since the corpus we trained on?").
 
-    Change detection compares md5 over ``content_cols``: each column is
-    first encoded null-distinguishably (NULL → a bare ``\\x00`` marker,
-    a value → ``"v" || value`` — no value can collide with the marker,
-    and ``('a',NULL)`` can never hash like ``(NULL,'a')``), then joined
-    with a unit separator so column BOUNDARIES can't alias either
-    (``('ab','c')`` ≠ ``('a','bc')``). Plain ``concat_ws`` alone fails
-    the first property: it silently DROPS null arguments and their
-    separators. The hash is a narrow projection on each side — only
-    keys + 2 hashes flow into the single FULL OUTER join, never the
-    payload. That join is the one shuffle, key-partitioned both sides,
-    AQE-planned; output is key-cardinality rows. NULL-safe status
-    logic: a key present on both sides with equal hashes is unchanged
-    even if the key itself is NULL-ish (coalesce over the two key
-    copies keeps it).
+    Change detection hashes PER COLUMN first, then hashes the joined
+    column hashes: each column becomes a fixed-width token (NULL → a
+    bare ``\\x00`` marker — distinguishable from every md5 hex string;
+    a value → its md5), so neither NULL-dropping (plain ``concat_ws``
+    silently drops null arguments) nor a separator byte INSIDE a value
+    can alias column boundaries — ``('a\\x1fb', 'c')`` and
+    ``('a', 'b\\x1fc')`` produce different outer hashes because the
+    inner tokens are fixed-length. The hash is a narrow projection on
+    each side — only keys + 2 hashes flow into the single FULL OUTER
+    join, never the payload. That join is the one shuffle,
+    key-partitioned both sides, AQE-planned; output is key-cardinality
+    rows. NULL-safe status logic: a key present on both sides with
+    equal hashes is unchanged even if the key itself is NULL-ish
+    (coalesce over the two key copies keeps it).
     """
     sep = "\x1f"
 
     def _enc(c: str):
         col = F.col(c).cast("string")
-        return F.when(col.isNull(), F.lit("\x00")).otherwise(
-            F.concat(F.lit("v"), col)
-        )
+        return F.when(col.isNull(), F.lit("\x00")).otherwise(F.md5(col))
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
         h = F.md5(F.concat_ws(sep, *[_enc(c) for c in content_cols]))

@@ -140,10 +140,14 @@ def bloom_prefilter(
     positions = positions.localCheckpoint(eager=True)
     out = df
     for r in range(depth):
-        pos_r = positions.filter(F.col("row") == r).select("bucket")
+        # __-prefixed alias: an unqualified "bucket" would be ambiguous
+        # against a probe frame that carries its own bucket column
+        pos_r = positions.filter(F.col("row") == r).select(
+            F.col("bucket").alias("__bucket")
+        )
         out = out.join(
             F.broadcast(pos_r),
-            _bucket(F.col(key_col), r, width) == F.col("bucket"),
+            _bucket(F.col(key_col), r, width) == F.col("__bucket"),
             "left_semi",
         )
     return out

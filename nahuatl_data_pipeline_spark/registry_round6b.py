@@ -431,10 +431,19 @@ def q110_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q111_W = 2048
 _Q111_D = 3
 
-_Q111_BUCKET = (
-    "CAST(('0x' || SUBSTRING(MD5(CAST({row} AS VARCHAR) || ':' || {key}),"
-    " 1, 15)) AS BIGINT) % 2147483647 % " + str(_Q111_W)
-)
+
+def _bucket_sql(row: str, key: str, width: int) -> str:
+    """DuckDB mirror of sketches.py:_bucket — md5("{row}:" || key) first
+    15 hex chars as int64, mod P, mod width. ``row``/``key`` are SQL
+    EXPRESSIONS (literal or column); both are cast to VARCHAR so the
+    concatenation matches Spark's string concat byte-for-byte. ONE
+    template shared by every sketch oracle (q111 CMS, q121 Bloom) so
+    the SQL addressing cannot drift from the Spark addressing."""
+    return (
+        f"CAST(('0x' || SUBSTRING(MD5(CAST({row} AS VARCHAR) || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % 2147483647 % {width}"
+    )
 
 _Q111_SQL = rf"""
     WITH sh AS (
@@ -451,7 +460,7 @@ _Q111_SQL = rf"""
     counts AS (SELECT term, COUNT(*) AS cnt FROM sh GROUP BY term),
     rows AS (SELECT UNNEST([0, 1, 2]) AS row),
     cells AS (
-      SELECT row, {_Q111_BUCKET.format(row="row", key="term")} AS bucket,
+      SELECT row, {_bucket_sql("row", "term", _Q111_W)} AS bucket,
              SUM(cnt) AS cnt
       FROM counts, rows GROUP BY 1, 2
     ),
@@ -461,7 +470,7 @@ _Q111_SQL = rf"""
     ),
     probes AS (
       SELECT t.term, t.true_count, r.row,
-             {_Q111_BUCKET.format(row="r.row", key="t.term")} AS bucket
+             {_bucket_sql("r.row", "t.term", _Q111_W)} AS bucket
       FROM top t, rows r
     )
     SELECT p.term,
@@ -532,6 +541,7 @@ _Q112_SQL = """
                              (s, x) -> 0.2 * x + 0.8 * s), 6) AS ewma,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY event_type
 """
 
@@ -571,6 +581,7 @@ _Q113_SQL = """
                AS ca,
              SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS cb
       FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_totalprice IS NOT NULL
       GROUP BY o_totalprice
     ),
     cdf AS (
@@ -923,28 +934,21 @@ def q120_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q121_W = 4096
 
 
-def _q121_bucket(row: int, key: str) -> str:
-    return (
-        f"CAST(('0x' || SUBSTRING(MD5('{row}:' || CAST({key} AS VARCHAR)),"
-        f" 1, 15)) AS BIGINT) % 2147483647 % {_Q121_W}"
-    )
-
-
 _Q121_SQL = f"""
     WITH sel AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
     pos AS (
-      SELECT DISTINCT r.row, {_q121_bucket("r.row", "o_orderkey")
-        .replace("'r.row:'", "CAST(r.row AS VARCHAR) || ':'")} AS bucket
+      SELECT DISTINCT r.row,
+             {_bucket_sql("r.row", "o_orderkey", _Q121_W)} AS bucket
       FROM sel, (SELECT UNNEST([0, 1, 2]) AS row) r
     ),
     li AS (SELECT l_orderkey FROM lineitem),
     passed AS (
       SELECT l_orderkey FROM li
-      WHERE {_q121_bucket(0, "l_orderkey")} IN
+      WHERE {_bucket_sql("0", "l_orderkey", _Q121_W)} IN
               (SELECT bucket FROM pos WHERE row = 0)
-        AND {_q121_bucket(1, "l_orderkey")} IN
+        AND {_bucket_sql("1", "l_orderkey", _Q121_W)} IN
               (SELECT bucket FROM pos WHERE row = 1)
-        AND {_q121_bucket(2, "l_orderkey")} IN
+        AND {_bucket_sql("2", "l_orderkey", _Q121_W)} IN
               (SELECT bucket FROM pos WHERE row = 2)
     ),
     exact AS (
@@ -980,20 +984,31 @@ def q121_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    sel = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    # sel feeds BOTH the filter build and the exact-count audit leg —
+    # materialize once (key-set-bounded, the exchange-reuse lesson)
+    sel = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+        .localCheckpoint(eager=True)
+    )
     pos = bloom_positions(sel, "o_orderkey", width=_Q121_W, depth=3)
     passed = bloom_prefilter(li, "l_orderkey", pos, width=_Q121_W, depth=3)
-    exact = li.join(
-        sel.withColumnRenamed("o_orderkey", "l_orderkey"),
-        "l_orderkey",
-        "left_semi",
-    )
     n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom"))
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_all = li.agg(F.count(F.lit(1)).alias("__n_all"))
+    # n_exact and n_all from ONE lineitem pass: left join the unique
+    # selective keys (no fanout) and count matches + rows together
+    marked = li.join(
+        sel.withColumnRenamed("o_orderkey", "l_orderkey").withColumn(
+            "__m", F.lit(1)
+        ),
+        "l_orderkey",
+        "left",
+    )
+    n_exact = marked.agg(
+        F.count("__m").alias("n_exact"),
+        F.count(F.lit(1)).alias("__n_all"),
+    )
     return (
         n_exact.crossJoin(F.broadcast(n_pass))
-        .crossJoin(F.broadcast(n_all))
         .select(
             "n_exact",
             "n_bloom",

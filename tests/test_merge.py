@@ -184,3 +184,14 @@ def test_snapshot_diff_null_column_does_not_alias(spark):
         for r in snapshot_diff(old, new, ["id"], ["c1", "c2", "c3"]).collect()
     }
     assert got == {1: "modified", 2: "unchanged"}
+
+
+def test_snapshot_diff_separator_byte_in_value_no_aliasing(spark):
+    """A \x1f byte INSIDE a value must not shift column boundaries:
+    ('a\x1fb', 'c') vs ('a', 'b\x1fc') is a modification."""
+    from nahuatl_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a\x1fb", "c")], ["id", "x", "y"])
+    new = spark.createDataFrame([(1, "a", "b\x1fc")], ["id", "x", "y"])
+    got = snapshot_diff(old, new, ["id"], ["x", "y"]).collect()
+    assert got[0]["status"] == "modified"
