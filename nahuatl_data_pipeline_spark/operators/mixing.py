@@ -290,3 +290,74 @@ def negative_samples(
     return exploded.select(
         id_col, "neg_rank", neg.cast("long").alias("neg_id")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    weight: Column,
+    order: Column,
+    id_col: str,
+    budget: float,
+    bands: int = 32,
+) -> DataFrame:
+    """Greedy budget-constrained selection: walk the corpus in
+    descending ``order`` (ties broken by ``id_col``) and keep rows
+    while the running ``weight`` total stays ≤ ``budget`` — the
+    "fill a token budget with the best documents first" primitive
+    behind every capacity-bounded training-mix build.
+
+    The running total is a DISTRIBUTED prefix sum, never a global
+    single-partition window (the q76 trap): rows are banded by
+    ``bands`` approx-quantile cuts of the order score (band is a
+    monotone function of the score ALONE, so equal scores can never
+    straddle a band), the within-band cumulative sum runs as a
+    band-partitioned window in parallel, and each band's offset comes
+    from a ``bands``-row total table — the packing.py prefix-sum shape.
+    At 100 TB the only full-data shuffle is the band partitioning;
+    everything ordered-and-global touches ≤ ``bands`` rows. Bands that
+    sit wholly above/below the budget boundary never evaluate the
+    boundary logic row-by-row — they keep/drop via the same cum filter
+    with zero extra passes.
+
+    Rows with NULL order or weight cannot be ranked or spent — they
+    are excluded up front (document the WHERE in any SQL mirror).
+    Output: the selected rows plus ``cum_weight`` (the running total
+    INCLUDING the row), deterministic across partitionings.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.withColumn("__w", weight.cast("double"))
+        .withColumn("__s", order.cast("double"))
+        .where(F.col("__w").isNotNull() & F.col("__s").isNotNull())
+    )
+    qs = [i / bands for i in range(1, bands)]
+    cuts = base.agg(
+        F.percentile_approx("__s", qs, 10000).alias("__cuts")
+    )
+    banded = base.crossJoin(F.broadcast(cuts)).withColumn(
+        "__band",
+        F.size(F.filter("__cuts", lambda c: c > F.col("__s"))),
+    )
+    in_band = Window.partitionBy("__band").orderBy(
+        F.desc("__s"), F.asc(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = banded.groupBy("__band").agg(F.sum("__w").alias("__tot"))
+    prefix_w = Window.orderBy("__band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = totals.select(
+        "__band",
+        F.coalesce(F.sum("__tot").over(prefix_w), F.lit(0.0)).alias(
+            "__prefix"
+        ),
+    )
+    return (
+        banded.withColumn("__in_band_cum", F.sum("__w").over(in_band))
+        .join(F.broadcast(prefixes), "__band")
+        .withColumn(
+            "cum_weight", F.col("__prefix") + F.col("__in_band_cum")
+        )
+        .where(F.col("cum_weight") <= F.lit(float(budget)))
+        .drop("__w", "__s", "__cuts", "__band", "__in_band_cum", "__prefix")
+    )

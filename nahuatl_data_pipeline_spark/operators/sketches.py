@@ -1,5 +1,6 @@
-"""Portable Count-Min sketch — frequency estimation whose state is a
-fixed ``depth × width`` integer grid no matter how large the stream.
+"""Portable sketches: Count-Min (frequencies), partitioned Bloom
+(membership), and k-permutation minwise (set cardinality / overlap) —
+each with fixed-size state no matter how large the stream.
 
 The repo's other sketches (q63 HLL, q64 KLL-style quantiles) ride
 Spark's built-ins, whose register layouts are engine-internal and hence
@@ -27,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nahuatl_data_pipeline_spark.functions.hashing import hash64
+from nahuatl_data_pipeline_spark.functions.hashing import MINHASH_P, hash64
 
 
 def _bucket(key, row: int, width: int):
@@ -114,6 +115,86 @@ def bloom_positions(
         df.select(F.explode(_cell_array(F.col(key_col), width, depth)).alias("__c"))
         .select(F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
         .distinct()
+    )
+
+
+def minwise_sketch(
+    df: DataFrame, key_col: str, k: int = 64, exact: bool = False
+) -> DataFrame:
+    """k-permutation minwise sketch of the DISTINCT-set of ``key_col``:
+    ``k`` rows ``(i, h)`` where ``h`` = MIN over all keys of the i-th
+    seeded portable hash (``hash64("{i}:" || key)`` — the repo's md5
+    family, so any engine recomputes the sketch bit-for-bit).
+
+    THE set-cardinality/overlap complement to the CMS (frequencies) and
+    Bloom (membership) sketches: fixed k-row state no matter the input,
+    built by ONE map-side-combined aggregate — each task folds its rows
+    into k partial minima, the shuffle carries ≤ k values per task, and
+    sketches of disjoint corpus parts MERGE by cell-wise MIN (so a
+    100 TB build is embarrassingly partial-aggregable, where an exact
+    COUNT DISTINCT shuffles every key). Duplicates cannot bias it:
+    MIN over a multiset equals MIN over its support, so no distinct
+    pre-pass is needed.
+
+    Estimators (see :func:`minwise_overlap`): with u_i = h_i/P uniform
+    on [0,1), E[min of n uniforms] = 1/(n+1) → n̂ = k/Σu_i − 1; and
+    P(h_a_i == h_b_i) = Jaccard(A,B) exactly (the min over A∪B lands in
+    A∩B with probability J) — the classic MinHash identity.
+
+    ``exact=True`` additionally folds COUNT(DISTINCT key) into the SAME
+    aggregate (one scan total) and replicates it on every output row as
+    ``n_exact`` — the audit leg for error-measuring queries; leave off
+    in production builds, where avoiding the exact-distinct shuffle is
+    the point. NULL keys are excluded (a set has no NULL member); an
+    empty input yields k rows with NULL ``h``.
+    """
+    key = F.col(key_col)
+    mins = [
+        F.min(hash64(F.concat(F.lit(f"{i}:"), key.cast("string")))).alias(
+            f"__h{i}"
+        )
+        for i in range(k)
+    ]
+    if exact:
+        mins.append(F.countDistinct(key).alias("n_exact"))
+    row = df.where(key.isNotNull()).agg(*mins)
+    pairs = ", ".join(f"{i}, __h{i}" for i in range(k))
+    cols = [f"stack({k}, {pairs}) as (i, h)"]
+    if exact:
+        cols.append("n_exact")
+    return row.selectExpr(*cols)
+
+
+def minwise_overlap(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """One-row overlap estimate from two minwise sketches (same k and
+    hash family): estimated |A|, |B|, |A∪B| (cell-wise min — the merged
+    sketch), Jaccard (signature match rate), and |A∩B| (J·|A∪B|).
+
+    Runs entirely on the two k-row sketches — a k-row equi-join plus a
+    1-row aggregate; the original data is never touched, which is what
+    makes "how much do these two 50 TB corpora overlap?" a
+    seconds-not-hours question. Estimates are rounded to 4 places so
+    the floating fold is engine-stable."""
+    p = float(MINHASH_P)
+    j = sketch_a.select("i", F.col("h").alias("ha")).join(
+        sketch_b.select("i", F.col("h").alias("hb")), "i"
+    )
+
+    def est(c):
+        return F.round(F.lit(float(k)) / F.sum(c / F.lit(p)) - 1.0, 4)
+
+    return j.agg(
+        F.lit(k).alias("k"),
+        est(F.col("ha")).alias("est_a"),
+        est(F.col("hb")).alias("est_b"),
+        est(F.least("ha", "hb")).alias("est_union"),
+        F.round(
+            F.avg(F.when(F.col("ha") == F.col("hb"), 1.0).otherwise(0.0)), 4
+        ).alias("est_jaccard"),
+    ).withColumn(
+        "est_intersect", F.round(F.col("est_jaccard") * F.col("est_union"), 4)
     )
 
 

@@ -1,0 +1,194 @@
+"""Round-6 additions, third block (q122+): set-overlap sketching,
+token-budget corpus selection, long-tail reporting, distributional
+feature transforms, leakage-safe fold assignment, label-agreement and
+uncertainty statistics, and time-series gap repair.
+
+Same contract as every registry block: each query pairs a library
+operator with an exact DuckDB oracle under the driver's
+rows+schema+hash protocol, using the repo's engine-portability
+recipes — md5-derived hashes/uniforms (identical arithmetic spelled
+out in SQL), doubles rounded before comparison or emission, and
+deterministic total orders with explicit tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# q122: minwise set-overlap sketch (cardinality + Jaccard, bit-exact)
+# ---------------------------------------------------------------------------
+
+_Q122_K = 64
+
+# hash64 spelled in SQL: first 15 md5 hex chars as int64, mod P —
+# identical to functions/hashing.py:hash64 (same scheme as round6b's
+# _bucket_sql, without the width reduction).
+_Q122_H = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(i AS VARCHAR) || ':' ||"
+    " CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647"
+)
+
+_Q122_SQL = f"""
+    WITH ii AS (SELECT UNNEST(RANGE({_Q122_K})) AS i),
+    a AS (
+      SELECT i, MIN({_Q122_H.format(key="o_custkey")}) AS h
+      FROM orders, ii WHERE o_custkey IS NOT NULL GROUP BY i
+    ),
+    b AS (
+      SELECT i, MIN({_Q122_H.format(key="c_custkey")}) AS h
+      FROM customer, ii WHERE c_custkey IS NOT NULL GROUP BY i
+    ),
+    j AS (SELECT a.i, a.h AS ha, b.h AS hb FROM a JOIN b USING (i)),
+    est AS (
+      SELECT CAST({_Q122_K} AS INT) AS k,
+             ROUND({_Q122_K} / SUM(ha / 2147483647.0) - 1.0, 4) AS est_a,
+             ROUND({_Q122_K} / SUM(hb / 2147483647.0) - 1.0, 4) AS est_b,
+             ROUND({_Q122_K} / SUM(LEAST(ha, hb) / 2147483647.0) - 1.0, 4)
+               AS est_union,
+             ROUND(AVG(CASE WHEN ha = hb THEN 1.0 ELSE 0.0 END), 4)
+               AS est_jaccard
+      FROM j
+    )
+    SELECT k, est_a, est_b, est_union, est_jaccard,
+           ROUND(est_jaccard * est_union, 4) AS est_intersect,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+             AS exact_a,
+           (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+             AS exact_b
+    FROM est
+"""
+
+
+@register("q122_minwise_overlap", _Q122_SQL)
+def q122_minwise_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do two key sets overlap — estimated from two fixed-size
+    sketches, never a distinct-join? Ordering customers (orders.o_custkey)
+    vs the customer dimension: |A|, |B|, |A∪B|, Jaccard, |A∩B|, all from
+    two 64-row minwise sketches (``sketches.py:minwise_sketch``), plus
+    the exact distinct counts as the audit leg (folded into the SAME
+    build aggregates — one scan per table).
+
+    100 TB story: each sketch build is one map-side-combined aggregate
+    (≤ k partial minima per task cross the wire); the overlap math runs
+    on 2×64 rows. "Do these two 50 TB corpora share documents?" becomes
+    two cheap scans + a constant-size join — no COUNT DISTINCT shuffle,
+    no set-intersection join. The oracle recomputes every hash
+    bit-for-bit (portable md5 family), so the gate is exact, not an
+    error bound — same contract as the CMS (q111) and Bloom (q121).
+    """
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        minwise_overlap,
+        minwise_sketch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # each sketch feeds the overlap join once but is itself the product
+    # of a full-table aggregate — materialize the k-row results so the
+    # join legs read 64 rows, not re-run the scans (exchange-reuse)
+    sk_a = minwise_sketch(
+        orders, "o_custkey", k=_Q122_K, exact=True
+    ).localCheckpoint(eager=True)
+    sk_b = minwise_sketch(
+        customer, "c_custkey", k=_Q122_K, exact=True
+    ).localCheckpoint(eager=True)
+    exact_a = sk_a.agg(F.max("n_exact").alias("exact_a"))
+    exact_b = sk_b.agg(F.max("n_exact").alias("exact_b"))
+    return (
+        minwise_overlap(
+            sk_a.select("i", "h"), sk_b.select("i", "h"), k=_Q122_K
+        )
+        .crossJoin(F.broadcast(exact_a))
+        .crossJoin(F.broadcast(exact_b))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123: token-budget corpus selection (banded distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+_Q123_BUDGET = 20000
+
+_Q123_TOKS = (
+    "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),"
+    " x -> x <> '')"
+)
+
+_Q123_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(LEN({_Q123_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT({_Q123_TOKS})) AS BIGINT) AS n_types
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(n_types AS DOUBLE) / n_tokens AS score
+      FROM t WHERE n_tokens > 0
+    ),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (
+               ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM s
+    )
+    SELECT doc_id, source, n_tokens, ROUND(score, 6) AS ttr,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {_Q123_BUDGET}
+"""
+
+
+@register("q123_token_budget_select", _Q123_SQL)
+def q123_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 20k-token training budget with the best documents first:
+    rank by type-token ratio (distinct/total whitespace tokens — a
+    repetition-penalizing quality signal) descending, keep while the
+    running token total fits (``mixing.py:budget_select``).
+
+    The oracle is ONE global cumulative window; the engine is the
+    banded distributed prefix sum — approx-quantile cuts band the
+    score, within-band cumsums run key-partitioned in parallel, band
+    offsets come from a ``bands``-row table. Same selected set, no
+    single-partition window over the corpus (the q76 trap; the
+    packing.py prefix-sum shape). Ordering compares UNROUNDED scores
+    in both engines (identical IEEE division of identical integers),
+    with doc_id tiebreaks; ttr is rounded only for emission.
+    """
+    from nahuatl_data_pipeline_spark.operators.mixing import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "score", F.col("n_types").cast("double") / F.col("n_tokens")
+        )
+    )
+    out = budget_select(
+        base,
+        weight=F.col("n_tokens"),
+        order=F.col("score"),
+        id_col="doc_id",
+        budget=_Q123_BUDGET,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("score", 6).alias("ttr"),
+        F.col("cum_weight").cast("long").alias("cum_tokens"),
+    )

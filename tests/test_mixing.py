@@ -260,3 +260,62 @@ def test_negative_samples_validates_k(spark):
     n = docs.select(F.count(F.lit(1)).alias("__n"))
     with pytest.raises(ValueError):
         negative_samples(docs, n, "doc_id", k=0)
+
+
+# ---------------------------------------------------------------------------
+# budget_select
+# ---------------------------------------------------------------------------
+
+
+def test_budget_select_greedy_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.mixing import budget_select
+
+    rows = [(i, float(100 - i), 10.0) for i in range(10)]  # best = id 0
+    df = spark.createDataFrame(rows, ["id", "score", "w"])
+    out = budget_select(
+        df, F.col("w"), F.col("score"), "id", budget=35
+    ).collect()
+    # 10+10+10 fits, the 4th row would hit 40 > 35
+    assert sorted(r["id"] for r in out) == [0, 1, 2]
+    assert {r["id"]: r["cum_weight"] for r in out} == {
+        0: 10.0, 1: 20.0, 2: 30.0
+    }
+
+
+def test_budget_select_band_count_does_not_change_selection(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.mixing import budget_select
+
+    rows = [(i, float((i * 37) % 101), float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "score", "w"])
+
+    def run(bands):
+        return {
+            (r["id"], r["cum_weight"])
+            for r in budget_select(
+                df, F.col("w"), F.col("score"), "id",
+                budget=250, bands=bands,
+            ).collect()
+        }
+
+    assert run(2) == run(32) == run(64)
+
+
+def test_budget_select_ties_break_by_id_and_nulls_drop(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.mixing import budget_select
+
+    rows = [
+        (3, 5.0, 10.0),
+        (1, 5.0, 10.0),
+        (2, 5.0, 10.0),
+        (4, None, 10.0),
+        (5, 9.0, None),
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, score: double, w: double")
+    out = budget_select(df, F.col("w"), F.col("score"), "id", budget=20)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]

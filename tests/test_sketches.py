@@ -160,3 +160,94 @@ def test_bloom_prefilter_plan_never_shuffles_facts(spark):
     # the fact stream (only the tiny position table broadcasts)
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+# ---------------------------------------------------------------------------
+# minwise sketch (cardinality / Jaccard overlap)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], ["k"])
+
+
+def test_minwise_sketch_shape_and_duplicate_invariance(spark):
+    from nahuatl_data_pipeline_spark.operators.sketches import minwise_sketch
+
+    base = _mk_docs(spark, range(100))
+    sk = minwise_sketch(base, "k", k=16).collect()
+    assert sorted(r["i"] for r in sk) == list(range(16))
+    # MIN over a multiset == MIN over its support: duplicating every
+    # row must not move a single cell
+    doubled = base.union(base)
+    sk2 = minwise_sketch(doubled, "k", k=16).collect()
+    assert {r["i"]: r["h"] for r in sk} == {r["i"]: r["h"] for r in sk2}
+
+
+def test_minwise_sketch_merges_by_cellwise_min(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.sketches import minwise_sketch
+
+    left = _mk_docs(spark, range(0, 60))
+    right = _mk_docs(spark, range(40, 120))
+    whole = minwise_sketch(left.union(right), "k", k=16)
+    merged = (
+        minwise_sketch(left, "k", k=16)
+        .withColumnRenamed("h", "hl")
+        .join(minwise_sketch(right, "k", k=16), "i")
+        .select("i", F.least("hl", "h").alias("h"))
+    )
+    assert {(r["i"], r["h"]) for r in whole.collect()} == {
+        (r["i"], r["h"]) for r in merged.collect()
+    }
+
+
+def test_minwise_sketch_excludes_nulls_and_handles_empty(spark):
+    from nahuatl_data_pipeline_spark.operators.sketches import minwise_sketch
+
+    with_null = spark.createDataFrame([(1,), (None,)], "k: bigint")
+    only_one = spark.createDataFrame([(1,)], "k: bigint")
+    assert (
+        minwise_sketch(with_null, "k", k=8).collect()
+        == minwise_sketch(only_one, "k", k=8).collect()
+    )
+    empty = only_one.where("k IS NULL")
+    rows = minwise_sketch(empty, "k", k=8).collect()
+    assert len(rows) == 8 and all(r["h"] is None for r in rows)
+
+
+def test_minwise_overlap_identity_and_disjoint(spark):
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        minwise_overlap,
+        minwise_sketch,
+    )
+
+    a = minwise_sketch(_mk_docs(spark, range(500)), "k", k=64)
+    b = minwise_sketch(_mk_docs(spark, range(500, 1000)), "k", k=64)
+    same = minwise_overlap(a, a, k=64).collect()[0]
+    assert same["est_jaccard"] == 1.0
+    assert same["est_intersect"] == same["est_union"] == same["est_a"]
+    disj = minwise_overlap(a, b, k=64).collect()[0]
+    assert disj["est_jaccard"] <= 0.1  # k=64 match-rate noise floor
+
+
+def test_minwise_cardinality_estimate_in_bounds(spark):
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        minwise_overlap,
+        minwise_sketch,
+    )
+
+    n = 2000
+    sk = minwise_sketch(_mk_docs(spark, range(n)), "k", k=64)
+    est = minwise_overlap(sk, sk, k=64).collect()[0]["est_a"]
+    # k=64 harmonic estimator: ~1/sqrt(k) relative error; 40% belt
+    assert 0.6 * n <= est <= 1.4 * n, est
+
+
+def test_minwise_exact_audit_rides_the_same_aggregate(spark):
+    from nahuatl_data_pipeline_spark.operators.sketches import minwise_sketch
+
+    df = _mk_docs(spark, [1, 1, 2, 3, 3, 3])
+    rows = minwise_sketch(df, "k", k=4, exact=True).collect()
+    assert all(r["n_exact"] == 3 for r in rows)
