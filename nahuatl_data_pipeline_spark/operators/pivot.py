@@ -121,3 +121,48 @@ def rollup_agg(
         .agg(F.grouping_id().alias("grouping_level"), *aggs)
     )
     return _finalize_grouping(out, rollup_cols, total_label)
+
+
+def topn_other(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    weight: Column | None = None,
+    other_label: str = "OTHER",
+) -> DataFrame:
+    """Long-tail coalescing report: the ``n`` heaviest keys stay named,
+    every other key folds into one ``other_label`` row — the "top-20
+    tokens plus tail mass" shape behind vocabulary-coverage, domain-mix
+    and error-budget dashboards, where the interesting signal is the
+    head AND the aggregate size of the tail, not a million tiny rows.
+
+    Two stages, both aggregate-shaped: (1) one map-side-combined count
+    (or Σ``weight``) per key — the ONLY full-data shuffle; (2) a rank
+    window + re-aggregate over the |keys|-row count table. The window
+    is global-ordered but runs on key cardinality, not data volume —
+    the same bounded-table argument as q113's CDF. Rank ties break by
+    key ascending, so the head set is deterministic. Output per row:
+    ``label``, ``total`` (Σ within label), ``n_keys`` (how many
+    distinct keys the label covers — 1 for head rows).
+    """
+    from pyspark.sql import Window
+
+    w = F.lit(1) if weight is None else weight
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(w).alias("__cnt")
+    )
+    rw = Window.orderBy(F.desc("__cnt"), F.asc("__k"))
+    return (
+        counts.withColumn("__r", F.row_number().over(rw))
+        .select(
+            F.when(F.col("__r") <= n, F.col("__k"))
+            .otherwise(F.lit(other_label))
+            .alias("label"),
+            "__cnt",
+        )
+        .groupBy("label")
+        .agg(
+            F.sum("__cnt").alias("total"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )

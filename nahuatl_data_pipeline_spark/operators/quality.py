@@ -251,3 +251,49 @@ def approx_quantile_buckets(
         .withColumn(bucket_col, bucket)
         .drop("__cuts")
     )
+
+
+def percentile_transform(
+    df: DataFrame,
+    value: Column,
+    ref: DataFrame,
+    ref_value: Column,
+    bands: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score every row of ``df`` by where its ``value`` falls in the
+    distribution of ``ref`` — quantile normalization against a
+    REFERENCE population (last year's orders, the held-out corpus, the
+    pre-deploy metric window). Each row gains a ``band`` column in
+    ``[0, bands-1]``: the count of interior reference quantile cuts
+    (q = 1/bands … (bands-1)/bands, exact ``F.percentile``
+    interpolation — the PERCENTILE_CONT semantics q101 pins) at or
+    below the value.
+
+    Scale shape: the cuts are ONE exact-percentile aggregate over the
+    reference (1 row), broadcast; banding is a narrow filter-count
+    projection over the broadcast array — the scored side never
+    shuffles and never joins row-to-row against the reference. Cuts
+    are rounded to ``round_to`` BEFORE comparison so interpolated
+    doubles cannot flip a boundary between engines (the rounded-stats
+    recipe). NULL values band to NULL.
+    """
+    qs = [i / bands for i in range(1, bands)]
+    cuts = ref.agg(
+        F.transform(
+            F.percentile(ref_value, F.array(*[F.lit(q) for q in qs])),
+            lambda c: F.round(c, round_to),
+        ).alias("__cuts")
+    )
+    val = value.cast("double")
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "band",
+            F.when(
+                val.isNotNull(),
+                F.size(F.filter("__cuts", lambda c: c <= val)),
+            ),
+        )
+        .drop("__cuts")
+    )

@@ -192,3 +192,141 @@ def q123_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("ttr"),
         F.col("cum_weight").cast("long").alias("cum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q124: top-N + OTHER long-tail vocabulary report
+# ---------------------------------------------------------------------------
+
+_Q124_SQL = r"""
+    WITH tok AS (
+      SELECT UNNEST(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+               x -> x <> '')) AS t
+      FROM documents
+    ),
+    counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+    ranked AS (
+      SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS r
+      FROM counts
+    ),
+    lab AS (
+      SELECT CASE WHEN r <= 20 THEN t ELSE 'OTHER' END AS label, cnt
+      FROM ranked
+    ),
+    agg AS (
+      SELECT label, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM lab GROUP BY label
+    )
+    SELECT label, total, n_keys,
+           ROUND(CAST(total AS DOUBLE) / SUM(total) OVER (), 6) AS share
+    FROM agg
+"""
+
+
+@register("q124_token_topn_other", _Q124_SQL)
+def q124_token_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage, head vs tail: the 20 heaviest tokens stay
+    named, everything else folds into one OTHER row carrying the tail's
+    total mass and type count (``pivot.py:topn_other``) — the answer to
+    "how much of the corpus do the top-k tokens cover?" without
+    emitting the million-row tail. One occurrence-count shuffle; the
+    rank window runs on the vocabulary-sized count table, never the
+    corpus. The ≤21-row result is materialized before the share
+    projection so the grand-total crossJoin reads 21 rows instead of
+    re-running the count (exchange-reuse)."""
+    from nahuatl_data_pipeline_spark.operators.pivot import topn_other
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("t")
+    )
+    out = topn_other(occ, "t", n=20).localCheckpoint(eager=True)
+    grand = out.agg(F.sum("total").alias("__g"))
+    return (
+        out.crossJoin(F.broadcast(grand))
+        .select(
+            "label",
+            "total",
+            "n_keys",
+            F.round(F.col("total").cast("double") / F.col("__g"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125: percentile transform vs a reference distribution
+# ---------------------------------------------------------------------------
+
+_Q125_BANDS = 20
+_Q125_QS = [i / _Q125_BANDS for i in range(1, _Q125_BANDS)]
+_Q125_CUTOFF = "1997-01-01"
+
+_Q125_SQL = f"""
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < DATE '{_Q125_CUTOFF}'
+    ),
+    cuts AS (
+      SELECT LIST_TRANSFORM(
+               QUANTILE_CONT(v, {_Q125_QS!r}), c -> ROUND(c, 6)
+             ) AS cs
+      FROM ref
+    ),
+    tgt AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= DATE '{_Q125_CUTOFF}'
+    ),
+    banded AS (
+      SELECT v, CAST(LEN(LIST_FILTER((SELECT cs FROM cuts), c -> c <= v))
+                     AS INT) AS band
+      FROM tgt
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(v), 2) AS min_price,
+           ROUND(MAX(v), 2) AS max_price
+    FROM banded GROUP BY band
+"""
+
+
+@register("q125_price_percentile_bands", _Q125_SQL)
+def q125_price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize recent order prices against the PRE-1997
+    reference distribution (``quality.py:percentile_transform``): each
+    post-cutoff order lands in the ventile of the historical price
+    distribution its total falls into — drift made visible as band
+    counts (a stationary distribution fills ~5% per band; mass piling
+    into band 19 means prices outgrew history).
+
+    Scale shape: one exact-percentile aggregate over the reference →
+    19 cuts broadcast → banding is a narrow filter-count projection;
+    the scored side never shuffles until the final ≤20-group count.
+    Cuts are rounded before comparison on BOTH engines (q101's
+    PERCENTILE_CONT parity + the rounded-stats recipe)."""
+    from nahuatl_data_pipeline_spark.operators.quality import (
+        percentile_transform,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.where(F.col("o_orderdate") < F.lit(_Q125_CUTOFF))
+    tgt = orders.where(F.col("o_orderdate") >= F.lit(_Q125_CUTOFF))
+    scored = percentile_transform(
+        tgt.select(F.col("o_totalprice").alias("v")),
+        F.col("v"),
+        ref,
+        F.col("o_totalprice"),
+        bands=_Q125_BANDS,
+    )
+    return scored.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("v"), 2).alias("min_price"),
+        F.round(F.max("v"), 2).alias("max_price"),
+    )

@@ -157,3 +157,35 @@ def test_rollup_null_data_key_disambiguated_by_grouping_level(spark):
     assert rows[("ALL", "n1", 0)] == 10.0  # null data key, detail level
     assert rows[("ALL", "ALL", 3)] == 15.0  # true grand total
     assert rows[("ALL", "ALL", 1)] == 10.0  # null-region subtotal
+
+
+# ---------------------------------------------------------------------------
+# topn_other
+# ---------------------------------------------------------------------------
+
+
+def test_topn_other_head_tail_and_ties(spark):
+    from nahuatl_data_pipeline_spark.operators.pivot import topn_other
+
+    rows = (
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+    )
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r["label"]: (r["total"], r["n_keys"])
+           for r in topn_other(df, "k", n=2).collect()}
+    # b and c tie on 3; key-asc tiebreak keeps b in the head
+    assert out == {"a": (5, 1), "b": (3, 1), "OTHER": (4, 2)}
+
+
+def test_topn_other_weighted_and_no_tail(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.pivot import topn_other
+
+    df = spark.createDataFrame(
+        [("x", 10), ("x", 5), ("y", 2)], ["k", "w"]
+    )
+    out = {r["label"]: r["total"]
+           for r in topn_other(df, "k", n=5, weight=F.col("w")).collect()}
+    # every key fits the head: no OTHER row is emitted
+    assert out == {"x": 15, "y": 2}

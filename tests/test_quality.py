@@ -100,3 +100,52 @@ def test_validate_schema(spark):
     df = _df(spark)
     assert validate_schema(df, {"es", "nah", "source"})
     assert not validate_schema(df, {"es", "nah"})
+
+
+# ---------------------------------------------------------------------------
+# percentile_transform
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_transform_bands_known_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.quality import (
+        percentile_transform,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], ["v"]
+    )
+    tgt = spark.createDataFrame(
+        [(0.0,), (50.0,), (200.0,), (None,)], "x: double"
+    )
+    out = {r["x"]: r["band"]
+           for r in percentile_transform(
+               tgt, F.col("x"), ref, F.col("v"), bands=4
+           ).collect()}
+    # quartile cuts of 1..100 ~ (25.75, 50.5, 75.25)
+    assert out[0.0] == 0
+    assert out[50.0] == 1
+    assert out[200.0] == 3
+    assert out[None] is None
+
+
+def test_percentile_transform_never_shuffles_scored_side(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.quality import (
+        percentile_transform,
+    )
+
+    ref = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    tgt = spark.range(5000).select(F.col("id").cast("double").alias("x"))
+    plan = (
+        percentile_transform(tgt, F.col("x"), ref, F.col("v"), bands=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the 1-row cuts broadcast; the scored side stays exchange-free
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
