@@ -123,3 +123,62 @@ def mutual_information(
     if top_k is not None:
         out = out.orderBy(F.desc("mi"), F.asc(col_a)).limit(top_k)
     return out
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """1-row DataFrame: ``n``, ``po``, ``pe``, ``kappa`` (rounded 6) —
+    chance-corrected agreement between two categorical labelings of
+    the same rows (two annotators, two labeling rules, model vs gold).
+    The label-QA statistic for SFT/RLHF data: raw agreement ``po``
+    flatters imbalanced label sets; kappa subtracts the agreement
+    ``pe`` two independent raters with these marginals would reach by
+    luck.
+
+    Same scale shape as :func:`chi2_independence`: ONE full-data
+    (a, b) count shuffle into a ≤ka·kb cell table (materialized —
+    three tiny derivations read it), then marginal tables joined
+    label-to-label FULL OUTER (a label one rater never uses still
+    carries the other's marginal into pe correctly as 0·m). Rows where
+    either label is NULL are excluded up front — an item both raters
+    must rate. Statistics divide exact int counts in double, so both
+    engines produce identical IEEE results before the final rounding.
+    """
+    labeled = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    cells = (
+        labeled.groupBy(
+            F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    rm = cells.groupBy(F.col("__a").alias("__l")).agg(
+        F.sum("__c").alias("__r")
+    )
+    cm = cells.groupBy(F.col("__b").alias("__l")).agg(
+        F.sum("__c").alias("__k")
+    )
+    margins = rm.join(cm, "__l", "full_outer").agg(
+        F.sum(
+            F.coalesce(F.col("__r"), F.lit(0)).cast("double")
+            * F.coalesce(F.col("__k"), F.lit(0)).cast("double")
+        ).alias("__rk")
+    )
+    diag = cells.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0)).alias(
+            "__d"
+        ),
+    )
+    po = F.col("__d").cast("double") / F.col("__n")
+    pe = F.col("__rk") / (F.col("__n").cast("double") * F.col("__n"))
+    return (
+        diag.crossJoin(F.broadcast(margins))
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )

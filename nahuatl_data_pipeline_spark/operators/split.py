@@ -170,3 +170,36 @@ def split_leakage_count(
     (test_parity_with_legacy.py:309-345 did set intersection in memory).
     """
     return a.select(key_cols).join(b.select(key_cols), key_cols, "left_semi").count()
+
+
+def grouped_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    seed: int = 7,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: every row of a GROUP lands in
+    the same fold, because the fold is a pure content-hash of the group
+    key — ``hash64("{seed}:fold:" || group) % k``. The cross-validation
+    analog of J6's key-overlap discipline: near-identical rows sharing
+    an author / domain / dup-cluster can never straddle a train/eval
+    fold boundary and leak.
+
+    Zero shuffle, zero state: a narrow projection, reproducible across
+    runs, partitionings, and engines (portable md5 family — a SQL
+    mirror assigns identical folds). Folds are approximately equal in
+    GROUPS; balance in rows tracks the group-size distribution, which
+    is the price of leakage safety (exactly-equal row folds would have
+    to split groups). NULL group keys hash like the empty string
+    (the ``_shuffle_hash`` null recipe) rather than dropping.
+    """
+    if k <= 1:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from nahuatl_data_pipeline_spark.functions.hashing import hash64
+
+    key = F.concat(
+        F.lit(f"{seed}:fold:"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")),
+    )
+    return df.withColumn(fold_col, (hash64(key) % k).cast("int"))

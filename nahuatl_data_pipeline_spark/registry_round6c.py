@@ -330,3 +330,110 @@ def q125_price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 2).alias("min_price"),
         F.round(F.max("v"), 2).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q126: leakage-safe grouped k-fold assignment
+# ---------------------------------------------------------------------------
+
+_Q126_K = 5
+
+_Q126_SQL = f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || SUBSTRING(MD5('7:fold:' ||
+                    COALESCE(CAST(source AS VARCHAR), '')), 1, 15))
+                  AS BIGINT) % 2147483647 % {_Q126_K} AS INT) AS fold
+      FROM documents
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups
+    FROM f GROUP BY fold
+"""
+
+
+@register("q126_grouped_kfold", _Q126_SQL)
+def q126_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment where the SOURCE is the
+    leakage unit (``split.py:grouped_kfold``): every document of a
+    source shares a fold, so near-duplicate documents from one crawl
+    domain can never sit on both sides of a train/eval boundary — the
+    k-fold analog of J6's split discipline. Assignment is a zero-
+    shuffle content-hash projection (portable md5), so the oracle
+    assigns IDENTICAL folds; the report aggregates per-fold row and
+    group counts (Σ n_groups = |sources| — each group in exactly one
+    fold)."""
+    from nahuatl_data_pipeline_spark.operators.split import grouped_kfold
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        grouped_kfold(docs, "source", k=_Q126_K, seed=7)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127: Cohen's kappa — agreement between two labeling rules
+# ---------------------------------------------------------------------------
+
+_Q127_SQL = r"""
+    WITH lab AS (
+      SELECT CASE WHEN LENGTH(text) >= 200 THEN 'long' ELSE 'short' END AS a,
+             CASE WHEN LEN(LIST_FILTER(
+                    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                    x -> x <> '')) >= 40
+                  THEN 'long' ELSE 'short' END AS b
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cells AS (SELECT a, b, COUNT(*) AS c FROM lab GROUP BY a, b),
+    tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS DOUBLE) AS d
+      FROM cells
+    ),
+    rm AS (SELECT a AS l, SUM(c) AS r FROM cells GROUP BY a),
+    cm AS (SELECT b AS l, SUM(c) AS k FROM cells GROUP BY b),
+    pe_t AS (
+      SELECT SUM(CAST(COALESCE(r, 0) AS DOUBLE)
+                 * CAST(COALESCE(k, 0) AS DOUBLE)) AS rk
+      FROM rm FULL OUTER JOIN cm USING (l)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(d / n, 6) AS po,
+           ROUND(rk / (n * n), 6) AS pe,
+           ROUND((d / n - rk / (n * n)) / (1 - rk / (n * n)), 6) AS kappa
+    FROM tot, pe_t
+"""
+
+
+@register("q127_length_rule_kappa", _Q127_SQL)
+def q127_length_rule_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do two labeling rules agree beyond chance? Chars ≥ 200 vs
+    whitespace tokens ≥ 40 as two 'long-document' annotators over the
+    corpus (``contingency.py:cohens_kappa``) — the label-QA statistic
+    for any double-annotated SFT set, where raw percent agreement
+    flatters imbalanced labels and kappa subtracts the luck. One
+    (a, b) count shuffle into a ≤4-cell table; marginals, chance
+    agreement, and the statistic all derive from those cells."""
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        cohens_kappa,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n_toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    labeled = docs.select(
+        F.when(F.length("text") >= 200, "long").otherwise("short").alias("a"),
+        F.when(n_toks >= 40, "long").otherwise("short").alias("b"),
+    )
+    return cohens_kappa(labeled, "a", "b")

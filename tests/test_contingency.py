@@ -119,3 +119,50 @@ def test_mi_topk_ranks_discriminative_levels_first(spark):
     df = spark.createDataFrame(rows, ["a", "b"])
     top = mutual_information(df, "a", "b", top_k=1).collect()
     assert top[0]["a"] == "loaded"
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_perfect_agreement_is_one(spark):
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "x")] * 7 + [("y", "y")] * 3, ["a", "b"]
+    )
+    row = cohens_kappa(df, "a", "b").collect()[0]
+    assert row["n"] == 10 and row["po"] == 1.0 and row["kappa"] == 1.0
+
+
+def test_kappa_hand_computed_textbook_grid(spark):
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        cohens_kappa,
+    )
+
+    # classic 2x2: cells yes/yes=20, yes/no=5, no/yes=10, no/no=15
+    rows = (
+        [("yes", "yes")] * 20 + [("yes", "no")] * 5
+        + [("no", "yes")] * 10 + [("no", "no")] * 15
+    )
+    row = cohens_kappa(spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
+    # po = 35/50 = .7; pe = (25*30 + 25*20)/2500 = .5; kappa = .4
+    assert row["po"] == 0.7 and row["pe"] == 0.5 and row["kappa"] == 0.4
+
+
+def test_kappa_disjoint_label_spaces_and_null_drop(spark):
+    from nahuatl_data_pipeline_spark.operators.contingency import (
+        cohens_kappa,
+    )
+
+    # rater b uses a label rater a never does; NULL-labeled row drops
+    rows = [("x", "x"), ("x", "z"), ("x", None)]
+    row = cohens_kappa(
+        spark.createDataFrame(rows, "a: string, b: string"), "a", "b"
+    ).collect()[0]
+    # n=2; po=.5; pe: rm={x:2}, cm={x:1,z:1} -> (2*1 + 0*1)/4 = .5; kappa=0
+    assert row["n"] == 2 and row["po"] == 0.5 and row["pe"] == 0.5
+    assert row["kappa"] == 0.0

@@ -148,3 +148,46 @@ def test_seeded_split_null_key_assigned_like_empty(spark):
     assert len(out) == 4 and all(v in ("train", "validation", "test")
                                  for v in out.values())
     assert out[None] == out[""]  # same md5("42:") bucket on both engines
+
+
+# ---------------------------------------------------------------------------
+# grouped_kfold
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_kfold_no_group_straddles_folds(spark):
+    from nahuatl_data_pipeline_spark.operators.split import grouped_kfold
+
+    rows = [(i, f"g{i % 17}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = grouped_kfold(df, "grp", k=4)
+    from pyspark.sql import functions as F
+
+    per_group = (
+        out.groupBy("grp").agg(F.countDistinct("fold").alias("nf")).collect()
+    )
+    assert all(r["nf"] == 1 for r in per_group)
+    folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+    assert folds <= set(range(4)) and len(folds) > 1
+
+
+def test_grouped_kfold_deterministic_and_null_safe(spark):
+    from nahuatl_data_pipeline_spark.operators.split import grouped_kfold
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id: bigint, grp: string"
+    )
+    a = {r["id"]: r["fold"] for r in grouped_kfold(df, "grp", k=3).collect()}
+    b = {r["id"]: r["fold"] for r in grouped_kfold(df, "grp", k=3).collect()}
+    assert a == b
+    assert a[2] == a[3]  # both NULL groups share one fold
+
+
+def test_grouped_kfold_rejects_k_below_two(spark):
+    import pytest
+
+    from nahuatl_data_pipeline_spark.operators.split import grouped_kfold
+
+    df = spark.createDataFrame([(1, "a")], ["id", "grp"])
+    with pytest.raises(ValueError):
+        grouped_kfold(df, "grp", k=1)
