@@ -57,3 +57,75 @@ def fill_backward(
     for c in cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def interpolate_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    slot_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify integer-slotted series per key and LINEARLY interpolate
+    interior gaps — the repair tier above LOCF (``fill_forward``
+    carries the last value flat; this one draws the line between the
+    neighbors, the right call for continuously-varying metrics like
+    rates or prices resampled onto a regular grid).
+
+    Input: at most one row per (keys, slot), slots integer (the caller
+    buckets timestamps — e.g. epoch-hours); missing slots are CREATED.
+    Output per (keys, slot) of the dense per-key [min..max] spine:
+    ``v_filled`` (observed, interpolated, or edge-clamped to the
+    nearest observation) and ``was_gap``.
+
+    Scale shape: the spine comes from a tiny per-key bounds aggregate
+    exploded via ``sequence`` (never a driver-side range), joined back
+    key-partitioned; the four neighbor lookups are TWO logical window
+    passes over (keys ORDER BY slot) — Catalyst evaluates the forward
+    and backward frames in one sort each, no self-join, no Python.
+    Gap math is exact integer arithmetic; only the value lerp is
+    floating."""
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(slot_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(slot_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(slot_col).alias("__lo"), F.max(slot_col).alias("__hi")
+    )
+    spine = bounds.select(
+        *key_cols,
+        F.explode(F.sequence("__lo", "__hi")).alias(slot_col),
+    )
+    v = F.col(value_col)
+    obs_slot = F.when(v.isNotNull(), F.col(slot_col))
+    j = (
+        spine.join(
+            df.select(*key_cols, slot_col, value_col),
+            [*key_cols, slot_col],
+            "left",
+        )
+        .withColumn("__pv", F.last(value_col, ignorenulls=True).over(w_fwd))
+        .withColumn("__ps", F.last(obs_slot, ignorenulls=True).over(w_fwd))
+        .withColumn("__nv", F.first(value_col, ignorenulls=True).over(w_bwd))
+        .withColumn("__ns", F.first(obs_slot, ignorenulls=True).over(w_bwd))
+    )
+    frac = (F.col(slot_col) - F.col("__ps")).cast("double") / (
+        F.col("__ns") - F.col("__ps")
+    ).cast("double")
+    lerp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
+    return j.select(
+        *key_cols,
+        slot_col,
+        F.when(v.isNotNull(), v)
+        .when(
+            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(), lerp
+        )
+        .otherwise(F.coalesce("__pv", "__nv"))
+        .alias("v_filled"),
+        v.isNull().alias("was_gap"),
+    )

@@ -437,3 +437,173 @@ def q127_length_rule_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_toks >= 40, "long").otherwise("short").alias("b"),
     )
     return cohens_kappa(labeled, "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# q128: deterministic Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_Q128_B = 64
+
+def _q128_sql() -> str:
+    from nahuatl_data_pipeline_spark.operators.bootstrap import POISSON1_CUM
+
+    # inverse-CDF CASE over the same Python floats Spark uses as
+    # literals (repr round-trips doubles exactly)
+    branches = " ".join(
+        f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(POISSON1_CUM)
+    )
+    return f"""
+        WITH b AS (SELECT UNNEST(RANGE({_Q128_B})) AS b),
+        u AS (
+          SELECT b.b, o.o_totalprice AS x,
+                 CAST(('0x' || SUBSTRING(MD5('11:' || CAST(b.b AS VARCHAR)
+                        || ':' || CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+                      AS BIGINT) / 4294967296.0 AS u
+          FROM orders o, b
+        ),
+        pw AS (SELECT b, x, CASE {branches} ELSE 6 END AS w FROM u),
+        reps AS (
+          SELECT b, SUM(w * x) / CAST(SUM(w) AS DOUBLE) AS m
+          FROM pw GROUP BY b
+        ),
+        stats AS (
+          SELECT ROUND(QUANTILE_CONT(m, 0.025), 4) AS ci_lo,
+                 ROUND(QUANTILE_CONT(m, 0.975), 4) AS ci_hi,
+                 ROUND(STDDEV_SAMP(m), 4) AS se
+          FROM reps
+        ),
+        base AS (
+          SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+                 ROUND(AVG(o_totalprice), 4) AS mean
+          FROM orders
+        )
+        SELECT n, mean, se, ci_lo, ci_hi FROM base, stats
+    """
+
+
+@register("q128_bootstrap_mean_ci", None)
+def q128_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% CI for the mean order price from 64 DETERMINISTIC Poisson
+    bootstrap resamples (``operators/bootstrap.py``): each order's
+    multiplicity per replicate is inverse-CDF'd from a content-hash
+    uniform, so the "random" resampling is a pure function of the data
+    — reproducible across runs, partitionings, and engines, and hence
+    oracle-checkable EXACTLY, which a rand()-seeded bootstrap never is.
+
+    The error bar every corpus dashboard should carry ("quality went
+    from .612 to .608 — noise or regression?") at the cost of one
+    map-side-combined aggregate: the shuffle carries ≤ 64 partial rows
+    per task; replicate stats run on a 64-row table."""
+    from nahuatl_data_pipeline_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(
+        orders,
+        F.col("o_totalprice"),
+        "o_orderkey",
+        reps=_Q128_B,
+        seed=11,
+    )
+
+
+from nahuatl_data_pipeline_spark.registry import _ORACLES  # noqa: E402
+
+_ORACLES["q128_bootstrap_mean_ci"] = _q128_sql()
+
+
+# ---------------------------------------------------------------------------
+# q129: time-spine densification + linear interpolation
+# ---------------------------------------------------------------------------
+
+_Q129_SQL = """
+    WITH obs AS (
+      SELECT event_type,
+             CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) // 3600 AS slot,
+             ROUND(AVG(value), 6) AS v
+      FROM events WHERE user_id < 8 AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(slot) AS lo, MAX(slot) AS hi
+      FROM obs GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, UNNEST(RANGE(lo, hi + 1)) AS slot FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.slot, o.v
+      FROM spine s LEFT JOIN obs o USING (event_type, slot)
+    ),
+    f AS (
+      SELECT *,
+        LAST_VALUE(v IGNORE NULLS) OVER w AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+          OVER w AS ps,
+        FIRST_VALUE(v IGNORE NULLS) OVER w2 AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+          OVER w2 AS ns
+      FROM j
+      WINDOW w AS (PARTITION BY event_type ORDER BY slot
+                   ROWS UNBOUNDED PRECEDING),
+             w2 AS (PARTITION BY event_type ORDER BY slot
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, slot,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL
+                         THEN pv + (nv - pv)
+                                * ((slot - ps) * 1.0 / (ns - ps))
+                       ELSE COALESCE(pv, nv) END) * 10000 + 0.5)
+             / 10000.0 AS v_filled,
+           (v IS NULL) AS was_gap
+    FROM f
+"""
+
+
+@register("q129_hourly_interpolation", _Q129_SQL)
+def q129_hourly_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a sparse event stream onto the dense hourly grid and
+    linearly interpolate the holes (``repair.py:interpolate_fill``) —
+    the resample-then-lerp primitive behind every "metric per hour"
+    chart over irregular telemetry, and the repair tier above q86's
+    flat LOCF. The user_id < 8 slice sparsifies the stream so real
+    gaps exist at every scale factor. Spine slots are exact epoch-hour
+    integers (UTC session, the schemas.py contract); gap fractions are
+    integer arithmetic; only the value lerp floats, rounded 4 on
+    emission."""
+    from nahuatl_data_pipeline_spark.operators.repair import (
+        interpolate_fill,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.where((F.col("user_id") < 8) & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+            )
+            .cast("long")
+            .alias("slot"),
+        )
+        # means rounded BEFORE interpolation (the rounded-stats recipe):
+        # lerp from identical doubles is itself identical cross-engine
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    out = interpolate_fill(obs, ["event_type"], "slot", "v")
+    # floor(x*1e4 + 0.5)/1e4, NOT ROUND: midpoint lerps (frac = 1/2 of
+    # two 6-dec means) land EXACTLY on round-half boundaries, where
+    # Spark's decimal-string HALF_UP and DuckDB's float-multiply ROUND
+    # disagree; this quantizer is pure IEEE ops on identical inputs,
+    # so both engines emit the identical double
+    return out.select(
+        "event_type",
+        "slot",
+        (
+            F.floor(F.col("v_filled") * 10000 + F.lit(0.5)) / F.lit(10000.0)
+        ).alias("v_filled"),
+        "was_gap",
+    )

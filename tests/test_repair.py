@@ -51,3 +51,45 @@ def test_fill_is_partition_independent(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# interpolate_fill
+# ---------------------------------------------------------------------------
+
+
+def test_interpolate_fill_lerp_and_edges(spark):
+    from nahuatl_data_pipeline_spark.operators.repair import interpolate_fill
+
+    rows = [("a", 10, 1.0), ("a", 13, 7.0), ("a", 15, 7.0)]
+    df = spark.createDataFrame(rows, ["k", "slot", "v"])
+    out = {
+        r["slot"]: (r["v_filled"], r["was_gap"])
+        for r in interpolate_fill(df, ["k"], "slot", "v").collect()
+    }
+    assert out[10] == (1.0, False)
+    assert out[11] == (3.0, True)  # 1 + (7-1) * 1/3
+    assert out[12] == (5.0, True)
+    assert out[13] == (7.0, False)
+    assert out[14] == (7.0, True)
+    assert out[15] == (7.0, False)
+    assert len(out) == 6
+
+
+def test_interpolate_fill_null_interior_value_clamps_and_keys_isolate(spark):
+    from nahuatl_data_pipeline_spark.operators.repair import interpolate_fill
+
+    rows = [
+        ("a", 1, 2.0),
+        ("a", 3, None),  # explicit null row: a gap, neighbors lerp over it
+        ("a", 5, 4.0),
+        ("b", 100, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k: string, slot: bigint, v: double")
+    got = {
+        (r["k"], r["slot"]): r["v_filled"]
+        for r in interpolate_fill(df, ["k"], "slot", "v").collect()
+    }
+    assert got[("a", 3)] == 3.0  # midpoint of 2 and 4
+    assert got[("b", 100)] == 9.0
+    assert ("b", 99) not in got  # spines are per-key, not global
