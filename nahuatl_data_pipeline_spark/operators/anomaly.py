@@ -248,3 +248,65 @@ def winsorized_stats(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-group weighted q-quantile: the smallest value whose running
+    weight reaches q·(total weight) — inf{x : F_w(x) ≥ q}, the
+    lower-weighted-quantile convention. The "median document length in
+    TOKENS, not documents" statistic: unweighted medians over-represent
+    shards of many tiny rows; weighting by tokens/bytes/cost answers
+    what half the VOLUME looks like.
+
+    One key-partitioned window shuffle: rows order by (value,
+    tiebreak) within each group, the running weight is one frame over
+    that sort, and the pick is a min-aggregate over qualifying rows.
+    Engine-portability: the running sum is SEQUENTIAL in the pinned
+    order on any engine, so its doubles are bit-identical — and the
+    TOTAL is taken as the LAST running value over the same order (an
+    independent full-partition SUM could fold in a different order and
+    drift an ulp), so the threshold comparison needs no rounding.
+    NULL values or weights are excluded (no position / no mass);
+    weights must be non-negative; supply a unique ``tiebreak`` so
+    equal values order deterministically.
+    Output: group cols + ``wq`` + ``total_w``."""
+    from pyspark.sql import Window
+
+    ties = list(tiebreak or [])
+    order = [F.col(value_col)] + [F.col(c) for c in ties]
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    order_aliased = [F.col("__v")] + [F.col(c) for c in ties]
+    w_all = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_aliased)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wt = F.col(weight_col).cast("double")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
+    marked = base.select(
+        *group_cols,
+        *ties,
+        F.col(value_col).alias("__v"),
+        F.sum(wt).over(w_run).alias("__cum"),
+    ).withColumn("__tot", F.last("__cum").over(w_all))
+    return (
+        marked.where(F.col("__cum") >= F.lit(q) * F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").alias("wq"),
+            F.first("__tot").alias("total_w"),
+        )
+    )

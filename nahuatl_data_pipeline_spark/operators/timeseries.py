@@ -145,3 +145,81 @@ def ewma_last(
 
     out = df.groupBy(*keys).applyInPandas(fold, schema=schema)
     return out.withColumn("ewma", F.round(F.col("ewma"), round_to))
+
+
+def path_ngrams(
+    df: DataFrame,
+    by: str,
+    state: str,
+    order_by: list[str],
+    n: int = 3,
+) -> DataFrame:
+    """Frequent event paths: count every length-``n`` run of states in
+    each ``by`` entity's ordered sequence — :func:`transition_counts`'
+    (n=2) generalization, the "what journeys do users actually take?"
+    mining primitive. Output columns ``s1..sn`` + ``n_paths``.
+
+    Plan identical in shape to the bigram case: ONE window shuffle
+    keyed by ``by`` supplies the n−1 LAGs (Catalyst evaluates all lags
+    in a single sort pass), then a path-keyed aggregate whose width is
+    ≤ |states|ⁿ — at 100 TB the second shuffle carries partial counts
+    only. Rows whose window precedes the sequence start (any lag NULL)
+    are excluded; ``order_by`` must be a deterministic total order
+    (include a unique id as tiebreak)."""
+    from pyspark.sql import Window
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(by).orderBy(*[F.col(c) for c in order_by])
+    cols = [
+        F.lag(state, n - 1 - i).over(w).alias(f"s{i + 1}") for i in range(n - 1)
+    ] + [F.col(state).alias(f"s{n}")]
+    out = df.select(*cols)
+    cond = F.col("s1").isNotNull()
+    for i in range(2, n):
+        cond = cond & F.col(f"s{i}").isNotNull()
+    return (
+        out.filter(cond)
+        .groupBy(*[f"s{i + 1}" for i in range(n)])
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+def gap_stats(
+    df: DataFrame,
+    by: str,
+    ts_col: str,
+    order_by: list[str],
+    group_col: str,
+) -> DataFrame:
+    """Inter-arrival time profile: per ``by`` entity, the gap (µs)
+    between consecutive events (ordered by ``order_by``), aggregated
+    per ``group_col`` of the LATER event — "how long before a user
+    does X again?", the recency/hazard signal behind session tuning
+    and retention features.
+
+    Gaps are EXACT integer microseconds (``unix_micros``; its SQL
+    mirror ``EPOCH_US`` is the same integer), so every downstream
+    statistic is arithmetic on identical integers cross-engine:
+    interpolated percentiles need no rounding at all (q101 parity),
+    and the mean divides an exact integer sum. One window shuffle for
+    the LAG + one bounded-group aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(*[F.col(c) for c in order_by])
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(
+        F.unix_micros(F.col(ts_col))
+    ).over(w)
+    return (
+        df.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.percentile("__gap", 0.5).alias("p50_us"),
+            F.percentile("__gap", 0.9).alias("p90_us"),
+            (
+                F.sum("__gap").cast("double") / F.count(F.lit(1))
+            ).alias("mean_us"),
+        )
+    )

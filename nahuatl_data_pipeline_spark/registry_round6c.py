@@ -607,3 +607,137 @@ def q129_hourly_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_filled"),
         "was_gap",
     )
+
+
+# ---------------------------------------------------------------------------
+# q130: frequent event paths (state trigrams per user)
+# ---------------------------------------------------------------------------
+
+_Q130_SQL = """
+    WITH o AS (
+      SELECT event_type,
+             LAG(event_type, 2) OVER w AS s1,
+             LAG(event_type, 1) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1, s2, event_type AS s3, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM o WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("q130_event_path_trigrams", _Q130_SQL)
+def q130_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: every length-3 run of event types per user
+    (ordered by (ts, event_id) — a deterministic total order), counted
+    corpus-wide (``timeseries.py:path_ngrams``, q95's Markov bigrams
+    generalized). One user-keyed window shuffle computes both lags in
+    a single sort pass; the path-keyed aggregate is ≤ |states|³ wide,
+    so at 100 TB the second shuffle carries partial counts only."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import path_ngrams
+
+    ev = load_table(spark, sf_dir, "events")
+    return path_ngrams(
+        ev, "user_id", "event_type", ["ts", "event_id"], n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131: inter-arrival gap profile per event type
+# ---------------------------------------------------------------------------
+
+_Q131_SQL = """
+    WITH g AS (
+      SELECT event_type,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap) AS p50_us,
+           PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap) AS p90_us,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@register("q131_event_gap_stats", _Q131_SQL)
+def q131_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long until a user acts again — inter-arrival gaps per
+    event type of the later event (``timeseries.py:gap_stats``), the
+    recency/hazard profile behind session-timeout tuning and
+    retention features. Gaps are EXACT integer microseconds
+    (unix_micros ≡ EPOCH_US), so percentile interpolation and the
+    mean run on identical integers cross-engine and need NO rounding
+    at all — the strongest parity class (q131 joins q111/q121/q122).
+    One user-keyed window shuffle + one bounded-group aggregate."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import gap_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_stats(
+        ev, "user_id", "ts", ["ts", "event_id"], "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132: weighted median price per return flag
+# ---------------------------------------------------------------------------
+
+_Q132_SQL = """
+    WITH m AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_orderkey, l_linenumber,
+             SUM(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM lineitem
+    ),
+    t AS (
+      SELECT *,
+             LAST_VALUE(cum) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY v, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS tot
+      FROM m
+    )
+    SELECT l_returnflag, MIN(v) AS w_median,
+           ROUND(FIRST(tot), 2) AS total_w
+    FROM t WHERE cum >= 0.5 * tot
+    GROUP BY l_returnflag
+"""
+
+
+@register("q132_weighted_median_price", _Q132_SQL)
+def q132_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The price of the median QUANTITY-UNIT shipped, per return flag
+    (``anomaly.py:weighted_quantile``): half the shipped volume costs
+    less than this, half more — the volume-weighted median an
+    unweighted q13-style median over line items misstates whenever
+    quantity correlates with price. One key-partitioned window
+    shuffle; the running weight is sequential in the pinned
+    (price, orderkey, linenumber) order so its doubles — and the
+    total taken as the LAST running value — are bit-identical
+    cross-engine, leaving the threshold comparison rounding-free."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        weighted_quantile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = weighted_quantile(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        q=0.5,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("wq").alias("w_median"),
+        F.round("total_w", 2).alias("total_w"),
+    )

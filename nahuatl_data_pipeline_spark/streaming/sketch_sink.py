@@ -57,3 +57,42 @@ class CmsAccumulator:
             for (row, bucket), cnt in sorted(self.cells.items())
         ]
         return spark.createDataFrame(rows, "row int, bucket bigint, cnt bigint")
+
+
+class MinwiseAccumulator:
+    """Streaming set-cardinality/overlap state: the minwise sketch
+    merges by cell-wise MIN (operators/sketches.py:minwise_sketch), so
+    each micro-batch is sketched distributively and only k values
+    cross to the accumulator — the streaming "how many distinct keys
+    so far / how much does this stream overlap that corpus?" primitive
+    with O(k) driver state. After any stream prefix the state is
+    BIT-IDENTICAL to ``minwise_sketch`` over the same rows as one
+    batch (MIN is idempotent-associative-commutative; parity asserted
+    in test_streaming.py)."""
+
+    def __init__(self, key_col: str, k: int = 64):
+        self.key_col = key_col
+        self.k = k
+        self.mins: dict[int, int] = {}
+        self.batches_merged = 0
+
+    def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from nahuatl_data_pipeline_spark.operators.sketches import (
+            minwise_sketch,
+        )
+
+        for r in minwise_sketch(batch_df, self.key_col, k=self.k).collect():
+            if r["h"] is None:
+                continue
+            cur = self.mins.get(r["i"])
+            if cur is None or r["h"] < cur:
+                self.mins[r["i"]] = r["h"]
+        self.batches_merged += 1
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """The accumulated sketch as the (i, h) shape
+        ``minwise_sketch`` emits — drop-in for ``minwise_overlap``."""
+        rows = [
+            (i, self.mins.get(i)) for i in range(self.k)
+        ]
+        return spark.createDataFrame(rows, "i int, h bigint")

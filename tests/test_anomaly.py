@@ -217,3 +217,62 @@ def test_mad_all_null_group_reports_zero_outliers(spark):
     r = mad_outliers(df, ["k"], "v").collect()[0]
     assert r["n_outliers"] == 0  # SUM(CASE…ELSE 0) contract, not NULL
     assert r["group_median"] is None
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantile
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_hand_case(spark):
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        weighted_quantile,
+    )
+
+    # values 1..4 with weights 1,1,5,1: half of total mass (8) is 4,
+    # reached at value 3 (cum 1,2,7,8)
+    rows = [("g", 1.0, 1.0, 1), ("g", 2.0, 1.0, 2),
+            ("g", 3.0, 5.0, 3), ("g", 4.0, 1.0, 4)]
+    df = spark.createDataFrame(rows, ["g", "v", "w", "id"])
+    row = weighted_quantile(
+        df, ["g"], "v", "w", q=0.5, tiebreak=["id"]
+    ).collect()[0]
+    assert row["wq"] == 3.0 and row["total_w"] == 8.0
+
+
+def test_weighted_quantile_unit_weights_match_unweighted_lower(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v), 1.0, v) for v in range(1, 101)],
+        ["g", "v", "w", "id"],
+    )
+    row = weighted_quantile(
+        df, ["g"], "v", "w", q=0.25, tiebreak=["id"]
+    ).collect()[0]
+    # lower weighted quantile with unit weights = ceil(q*n)-th value
+    assert row["wq"] == 25.0
+
+
+def test_weighted_quantile_nulls_drop_and_groups_isolate(spark):
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        weighted_quantile,
+    )
+
+    rows = [
+        ("a", 10.0, 1.0, 1),
+        ("a", None, 9.0, 2),
+        ("a", 20.0, None, 3),
+        ("b", 5.0, 2.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "g: string, v: double, w: double, id: bigint"
+    )
+    out = {r["g"]: r for r in weighted_quantile(
+        df, ["g"], "v", "w", q=0.5, tiebreak=["id"]).collect()}
+    assert out["a"]["wq"] == 10.0 and out["a"]["total_w"] == 1.0
+    assert out["b"]["wq"] == 5.0

@@ -36,6 +36,12 @@ _BNLJ_OK = {
     "q119_negative_samples",
     "q120_hard_negatives",
     "q121_bloom_semijoin",  # three 1-row count aggregates crossJoined
+    "q122_minwise_overlap",  # 1-row overlap stats x two 1-row audits
+    "q123_token_budget_select",  # 1-row quantile-cuts broadcast (bands)
+    "q124_token_topn_other",  # 1-row grand total onto the <=21-row head
+    "q125_price_percentile_bands",  # 1-row reference-cuts broadcast
+    "q127_length_rule_kappa",  # 1-row marginal product onto 1-row diag
+    "q128_bootstrap_mean_ci",  # 1-row CI stats onto the 1-row base agg
 }
 
 

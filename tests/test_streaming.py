@@ -223,3 +223,48 @@ def test_stream_cms_equals_batch_sketch(spark, tmp_path):
 
     true = collections.Counter(f"type{i % 7}" for i in range(200))
     assert all(est[k] >= true[k] for k in true)  # one-sided error holds
+
+
+def test_minwise_accumulator_stream_equals_one_batch(spark, tmp_path):
+    """Streaming minwise state after the whole stream == the one-batch
+    sketch, bit for bit — MIN merges are order-independent."""
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        minwise_overlap,
+        minwise_sketch,
+    )
+    from nahuatl_data_pipeline_spark.streaming.sketch_sink import (
+        MinwiseAccumulator,
+    )
+
+    rows = [
+        (i, _ts(10 + i % 3), 100 + i % 37, f"type{i % 7}", float(i), None)
+        for i in range(200)
+    ]
+    path = str(tmp_path / "minwise_events")
+    spark.createDataFrame(rows, EVENT_SCHEMA).repartition(4).write.parquet(
+        path
+    )
+
+    acc = MinwiseAccumulator("user_id", k=16)
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(acc.merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert acc.batches_merged > 1
+
+    batch = {
+        r["i"]: r["h"]
+        for r in minwise_sketch(
+            spark.read.parquet(path), "user_id", k=16
+        ).collect()
+    }
+    assert acc.mins == batch
+
+    # accumulated sketch is a drop-in for minwise_overlap
+    sk = acc.to_df(spark)
+    est = minwise_overlap(sk, sk, k=16).collect()[0]
+    assert est["est_jaccard"] == 1.0
+    assert 0.3 * 37 <= est["est_a"] <= 3 * 37  # k=16: loose belt

@@ -153,3 +153,71 @@ def test_ewma_skips_null_values(spark):
     r = ewma_last(df, ["k"], "t", "value", "tb", alpha=0.2).collect()[0]
     assert r["ewma"] == 1.56  # fold over [1, 2, 3] only
     assert r["n"] == 3
+
+
+# ---------------------------------------------------------------------------
+# path_ngrams / gap_stats
+# ---------------------------------------------------------------------------
+
+
+def test_path_ngrams_hand_sequence(spark):
+    from nahuatl_data_pipeline_spark.operators.timeseries import path_ngrams
+
+    # user 1: A B A B A  -> trigrams ABA, BAB, ABA
+    # user 2: A B        -> too short for n=3
+    rows = [(1, i, s) for i, s in enumerate("ABABA")] + [
+        (2, 0, "A"),
+        (2, 1, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "seq", "s"])
+    out = {
+        (r["s1"], r["s2"], r["s3"]): r["n_paths"]
+        for r in path_ngrams(df, "u", "s", ["seq"], n=3).collect()
+    }
+    assert out == {("A", "B", "A"): 2, ("B", "A", "B"): 1}
+
+
+def test_path_ngrams_n2_equals_transition_counts(spark):
+    from nahuatl_data_pipeline_spark.operators.timeseries import (
+        path_ngrams,
+        transition_counts,
+    )
+
+    rows = [(i % 5, i, f"t{(i * 7) % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["u", "seq", "s"])
+    a = {
+        (r["s1"], r["s2"]): r["n_paths"]
+        for r in path_ngrams(df, "u", "s", ["seq"], n=2).collect()
+    }
+    b = {
+        (r["prev_state"], r["next_state"]): r["n_transitions"]
+        for r in transition_counts(df, "u", "s", ["seq"]).collect()
+    }
+    assert a == b
+
+
+def test_gap_stats_exact_micros(spark):
+    import datetime
+
+    from nahuatl_data_pipeline_spark.operators.timeseries import gap_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    # one user, gaps of 10s then 30s; group by type of the LATER event
+    rows = [
+        (1, 0, ts(0), "a"),
+        (1, 1, ts(10), "b"),
+        (1, 2, ts(40), "b"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "eid", "ts", "et"])
+    out = {
+        r["et"]: r
+        for r in gap_stats(df, "u", "ts", ["ts", "eid"], "et").collect()
+    }
+    assert "a" not in out  # first event has no gap
+    assert out["b"]["n_gaps"] == 2
+    assert out["b"]["p50_us"] == 20_000_000.0  # midpoint of 10s and 30s
+    assert out["b"]["mean_us"] == 20_000_000.0
