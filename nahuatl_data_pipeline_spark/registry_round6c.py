@@ -741,3 +741,79 @@ def q132_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wq").alias("w_median"),
         F.round("total_w", 2).alias("total_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q133: exact substring-span deduplication (Lee et al., Spark-native)
+# ---------------------------------------------------------------------------
+
+_Q133_N = 5
+
+_Q133_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    pt AS (
+      SELECT doc_id, g - 1 AS pos, l[g] AS tok
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(l))) AS u(g)
+    ),
+    sh AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN LEAD(tok, {_Q133_N - 1}) OVER w IS NOT NULL THEN
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' ||
+               LEAD(tok, 2) OVER w || ' ' || LEAD(tok, 3) OVER w || ' ' ||
+               LEAD(tok, 4) OVER w
+             END AS sh
+      FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN sh IS NOT NULL AND ROW_NUMBER() OVER (
+                    PARTITION BY sh ORDER BY doc_id, pos) > 1
+                  THEN 1 ELSE 0 END AS dup_start
+      FROM sh
+    ),
+    cov AS (
+      SELECT doc_id, pos, tok,
+             MAX(dup_start) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               RANGE BETWEEN {_Q133_N - 1} PRECEDING AND CURRENT ROW
+             ) AS removed
+      FROM flagged
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(removed) AS BIGINT) AS n_removed,
+           MD5(COALESCE(STRING_AGG(CASE WHEN removed = 0 THEN tok END,
+                                   ' ' ORDER BY pos), '')) AS cleaned_md5
+    FROM cov GROUP BY doc_id
+"""
+
+
+@register("q133_substring_dedup", _Q133_SQL)
+def q133_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup over the corpus
+    (``operators/substring_dedup.py``): every repeated 5-token passage
+    keeps its globally-first occurrence and is REMOVED everywhere else
+    — boilerplate/quotation removal at the span level, which document-
+    level dedup (q10/q25/q31) structurally cannot do. The suffix-array
+    construction of the original (Lee et al. 2021) is single-node; this
+    is its distributed n-gram reformulation: three key-partitioned
+    shuffles, cost linear in TOKENS — independent of how duplicated
+    the corpus is (no pair enumeration anywhere). Output hashes the
+    cleaned text (md5) so the oracle compares full reconstruction
+    without shipping document bodies through the compare."""
+    from nahuatl_data_pipeline_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_substring_dedup(docs, "doc_id", "text", n=_Q133_N)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("cleaned").alias("cleaned_md5"),
+    )
