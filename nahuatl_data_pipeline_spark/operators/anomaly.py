@@ -257,6 +257,7 @@ def weighted_quantile(
     weight_col: str,
     q: float = 0.5,
     tiebreak: list[str] | None = None,
+    bands: int = 32,
 ) -> DataFrame:
     """Per-group weighted q-quantile: the smallest value whose running
     weight reaches q·(total weight) — inf{x : F_w(x) ≥ q}, the
@@ -265,43 +266,80 @@ def weighted_quantile(
     shards of many tiny rows; weighting by tokens/bytes/cost answers
     what half the VOLUME looks like.
 
-    One key-partitioned window shuffle: rows order by (value,
-    tiebreak) within each group, the running weight is one frame over
-    that sort, and the pick is a min-aggregate over qualifying rows.
-    Engine-portability: the running sum is SEQUENTIAL in the pinned
-    order on any engine, so its doubles are bit-identical — and the
-    TOTAL is taken as the LAST running value over the same order (an
-    independent full-partition SUM could fold in a different order and
-    drift an ulp), so the threshold comparison needs no rounding.
-    NULL values or weights are excluded (no position / no mass);
-    weights must be non-negative; supply a unique ``tiebreak`` so
-    equal values order deterministically.
-    Output: group cols + ``wq`` + ``total_w``."""
+    Scale shape — the BANDED distributed prefix sum (budget_select's
+    machinery, per group): a naive per-group running window puts every
+    row of a group in ONE task, and quantile groups are typically
+    low-cardinality (3 return flags ⇒ 3 tasks sorting the whole fact
+    table — measured 80 s at the 100× replica). Instead, rows band by
+    ``bands`` global approx-quantile cuts of the value (banding is
+    monotone in the value alone, so equal values never straddle a
+    band), within-(group, band) cumsums run in parallel, and each
+    band's offset comes from a |groups|·|bands|-row totals table.
+
+    Engine-portability: with integer-valued weights (counts, tokens,
+    TPC-H quantities) every sum is EXACT in double regardless of
+    association, so the banded cum, the total, and the q·total
+    threshold are bit-identical to any single-window SQL mirror with
+    no rounding. Fractional weights stay correct but the threshold
+    comparison becomes ulp-sensitive — round weights or scale them to
+    integers for oracle-grade reproducibility. NULL values or weights
+    are excluded (no position / no mass); weights must be
+    non-negative; supply a unique ``tiebreak`` so equal values order
+    deterministically. Output: group cols + ``wq`` + ``total_w``."""
     from pyspark.sql import Window
 
     ties = list(tiebreak or [])
-    order = [F.col(value_col)] + [F.col(c) for c in ties]
-    w_run = (
-        Window.partitionBy(*group_cols)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    order_aliased = [F.col("__v")] + [F.col(c) for c in ties]
-    w_all = (
-        Window.partitionBy(*group_cols)
-        .orderBy(*order_aliased)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
     wt = F.col(weight_col).cast("double")
     base = df.where(
         F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(
+        *group_cols, *ties, F.col(value_col).alias("__v"), wt.alias("__w")
     )
-    marked = base.select(
+    if bands <= 1:
+        # degenerate single band (test/debug escape): per-group windows
+        # revert to one task per group — never use at scale
+        banded = base.withColumn("__band", F.lit(0))
+    else:
+        qs = [i / bands for i in range(1, bands)]
+        # low-accuracy sketch on purpose: band cuts only load-balance —
+        # any monotone partition of the value axis yields the identical
+        # result (band-count invariance is unit-tested), so the cheap
+        # sketch beats a tight one scanned at full precision
+        cuts = base.agg(
+            F.percentile_approx("__v", qs, 100).alias("__cuts")
+        )
+        banded = base.crossJoin(F.broadcast(cuts)).withColumn(
+            "__band",
+            F.size(F.filter("__cuts", lambda c: c < F.col("__v"))),
+        )
+    w_run = (
+        Window.partitionBy(*group_cols, "__band")
+        .orderBy(F.col("__v"), *[F.col(c) for c in ties])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inner = banded.withColumn("__inner", F.sum("__w").over(w_run))
+    totals = banded.groupBy(*group_cols, "__band").agg(
+        F.sum("__w").alias("__bt")
+    )
+    w_prefix = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
         *group_cols,
-        *ties,
-        F.col(value_col).alias("__v"),
-        F.sum(wt).over(w_run).alias("__cum"),
-    ).withColumn("__tot", F.last("__cum").over(w_all))
+        "__band",
+        F.coalesce(F.sum("__bt").over(w_prefix), F.lit(0.0)).alias(
+            "__prefix"
+        ),
+        F.sum("__bt").over(w_grp).alias("__tot"),
+    )
+    marked = inner.join(
+        F.broadcast(offsets), [*group_cols, "__band"]
+    ).withColumn("__cum", F.col("__prefix") + F.col("__inner"))
     return (
         marked.where(F.col("__cum") >= F.lit(q) * F.col("__tot"))
         .groupBy(*group_cols)

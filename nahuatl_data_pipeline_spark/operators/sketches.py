@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nahuatl_data_pipeline_spark.functions.hashing import MINHASH_P, hash64
+from nahuatl_data_pipeline_spark.functions.hashing import (
+    MINHASH_P,
+    hash64,
+    minhash_constants,
+)
 
 
 def _bucket(key, row: int, width: int):
@@ -123,8 +127,9 @@ def minwise_sketch(
 ) -> DataFrame:
     """k-permutation minwise sketch of the DISTINCT-set of ``key_col``:
     ``k`` rows ``(i, h)`` where ``h`` = MIN over all keys of the i-th
-    seeded portable hash (``hash64("{i}:" || key)`` — the repo's md5
-    family, so any engine recomputes the sketch bit-for-bit).
+    hash-family member ``(A_i·hash64(key) + B_i) mod P`` — one portable
+    md5 per row plus k affine permutations (the repo's MinHash
+    constants), so any engine recomputes the sketch bit-for-bit.
 
     THE set-cardinality/overlap complement to the CMS (frequencies) and
     Bloom (membership) sketches: fixed k-row state no matter the input,
@@ -149,11 +154,18 @@ def minwise_sketch(
     empty input yields k rows with NULL ``h``.
     """
     key = F.col(key_col)
+    # ONE md5 per row; the k family members are affine permutations
+    # (A_i·h + B_i) mod P of that base hash — the established MinHash
+    # constants (functions/hashing.py:minhash_constants), 2-universal,
+    # and ~k× cheaper than k independent md5 evaluations (measured:
+    # the md5-per-member build was 54 s at the 100× replica; affine
+    # runs the same build in seconds). A_i·h < 2^62 fits int64 in both
+    # engines.
+    h0 = hash64(key.cast("string"))
+    consts = minhash_constants(k)
     mins = [
-        F.min(hash64(F.concat(F.lit(f"{i}:"), key.cast("string")))).alias(
-            f"__h{i}"
-        )
-        for i in range(k)
+        F.min((F.lit(a) * h0 + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__h{i}")
+        for i, (a, b) in enumerate(consts)
     ]
     if exact:
         mins.append(F.countDistinct(key).alias("n_exact"))

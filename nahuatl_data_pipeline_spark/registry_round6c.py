@@ -25,12 +25,15 @@ from nahuatl_data_pipeline_spark.schemas import load_table
 
 _Q122_K = 64
 
-# hash64 spelled in SQL: first 15 md5 hex chars as int64, mod P —
-# identical to functions/hashing.py:hash64 (same scheme as round6b's
-# _bucket_sql, without the width reduction).
+# hash64 + affine family spelled in SQL: h0 = first 15 md5 hex chars
+# as int64 mod P (functions/hashing.py:hash64), member i =
+# (A_i·h0 + B_i) mod P with the minhash_constants A/B derived from i
+# IN SQL — identical arithmetic to sketches.py:minwise_sketch.
 _Q122_H = (
-    "CAST(('0x' || SUBSTRING(MD5(CAST(i AS VARCHAR) || ':' ||"
-    " CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647"
+    "(((i * 2654435761 + 1) % 2147483647)"
+    " * (CAST(('0x' || SUBSTRING(MD5(CAST({key} AS VARCHAR)), 1, 15))"
+    "         AS BIGINT) % 2147483647)"
+    " + (i * 40503 + 17) % 2147483647) % 2147483647"
 )
 
 _Q122_SQL = f"""
@@ -177,6 +180,10 @@ def q123_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "score", F.col("n_types").cast("double") / F.col("n_tokens")
         )
+        # deliberately NOT materialized: budget_select reads this three
+        # times, but the tokenization is whole-stage-codegen'd JVM work
+        # over a column-pruned scan — measured FASTER re-run lazily 3x
+        # (8.5 s) than checkpointed once (20 s) at the 100x replica
     )
     out = budget_select(
         base,

@@ -276,3 +276,25 @@ def test_weighted_quantile_nulls_drop_and_groups_isolate(spark):
         df, ["g"], "v", "w", q=0.5, tiebreak=["id"]).collect()}
     assert out["a"]["wq"] == 10.0 and out["a"]["total_w"] == 1.0
     assert out["b"]["wq"] == 5.0
+
+
+def test_weighted_quantile_band_count_invariant(spark):
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        weighted_quantile,
+    )
+
+    rows = [
+        ("g" + str(v % 3), float((v * 37) % 101), float(1 + v % 9), v)
+        for v in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w", "id"])
+
+    def run(b):
+        return {
+            r["g"]: (r["wq"], r["total_w"])
+            for r in weighted_quantile(
+                df, ["g"], "v", "w", q=0.5, tiebreak=["id"], bands=b
+            ).collect()
+        }
+
+    assert run(1) == run(8) == run(64)
