@@ -46,6 +46,11 @@ class CurationConfig:
     jaccard_threshold: float = 0.8
     shingle_n: int = 3
     decontam_n: int = 13
+    # when set, repeated substring_dedup_n-token passages are removed
+    # (globally-first occurrence kept) BEFORE the quality gates — the
+    # Lee-et-al. span-dedup stage; case-preserving, span accounting
+    # rides the same Observation as every other stage
+    substring_dedup_n: int | None = None
 
 
 def run_curation_pipeline(
@@ -70,6 +75,34 @@ def run_curation_pipeline(
     cfg = cfg or CurationConfig()
 
     redacted = docs.withColumn(text_col, redact_pii(F.col(text_col)))
+
+    if cfg.substring_dedup_n:
+        from nahuatl_data_pipeline_spark.operators.substring_dedup import (
+            exact_substring_dedup,
+        )
+
+        cleaned = exact_substring_dedup(
+            redacted,
+            id_col,
+            text_col,
+            n=cfg.substring_dedup_n,
+            lowercase=False,  # a REWRITE stage must preserve case
+        ).select(
+            id_col,
+            F.col("cleaned").alias("__cleaned"),
+            F.col("n_removed").alias("__sub_removed"),
+        )
+        # LEFT join: null-text docs carry no tokens and are absent from
+        # the dedup output — they keep their null text and fail the C4
+        # gate downstream exactly as before
+        redacted = (
+            redacted.drop(text_col)
+            .join(cleaned, id_col, "left")
+            .withColumn(text_col, F.col("__cleaned"))
+            .drop("__cleaned")
+        )
+    else:
+        redacted = redacted.withColumn("__sub_removed", F.lit(0))
 
     c4 = c4_rule_flags(
         redacted, id_col, text_col, min_words=cfg.min_words
@@ -128,10 +161,16 @@ def run_curation_pipeline(
             "contaminated"
         ),
         n_failed(F.col("__keep")).alias("output"),
+        F.sum(F.coalesce(F.col("__sub_removed"), F.lit(0))).alias(
+            "substring_tokens_removed"
+        ),
     )
     (
         flagged.filter(F.col("__keep"))
-        .drop("__keep_c4", "__keep_rep", "__is_dup", "__is_contam", "__keep")
+        .drop(
+            "__keep_c4", "__keep_rep", "__is_dup", "__is_contam", "__keep",
+            "__sub_removed",
+        )
         .write.mode("overwrite")
         .parquet(out_dir)
     )
@@ -142,5 +181,6 @@ def run_curation_pipeline(
         stats = {
             "input": 0, "failed_c4": 0, "failed_repetition": 0,
             "near_dups": 0, "contaminated": 0, "output": 0,
+            "substring_tokens_removed": 0,
         }
     return {k: int(v or 0) for k, v in stats.items()}

@@ -824,3 +824,101 @@ def q133_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5("cleaned").alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q134: numeric correlation matrix in one pass
+# ---------------------------------------------------------------------------
+
+_Q134_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_Q134_SQL = f"""
+    SELECT a, b, ROUND(corr_ab, 6) AS corr
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT '{a}' AS a, '{b}' AS b, CORR({a}, {b}) AS corr_ab"
+        " FROM lineitem"
+        for i, a in enumerate(_Q134_COLS)
+        for b in _Q134_COLS[i + 1:]
+      )}
+    )
+"""
+
+
+@register("q134_lineitem_corr_matrix", _Q134_SQL)
+def q134_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise Pearson correlations of the lineitem numeric
+    columns in ONE scan: ``F.corr`` is a decomposable moment aggregate
+    (map-side partials), so the C(4,2)=6 pairs ride a single aggregate
+    node — the feature-redundancy screen a profiler (q99) doesn't
+    cover, at the cost of one pass however many pairs. The oracle
+    unions per-pair CORR aggregates; both engines compute the same
+    moment formula and the result rounds to 6. Long-format output
+    (a, b, corr) so adding columns widens the aggregate, not the
+    schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_Q134_COLS)
+        for b in _Q134_COLS[i + 1:]
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"__c_{a}__{b}") for a, b in pairs
+    ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c_{a}__{b}" for a, b in pairs
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) as (a, b, corr)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135: month-over-month revenue growth
+# ---------------------------------------------------------------------------
+
+_Q135_SQL = """
+    WITH m AS (
+      SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, ROUND(revenue, 2) AS revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 4) AS mom_pct,
+           ROUND(100.0 * (revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                 / LAG(revenue, 12) OVER (ORDER BY month), 4) AS yoy_pct
+    FROM m
+"""
+
+
+@register("q135_revenue_growth", _Q135_SQL)
+def q135_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    period-comparison reporting shape (LAG 1 / LAG 12 over the month
+    series). The corpus-sized work is ONE map-side-combined month
+    aggregate; both LAGs and the growth math run on the ~80-row month
+    table, where a single-partition window is the right plan (the
+    bounded-table argument, q113/q124). First month / first year rows
+    carry NULL growth by definition."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+
+    def growth(lag_n):
+        prev = F.lag("revenue", lag_n).over(w)
+        return F.round(100.0 * (F.col("revenue") - prev) / prev, 4)
+
+    return m.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        growth(1).alias("mom_pct"),
+        growth(12).alias("yoy_pct"),
+    )

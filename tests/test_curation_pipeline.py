@@ -76,3 +76,34 @@ def test_curation_pipeline_empty_input(spark, tmp_path):
     out = str(tmp_path / "gold3")
     stats = run_curation_pipeline(spark, empty, out)
     assert stats["input"] == 0 and stats["output"] == 0
+
+
+def test_curation_pipeline_substring_dedup_stage(spark, tmp_path):
+    # boilerplate as a LEADING sentence: the cleaned later doc must
+    # still end in terminal punctuation or C4 (correctly) drops it
+    boiler = "all rights reserved by the original publisher."
+    rows = [
+        (1, boiler + " " + _PROSE + " one."),
+        (2, boiler + " " + _PROSE2 + " two."),  # boilerplate removed here
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "gold_sub")
+    cfg = CurationConfig(
+        min_words=10, jaccard_threshold=0.95, substring_dedup_n=4
+    )
+    stats = run_curation_pipeline(spark, docs, out, cfg=cfg)
+
+    assert stats["input"] == 2 and stats["output"] == 2
+    # 7-token boilerplate removed once (doc 2 by (doc,pos) order)
+    assert stats["substring_tokens_removed"] == 7
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert boiler in kept[1]
+    assert boiler not in kept[2]
+    assert _PROSE2.split()[0] in kept[2]  # the unique prose survives
+
+
+def test_curation_pipeline_substring_dedup_off_by_default(spark, tmp_path):
+    out = str(tmp_path / "gold_nosub")
+    cfg = CurationConfig(min_words=10)
+    stats = run_curation_pipeline(spark, _docs(spark), out, cfg=cfg)
+    assert stats["substring_tokens_removed"] == 0
