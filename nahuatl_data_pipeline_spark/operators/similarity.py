@@ -531,3 +531,36 @@ def hard_negatives(
     )
     cond = ~F.col("__ql").eqNullSafe(F.col("__cl"))
     return _brute_topk(q, c, cond, k, round_to, broadcast_max_queries)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str, out_col: str = "q8"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale`` =
+    max|x|/127, codes = floor(x/scale + 0.5) clipped into [-127,127]
+    by construction — the 4× memory compression every large-scale ANN
+    index applies before the similarity math. Adds ``{out}_scale``
+    (double) and ``{out}_codes`` (array<int>).
+
+    Pure codegen'd array expressions (transform/aggregate) — no Python,
+    no shuffle; floor(x+0.5) instead of ROUND so the halfway codes are
+    identical IEEE arithmetic on every engine (the q129 recipe). The
+    all-zero vector gets scale 0 and all-zero codes (guarded division).
+    Elements are cast float→double BEFORE arithmetic so both sides of
+    any oracle see the exact same widened values."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = (
+        F.aggregate(
+            x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+        )
+        / F.lit(127.0)
+    )
+    codes = F.when(F.col(f"{out_col}_scale") > 0, F.transform(
+        x,
+        lambda v: F.floor(v / F.col(f"{out_col}_scale") + F.lit(0.5)).cast(
+            "int"
+        ),
+    )).otherwise(F.transform(x, lambda v: F.lit(0)))
+    return df.withColumn(f"{out_col}_scale", scale).withColumn(
+        f"{out_col}_codes", codes
+    )

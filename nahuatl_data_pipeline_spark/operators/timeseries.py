@@ -223,3 +223,37 @@ def gap_stats(
             ).alias("mean_us"),
         )
     )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    by: str,
+    ts_col: str,
+    order_by: list[str],
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch session assignment: within each ``by`` entity's ordered
+    event stream, a gap > ``gap_seconds`` starts a new session;
+    ``session_idx`` (0-based per entity) is the running count of
+    session starts — the batch twin of the streaming
+    ``applyInPandasWithState`` sessionizer (q46), for backfills and
+    reprocessing where the watermark machinery buys nothing.
+
+    One entity-keyed window shuffle evaluates BOTH the LAG gap test
+    and the running cumsum (same sort); gaps compare in exact integer
+    microseconds, so session boundaries are bit-identical cross-engine
+    and under any partitioning. First event of an entity starts
+    session 0."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(*[F.col(c) for c in order_by])
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    micros = F.unix_micros(F.col(ts_col))
+    gap = micros - F.lag(micros).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > F.lit(gap_seconds * 1_000_000)), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_idx",
+        (F.sum(is_start).over(w_run) - F.lit(1)).cast("long"),
+    )

@@ -922,3 +922,136 @@ def q135_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         growth(1).alias("mom_pct"),
         growth(12).alias("yoy_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136: batch sessionization + session profile
+# ---------------------------------------------------------------------------
+
+_Q136_GAP_S = 1800
+
+_Q136_SQL = f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w
+                       > {_Q136_GAP_S * 1_000_000}
+                  OR LAG(EPOCH_US(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) - 1 AS session_idx
+      FROM s
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS BIGINT)
+             AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+"""
+
+
+@register("q136_session_profile", _Q136_SQL)
+def q136_session_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) + per-session
+    profile (``timeseries.py:sessionize_batch``): the backfill twin of
+    the streaming q46 sessionizer — one user-keyed window shuffle
+    assigns boundaries from exact integer-microsecond gaps (bit-
+    identical cross-engine, no rounding anywhere), then one session-
+    keyed aggregate emits event counts and durations."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import (
+        sessionize_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize_batch(
+        ev, "user_id", "ts", ["ts", "event_id"], gap_seconds=_Q136_GAP_S
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137: int8 embedding quantization error profile
+# ---------------------------------------------------------------------------
+
+_Q137_SQL = """
+    WITH base AS (
+      SELECT label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    scaled AS (
+      SELECT label, xs,
+             LIST_AGGREGATE(LIST_TRANSFORM(xs, x -> ABS(x)), 'max')
+               / 127.0 AS scale
+      FROM base
+    ),
+    errs AS (
+      SELECT label, LEN(xs) AS n_elems,
+             CASE WHEN scale > 0 THEN
+               LIST_AGGREGATE(LIST_TRANSFORM(xs,
+                 x -> ABS(x - FLOOR(x / scale + 0.5) * scale)), 'sum')
+             ELSE 0.0 END AS sum_err,
+             CASE WHEN scale > 0 THEN
+               LIST_AGGREGATE(LIST_TRANSFORM(xs,
+                 x -> ABS(x - FLOOR(x / scale + 0.5) * scale)), 'max')
+             ELSE 0.0 END AS max_err
+      FROM scaled
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(SUM(sum_err) / SUM(n_elems), 8) AS mean_abs_err,
+           ROUND(MAX(max_err), 8) AS max_abs_err
+    FROM errs GROUP BY label
+"""
+
+
+@register("q137_int8_quantization_error", _Q137_SQL)
+def q137_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction error of symmetric int8 vector quantization per
+    label (``similarity.py:quantize_int8``) — the accept/reject gate
+    before compressing an ANN index 4×: mean and worst absolute error
+    of dequantized embeddings. All array math is codegen'd
+    transform/aggregate (no Python, no shuffle until the ≤|labels|
+    aggregate); floor(x+0.5) quantization and float→double widening
+    keep every intermediate bit-identical to the SQL mirror."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q = quantize_int8(emb, "embedding")
+    xs = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    dequant_err = F.zip_with(
+        xs,
+        F.col("q8_codes"),
+        lambda x, c: F.abs(x - c.cast("double") * F.col("q8_scale")),
+    )
+    per_vec = q.select(
+        "label",
+        F.size("embedding").alias("n_elems"),
+        F.aggregate(
+            dequant_err, F.lit(0.0), lambda acc, e: acc + e
+        ).alias("sum_err"),
+        F.aggregate(
+            dequant_err, F.lit(0.0), lambda acc, e: F.greatest(acc, e)
+        ).alias("max_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("sum_err") / F.sum("n_elems"), 8).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max("max_err"), 8).alias("max_abs_err"),
+    )

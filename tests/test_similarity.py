@@ -222,3 +222,56 @@ def test_hard_negatives_exclude_same_label(spark):
     ).collect()
     ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert ids == [2, 3]  # label-0 neighbors excluded, ordered by cosine
+
+
+# ---------------------------------------------------------------------------
+# quantize_int8
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_codes_and_bounds(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0, -1.0]), (2, [0.0, 0.0])],
+        "id: bigint, v: array<float>",
+    )
+    out = {r["id"]: r for r in quantize_int8(df, "v").collect()}
+    assert out[1]["q8_scale"] == 1.0 / 127
+    # 1.0 -> 127, -0.5 -> floor(-63.5+0.5) = -63, 0 -> 0, -1 -> -127
+    assert out[1]["q8_codes"] == [127, -63, 0, -127]
+    # zero vector: scale 0, all-zero codes (guarded division)
+    assert out[2]["q8_scale"] == 0.0
+    assert out[2]["q8_codes"] == [0, 0]
+
+
+def test_quantize_int8_reconstruction_error_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id: bigint, v: array<float>")
+    q = quantize_int8(df, "v")
+    worst = q.select(
+        F.aggregate(
+            F.zip_with(
+                F.transform("v", lambda x: x.cast("double")),
+                "q8_codes",
+                lambda x, c: F.abs(
+                    x - c.cast("double") * F.col("q8_scale")
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, e: F.greatest(a, e),
+        ).alias("m")
+    ).agg(F.max("m")).collect()[0][0]
+    # symmetric quantization error <= scale/2 <= (2/127)/2
+    assert worst <= (2.0 / 127) / 2 + 1e-9

@@ -221,3 +221,47 @@ def test_gap_stats_exact_micros(spark):
     assert out["b"]["n_gaps"] == 2
     assert out["b"]["p50_us"] == 20_000_000.0  # midpoint of 10s and 30s
     assert out["b"]["mean_us"] == 20_000_000.0
+
+
+def test_sessionize_batch_boundaries_and_counts(spark):
+    import datetime
+
+    from nahuatl_data_pipeline_spark.operators.timeseries import (
+        sessionize_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, 0, ts(0)),
+        (1, 1, ts(10)),   # same session (10 min gap)
+        (1, 2, ts(50)),   # 40 min gap -> new session
+        (1, 3, ts(55)),
+        (2, 4, ts(0)),    # other user: own session 0
+    ]
+    df = spark.createDataFrame(rows, ["u", "eid", "ts"])
+    out = {
+        (r["u"], r["eid"]): r["session_idx"]
+        for r in sessionize_batch(
+            df, "u", "ts", ["ts", "eid"], gap_seconds=1800
+        ).collect()
+    }
+    assert out == {(1, 0): 0, (1, 1): 0, (1, 2): 1, (1, 3): 1, (2, 4): 0}
+
+
+def test_sessionize_batch_exact_gap_is_same_session(spark):
+    import datetime
+
+    from nahuatl_data_pipeline_spark.operators.timeseries import (
+        sessionize_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, 0, t0), (1, 1, t0 + datetime.timedelta(seconds=1800))]
+    df = spark.createDataFrame(rows, ["u", "eid", "ts"])
+    out = sessionize_batch(df, "u", "ts", ["ts", "eid"], 1800).collect()
+    # strict > gap: exactly gap_seconds stays in-session
+    assert {r["session_idx"] for r in out} == {0}
