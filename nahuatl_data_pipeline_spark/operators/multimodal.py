@@ -306,3 +306,79 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def sniff_audio(payload: bytes | None) -> tuple[str, int, int, int] | None:
+    """(mime, sample_rate, channels, duration_ms) parsed from WAV/RIFF
+    HEADER BYTES — the audio twin of :func:`sniff_image`: the canonical
+    'fmt ' chunk carries rate/channels at fixed offsets and the 'data'
+    chunk length + byte rate give duration, all without an audio
+    library. Walks the RIFF chunk list (the spec allows LIST/fact/cue
+    chunks before 'fmt ') and tolerates a truncated final chunk.
+    Returns None for unrecognized/corrupt payloads."""
+    import struct
+
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    n = len(payload)
+    rate = channels = byte_rate = None
+    data_len = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= n:
+            channels, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+            (byte_rate,) = struct.unpack("<I", payload[i + 16 : i + 20])
+        elif cid == b"data":
+            data_len = clen
+        # chunks are word-aligned: odd lengths carry a pad byte
+        i += 8 + clen + (clen & 1)
+    if not rate or not channels or rate > 10_000_000:
+        return None
+    duration_ms = None
+    if data_len is not None and byte_rate:
+        duration_ms = int(data_len * 1000 // byte_rate)
+    return ("audio/wav", rate, channels, duration_ms or 0)
+
+
+def attach_audio_metadata(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Audio counterpart of :func:`attach_sniffed_metadata`: mime /
+    sample_rate / channels / duration_ms from the RIFF header via an
+    Arrow-batched projection — bytes never leave the executor."""
+    out_schema = StructType(
+        [
+            StructField("mime", StringType(), True),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("channels", IntegerType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def _sniff(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in s:
+            got = sniff_audio(bytes(b) if b is not None else None)
+            rows.append(got or (None, None, None, None))
+        return pd.DataFrame(
+            rows, columns=["mime", "sample_rate", "channels", "duration_ms"]
+        )
+
+    p = F.col(payload_col)
+    sniffed = _sniff(p)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            sniffed["mime"].alias("mime"),
+            sniffed["sample_rate"].alias("sample_rate"),
+            sniffed["channels"].alias("channels"),
+            sniffed["duration_ms"].alias("duration_ms"),
+            F.sha2(p, 256).alias("sha256"),
+        ),
+    )

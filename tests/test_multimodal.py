@@ -179,3 +179,56 @@ def test_sniff_jpeg_fill_bytes_and_corrupt_png():
     # overflow the IntegerType metadata column downstream
     bad_dims = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR" + b"\xff" * 16
     assert sniff_image(bad_dims) is None
+
+
+# ---------------------------------------------------------------------------
+# audio (WAV/RIFF) header sniffing
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(rate=16000, channels=1, bits=16, n_samples=16000, lead_junk=False):
+    import struct
+
+    byte_rate = rate * channels * bits // 8
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, byte_rate, block_align, bits
+    )
+    chunks = b""
+    if lead_junk:
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_sniff_audio_parses_wav_header():
+    from nahuatl_data_pipeline_spark.operators.multimodal import sniff_audio
+
+    got = sniff_audio(_wav_bytes(rate=44100, channels=2, n_samples=44100))
+    assert got == ("audio/wav", 44100, 2, 1000)
+
+
+def test_sniff_audio_walks_leading_chunks_and_rejects_garbage():
+    from nahuatl_data_pipeline_spark.operators.multimodal import sniff_audio
+
+    assert sniff_audio(_wav_bytes(lead_junk=True))[1] == 16000
+    assert sniff_audio(None) is None
+    assert sniff_audio(b"RIFFxxxxAVI ") is None
+    assert sniff_audio(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
+
+
+def test_attach_audio_metadata_struct(spark):
+    from nahuatl_data_pipeline_spark.operators.multimodal import (
+        attach_audio_metadata,
+    )
+
+    rows = [(1, _wav_bytes()), (2, b"not audio"), (3, None)]
+    df = spark.createDataFrame(rows, "id: bigint, payload: binary")
+    out = {r["id"]: r["meta"] for r in attach_audio_metadata(df).collect()}
+    assert out[1]["sample_rate"] == 16000 and out[1]["channels"] == 1
+    assert out[1]["duration_ms"] == 1000
+    assert out[1]["modality"] == "audio" and out[1]["sha256"]
+    assert out[2]["mime"] is None
+    assert out[3]["mime"] is None
