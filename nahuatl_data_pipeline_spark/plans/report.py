@@ -50,8 +50,10 @@ def dataset_report(
     row = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("__src").alias("n_sources"),
-        F.sum(F.col("__th").isNull().cast("long")).alias("null_text_docs"),
-        F.sum("__nt").alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.col("__th").isNull().cast("long")), F.lit(0)
+        ).alias("null_text_docs"),
+        F.coalesce(F.sum("__nt"), F.lit(0)).alias("total_tokens"),
         F.round(F.avg("__nt"), 2).alias("mean_tokens"),
         F.percentile_approx("__nt", 0.5, 1000).alias("p50_tokens"),
         F.percentile_approx("__nt", 0.9, 1000).alias("p90_tokens"),

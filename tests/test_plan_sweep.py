@@ -42,6 +42,7 @@ _BNLJ_OK = {
     "q125_price_percentile_bands",  # 1-row reference-cuts broadcast
     "q127_length_rule_kappa",  # 1-row marginal product onto 1-row diag
     "q128_bootstrap_mean_ci",  # 1-row CI stats onto the 1-row base agg
+    "q132_weighted_median_price",  # 1-row quantile-cuts broadcast (bands)
 }
 
 
