@@ -381,56 +381,41 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    broadcast_max_candidates: int = 2_000_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs with a min-hash-shingle bucket
-    join: each doc is bucketed by the minimum *hashed* shingle (1-band
-    MinHash LSH) — a pair with Jaccard J shares the bucket with
-    probability J, and the hash spreads buckets uniformly (bucketing on
-    the lexicographic min concentrates everything starting with 'a' into
-    one giant bucket → quadratic blowup). Exact Jaccard verify on the
-    candidates; no n²."""
-    from nahuatl_data_pipeline_spark.functions.hashing import hash64
+    """Exact n-gram Jaccard near-dup pairs with banded-minhash candidate
+    generation (3 bands × 2 hashes by default) and an exact shingle
+    Jaccard verify.
 
-    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
-    sh = word_shingles(text_col, n=shingle_n)
-    # shingling is the expensive projection — compute it ONCE, cache, and
-    # let BOTH consumers (the bucket-key groupBy leg and the docs side of
-    # the keys join) reuse it; without this persist the pandas_udf
-    # shingles the whole input twice
-    docs = (
-        df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .persist()
+    History: this operator originally bucketed on the single minimum
+    *hashed* shingle (1-band MinHash) — a pair with Jaccard J collides
+    with probability J, so LOW-Jaccard pairs still collide proportionally
+    and common-shingle buckets are overwhelmingly false candidates. The
+    100× replica measured 131M raw candidates for 25.8M true pairs
+    (SCALE.md round 6, ~5× waste). Banding with ``band_size``-hash keys
+    drops a pair's per-band collision probability to J^band_size, which
+    crushes the low-J tail while ``num_hashes/band_size`` independent
+    bands keep high-J recall (J=0.9 → 96.4% with 3 bands vs 90% for the
+    single-band scheme). Candidate generation, caching, the broadcast
+    size gate, and the ``max_bucket_size`` hot-bucket guard are all the
+    shared :func:`banded_minhash_pairs` machinery — this wrapper exists
+    for its distinct parameter profile and call sites (q38/q58, the
+    curation pipeline's cluster-dedup stage).
+    """
+    return banded_minhash_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        jaccard_threshold=jaccard_threshold,
+        broadcast_max_candidates=broadcast_max_candidates,
+        max_bucket_size=max_bucket_size,
     )
-    docs.count()  # eager: keys leg + join leg read the cache
-    # bucket key via explode: md5 in codegen, min in a partial-agg groupBy
-    keys = (
-        docs.select("__id", F.explode("__sh").alias("__s"))
-        .groupBy("__id")
-        .agg(F.min(hash64(F.col("__s"))).alias("__key"))
-    )
-    keyed = docs.join(keys, "__id").persist()
-    keyed.count()  # eager: both self-join legs read the cache
-    a = keyed.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "__key"
-    )
-    b = keyed.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "__key"
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    out = (
-        a.join(b, "__key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
-    _register_caches(docs, keyed)
-    return out
 
 
 # --------------------------------------------------------------------------

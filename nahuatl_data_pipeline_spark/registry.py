@@ -863,13 +863,32 @@ def _mh_list_sql_exprs(num_hashes: int) -> list[str]:
     ]
 
 
-_Q25_ORACLE = f"""
-    WITH base AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text || '{_PLANT_SUFFIX}' AS text
-      FROM documents WHERE doc_id < 100
-    ),
+def banded_pairs_oracle_sql(
+    base_sql: str,
+    threshold: float,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> str:
+    """DuckDB mirror of ``operators/fuzzy_dedup.banded_minhash_pairs`` at
+    shingle_n=3 over an arbitrary ``base`` relation (doc_id, text):
+    3-gram shingles → md5-affine minhash signature → band-equality
+    candidates → exact shingle Jaccard ≥ threshold. ONE definition of the
+    banding shared by every pair-family oracle (q25, q38, q58's pairs
+    CTE, q97 via q38's registered string) so the candidate scheme cannot
+    drift between queries or between the engines."""
+    assert num_hashes % band_size == 0
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(mh{b * band_size + j} AS VARCHAR)"
+                for j in range(band_size)
+            ),
+        )
+        for b in range(num_hashes // band_size)
+    )
+    return f"""
+    WITH base AS ({base_sql}),
     toks AS (
       SELECT doc_id,
              LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
@@ -890,15 +909,11 @@ _Q25_ORACLE = f"""
       FROM sh
     ),
     sig AS (
-      SELECT doc_id, shingles, {", ".join(_mh_list_sql_exprs(8))}
+      SELECT doc_id, shingles, {", ".join(_mh_list_sql_exprs(num_hashes))}
       FROM hashed
     ),
     bands AS (
-      SELECT doc_id, 0 AS band_id,
-             CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS band_key FROM sig
-      UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) FROM sig
-      UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR) FROM sig
-      UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR) FROM sig
+      {band_selects}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -914,8 +929,19 @@ _Q25_ORACLE = f"""
     JOIN sig sa ON sa.doc_id = id_a
     JOIN sig sb ON sb.doc_id = id_b
     WHERE CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
-          / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles))) >= 0.5
+          / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles))) >= {threshold}
 """
+
+
+_Q25_ORACLE = banded_pairs_oracle_sql(
+    f"""SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '{_PLANT_SUFFIX}' AS text
+      FROM documents WHERE doc_id < 100""",
+    threshold=0.5,
+    num_hashes=8,
+    band_size=2,
+)
 
 
 def q25_input(spark: SparkSession, sf_dir: str) -> DataFrame:

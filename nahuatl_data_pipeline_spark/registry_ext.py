@@ -28,7 +28,10 @@ from nahuatl_data_pipeline_spark.plans.metadata import (
     latest_quality_metrics,
     pipeline_performance,
 )
-from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.registry import (
+    banded_pairs_oracle_sql,
+    register,
+)
 from nahuatl_data_pipeline_spark.schemas import load_table
 
 
@@ -253,46 +256,23 @@ def q37_latest_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAIL = " tail token alpha beta"
 
 
-@register(
-    "q38_ngram_jaccard_pairs",
-    f"""
-    WITH base AS (
-      SELECT doc_id, text FROM documents
+_Q38_BASE_SQL = f"""SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text || '{_TAIL}' AS text
-      FROM documents WHERE doc_id < 100
+      FROM documents WHERE doc_id < 100"""
+
+
+@register(
+    "q38_ngram_jaccard_pairs",
+    banded_pairs_oracle_sql(
+        _Q38_BASE_SQL, threshold=0.5, num_hashes=6, band_size=2
     ),
-    toks AS (
-      SELECT doc_id,
-             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
-                         t -> t <> '') AS tk
-      FROM base
-    ),
-    sh AS (
-      SELECT doc_id,
-             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
-                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
-      FROM toks WHERE LEN(tk) >= 3
-    ),
-    keyed AS (
-      SELECT doc_id, shingles,
-             LIST_MIN(LIST_TRANSFORM(shingles,
-               s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
-                    % 2147483647)) AS k
-      FROM sh
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))), 6)
-             AS jaccard
-    FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
-    WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-          / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) >= 0.5
-    """,
 )
 def q38_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs with rarest-shingle bucketing
-    (no minhash, no n²) — planted near-dups exercise the match path."""
+    """Exact n-gram Jaccard near-dup pairs over banded-minhash candidates
+    (3 bands × 2 hashes — q25's scheme at a lighter signature width; the
+    original single-min-shingle bucketing wasted ~5× candidates at 100×,
+    SCALE.md round 6) — planted near-dups exercise the match path."""
     from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
         ngram_jaccard_pairs,
     )
@@ -1001,42 +981,19 @@ def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAIL2 = _TAIL + " gamma delta epsilon zeta eta theta"
 
 
+_Q58_BASE_SQL = f"""{_Q38_BASE_SQL}
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || '{_TAIL2}' AS text
+      FROM documents WHERE doc_id < 50"""
+
+
 @register(
     "q58_dup_components",
     f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text || '{_TAIL}' AS text
-      FROM documents WHERE doc_id < 100
-      UNION ALL
-      SELECT doc_id + 2000000 AS doc_id, text || '{_TAIL2}' AS text
-      FROM documents WHERE doc_id < 50
-    ),
-    toks AS (
-      SELECT doc_id,
-             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
-                         t -> t <> '') AS tk
-      FROM base
-    ),
-    sh AS (
-      SELECT doc_id,
-             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
-                           i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) AS shingles
-      FROM toks WHERE LEN(tk) >= 3
-    ),
-    keyed AS (
-      SELECT doc_id, shingles,
-             LIST_MIN(LIST_TRANSFORM(shingles,
-               s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
-                    % 2147483647)) AS k
-      FROM sh
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
-      WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-            / LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) >= 0.5
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        {banded_pairs_oracle_sql(_Q58_BASE_SQL, threshold=0.5, num_hashes=6, band_size=2)}
+      )
     ),
     edges AS (
       SELECT id_a AS s, id_b AS d FROM pairs
