@@ -37,6 +37,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 15,
+    star_fallback: bool = True,
 ) -> DataFrame:
     """Label each vertex of an undirected edge list with the minimum
     vertex id reachable from it.
@@ -47,8 +48,14 @@ def connected_components(
     cluster, so ``component == id`` marks a deterministic canonical
     representative.
 
-    Raises ``ValueError`` if labels are still changing after
-    ``max_iter`` rounds — a truncated labeling would silently split
+    Propagation is O(diameter): right for the near-clique graphs dedup
+    produces, wrong for a long chain hiding in a production corpus. If
+    labels are still changing after ``max_iter`` rounds and
+    ``star_fallback`` is set (the default), the call completes via the
+    O(log n) :func:`connected_components_star` contraction on the
+    already-materialized symmetric edge list — same output contract,
+    no failed job. With ``star_fallback=False`` it raises
+    ``ValueError`` instead — a truncated labeling would silently split
     clusters, which for dedup means shipping duplicates.
     """
     sym = edges.select(
@@ -98,6 +105,14 @@ def connected_components(
         labels = agg.drop("__old")
         if changed == 0:
             return labels
+    if star_fallback:
+        # Budget exhausted ⇒ the graph has a longer path than the
+        # near-clique assumption allows. Contract it with the O(log n)
+        # formulation instead of failing; ``sym`` is checkpointed, so
+        # the expensive upstream pair computation is NOT re-run.
+        return connected_components_star(sym, src="s", dst="d").select(
+            "id", F.col("component").alias("comp")
+        )
     raise ValueError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the graph has a longer path than expected — raise max_iter"

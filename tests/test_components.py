@@ -44,11 +44,23 @@ def test_partition_independence(spark):
 
 
 def test_nonconvergence_raises_not_truncates(spark):
-    """A path graph longer than max_iter rounds must raise, never return
-    a silently split labeling."""
+    """With the star fallback disabled, a path graph longer than
+    max_iter rounds must raise, never return a silently split
+    labeling."""
     path = _edges(spark, [(i, i + 1) for i in range(6)])
     with pytest.raises(ValueError, match="did not converge"):
-        connected_components(path, max_iter=2)
+        connected_components(path, max_iter=2, star_fallback=False)
+
+
+def test_budget_overrun_falls_back_to_star(spark):
+    """Default behavior on a planted chain that exceeds the propagation
+    budget: the call silently completes via star contraction with the
+    exact same labeling the converged propagation would produce."""
+    chain = [(i, i + 1) for i in range(60)]
+    comp = connected_components(_edges(spark, chain), max_iter=3)
+    assert comp.columns == ["id", "comp"]
+    rows = {r["id"]: r["comp"] for r in comp.collect()}
+    assert rows == {i: 0 for i in range(61)}
 
 
 def test_duplicate_clusters_canonical_flag(spark):
@@ -87,11 +99,13 @@ def _star_labels(spark, edges):
     }
 
 
-def _plain_labels(spark, edges, max_iter=15):
+def _plain_labels(spark, edges, max_iter=15, star_fallback=True):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     return {
         r["id"]: r["comp"]
-        for r in connected_components(df, max_iter=max_iter).collect()
+        for r in connected_components(
+            df, max_iter=max_iter, star_fallback=star_fallback
+        ).collect()
     }
 
 
@@ -114,7 +128,7 @@ def test_star_handles_long_chain_plain_cannot(spark):
 
     chain = [(i, i + 1) for i in range(120)]
     with pytest.raises(ValueError, match="did not converge"):
-        _plain_labels(spark, chain, max_iter=5)
+        _plain_labels(spark, chain, max_iter=5, star_fallback=False)
     labels = _star_labels(spark, chain)
     assert set(labels) == set(range(121))
     assert set(labels.values()) == {0}
