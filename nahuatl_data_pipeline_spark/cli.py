@@ -50,6 +50,9 @@ def _build_parser() -> argparse.ArgumentParser:
     quality.add_argument("--min-rows", type=float, default=1.0)
     quality.add_argument("--report", default=None,
                          help="write per-expectation JSON report here")
+    quality.add_argument("--html", default=None,
+                         help="write a human-readable HTML data-docs page "
+                              "here (run_quality_check.py:343-449 parity)")
     quality.add_argument("--suite-name", default="corpus_suite")
 
     drift = sub.add_parser(
@@ -170,12 +173,17 @@ def main(argv: list[str] | None = None) -> int:
             results = run_checks(df, checks).collect()
         except Exception as exc:
             print(f"quality check could not run: {exc}", file=sys.stderr)
+            err_report = {"suite": args.suite_name, "success": False,
+                          "exception_info": str(exc), "results": []}
             if args.report:
                 with open(args.report, "w", encoding="utf-8") as f:
-                    json.dump(
-                        {"suite": args.suite_name, "success": False,
-                         "exception_info": str(exc), "results": []}, f,
-                    )
+                    json.dump(err_report, f)
+            if args.html:
+                from nahuatl_data_pipeline_spark.operators.quality import (
+                    write_validation_html,
+                )
+
+                write_validation_html(args.html, err_report)
             return 2
         for r in results:
             print(json.dumps(r.asDict()))
@@ -187,6 +195,12 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             report = validation_report(results, args.suite_name)
+        if args.html:
+            from nahuatl_data_pipeline_spark.operators.quality import (
+                write_validation_html,
+            )
+
+            write_validation_html(args.html, report)
         return 0 if report["success"] else 1
 
     if args.cmd == "drift":

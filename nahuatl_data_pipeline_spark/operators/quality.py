@@ -208,6 +208,68 @@ def write_validation_report(
     return report
 
 
+def render_validation_html(report: dict) -> str:
+    """Render a :func:`validation_report` dict as a self-contained HTML
+    data-docs page — the human-readable artifact the reference's quality
+    runner builds via Great Expectations' ``build_data_docs``
+    (``scripts/run_quality_check.py:343-449``); a CI gate can archive it
+    next to the JSON. Driver-side string building, O(#checks) bytes."""
+    from html import escape
+
+    stats = report.get("statistics", {})
+    ok = bool(report.get("success"))
+    banner = ("PASSED", "#1a7f37") if ok else ("FAILED", "#cf222e")
+    rows = "\n".join(
+        "<tr class={cls}><td>{name}</td><td>{status}</td>"
+        "<td>{observed}</td><td>{threshold}</td></tr>".format(
+            cls="pass" if r.get("success") else "fail",
+            name=escape(str(r.get("check", ""))),
+            status="✓ pass" if r.get("success") else "✗ fail",
+            observed=escape(str(r.get("observed_value", ""))),
+            threshold=escape(str(r.get("threshold", ""))),
+        )
+        for r in report.get("results", [])
+    )
+    exc = report.get("exception_info")
+    exc_html = (
+        f"<p class=exc>exception: {escape(str(exc))}</p>" if exc else ""
+    )
+    return f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>Validation: {escape(str(report.get("suite", "")))}</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; margin: 2rem; color: #1f2328; }}
+ .banner {{ color: #fff; background: {banner[1]}; display: inline-block;
+            padding: .3rem .8rem; border-radius: 6px; font-weight: 600; }}
+ table {{ border-collapse: collapse; margin-top: 1rem; }}
+ th, td {{ border: 1px solid #d0d7de; padding: .35rem .7rem; text-align: left; }}
+ tr.pass td:nth-child(2) {{ color: #1a7f37; }}
+ tr.fail td:nth-child(2) {{ color: #cf222e; font-weight: 600; }}
+ .stats {{ color: #57606a; }}
+ .exc {{ color: #cf222e; }}
+</style></head><body>
+<h1>Expectation suite: {escape(str(report.get("suite", "")))}</h1>
+<p><span class="banner">{banner[0]}</span></p>
+<p class="stats">{stats.get("successful_expectations", 0)}/{stats.get("evaluated_expectations", 0)}
+ expectations passed ({stats.get("success_percent", 0.0)}%)</p>
+{exc_html}
+<table><thead><tr><th>expectation</th><th>status</th>
+<th>observed value</th><th>threshold</th></tr></thead>
+<tbody>
+{rows}
+</tbody></table>
+</body></html>
+"""
+
+
+def write_validation_html(path: str, report: dict) -> str:
+    """Persist the HTML data-docs page; returns the rendered text."""
+    html = render_validation_html(report)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html)
+    return html
+
+
 def approx_quantile_buckets(
     df: DataFrame,
     col: str,

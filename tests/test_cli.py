@@ -90,6 +90,59 @@ def test_cli_quality_report_artifact(spark, tmp_path):
     assert re_["success"] is False and re_["exception_info"]
 
 
+def test_cli_quality_html_artifact(spark, tmp_path):
+    """The human-readable data-docs page next to the JSON artifact
+    (run_quality_check.py:343-449 builds GE data docs): banner reflects
+    overall status, every expectation row is present, failures marked."""
+    ok = spark.createDataFrame([("a", 1), ("b", 2)], ["t", "v"])
+    p_ok = str(tmp_path / "okh")
+    ok.write.parquet(p_ok)
+    html_ok = str(tmp_path / "ok.html")
+    assert main(["quality", "--input", p_ok, "--html", html_ok,
+                 "--suite-name", "docs_suite"]) == 0
+    page = open(html_ok, encoding="utf-8").read()
+    assert "<!DOCTYPE html>" in page and "docs_suite" in page
+    assert "PASSED" in page and "FAILED" not in page
+    for check in ("rows", "t_not_null", "v_not_null"):
+        assert check in page
+
+    bad = spark.createDataFrame([(None,), (None,)], "t string")
+    p_bad = str(tmp_path / "badh")
+    bad.write.parquet(p_bad)
+    html_bad = str(tmp_path / "bad.html")
+    assert main(["quality", "--input", p_bad, "--html", html_bad,
+                 "--report", str(tmp_path / "bad.json")]) == 1
+    page_bad = open(html_bad, encoding="utf-8").read()
+    assert "FAILED" in page_bad and "✗ fail" in page_bad
+
+    # unreadable input → exit 2, page still written with the exception
+    html_err = str(tmp_path / "err.html")
+    assert main(["quality", "--input", str(tmp_path / "nope"),
+                 "--html", html_err]) == 2
+    page_err = open(html_err, encoding="utf-8").read()
+    assert "FAILED" in page_err and "exception" in page_err
+
+
+def test_render_validation_html_escapes_markup():
+    """Check names/values are user data — markup in them must not become
+    live HTML."""
+    from nahuatl_data_pipeline_spark.operators.quality import (
+        render_validation_html,
+    )
+
+    page = render_validation_html({
+        "suite": "<script>x</script>",
+        "success": True,
+        "statistics": {"evaluated_expectations": 1,
+                       "successful_expectations": 1,
+                       "success_percent": 100.0},
+        "results": [{"check": "a<b", "success": True,
+                     "observed_value": 1.0, "threshold": 1.0}],
+    })
+    assert "<script>" not in page and "&lt;script&gt;" in page
+    assert "a&lt;b" in page
+
+
 def test_cli_query_known_and_unknown(spark, capsys):
     assert main(["query", "q14_top_sources"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
