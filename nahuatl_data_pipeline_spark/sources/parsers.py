@@ -309,3 +309,146 @@ def pdf_rows(data: bytes, extract_fn=None, min_len: int = 10) -> list[dict]:
         if len(line) > min_len:
             out.append({"text": line, "source": "pdf", "verse_id": i})
     return out
+
+
+# --------------------------------------------------------------------------
+# Harvest-driver response parsers. The reference's two LLM harvest loops
+# interleave fetching (yt-dlp / Gemini calls, key rotation, worker pools)
+# with parsing; the fetch/batch/retry machinery is the engine's generic
+# operators/llm_stage.py (q48/q50), and these pure parsers are the
+# response→row mappings those loops apply, testable on committed fixtures
+# with no network.
+# --------------------------------------------------------------------------
+
+# youtube_harvester.py:131-144 — the structured-transcription contract the
+# harvester requests from the model (per-phrase JSON objects with these
+# exact keys; run_pipeline:173-189 writes them to JSONL with source_file).
+YOUTUBE_TRANSCRIPT_KEYS = (
+    "original_audio_text",
+    "detected_language",
+    "es_translation",
+    "nah_translation",
+)
+
+
+def youtube_transcript_rows(
+    payload: str | list | None, source_file: str
+) -> list[dict]:
+    """Model transcription response → harvest rows
+    (youtube_harvester.py:150-189): parse the JSON payload, keep only a
+    top-level LIST of objects (any other shape yields no rows, mirroring
+    the ``isinstance(data, list)`` gate), attach ``source_file`` to each
+    item. Rows keep whatever keys the model produced — downstream
+    ``legacy_coalesce`` handles the detected_language→nah/myn routing
+    (schemas.py:229-287), exactly as the reference feeds its JSONL into
+    ``Record.from_legacy_format``."""
+    import json as _json
+
+    if isinstance(payload, str):
+        try:
+            payload = _json.loads(payload)
+        except ValueError:
+            return []
+    if not isinstance(payload, list):
+        return []
+    out = []
+    for item in payload:
+        if not isinstance(item, dict):
+            continue
+        row = dict(item)
+        row["source_file"] = source_file
+        out.append(row)
+    return out
+
+
+# diamond_miner_v5.py:17-57 — per-language domain lists + row constants
+# (data parity with the reference's LANG_CONFIG / mine_batch output shape).
+DIAMOND_DOMAINS = {
+    "nah": [
+        "Medicina: Diagnóstico de diabetes y síntomas (Nahuatl)",
+        "Legal: Derechos constitucionales en comunidades indígenas",
+        "Cultura: Filosofía de la dualidad (Ometeotl)",
+        "Dialecto: Variantes de la Huasteca Hidalguense",
+        "Gramática: Uso del reverencial (-tzin)",
+        "Vida Diaria: Mercado y regateo",
+    ],
+    "myn": [
+        "Meliponicultura: Abejas Xunaan Kab y floración",
+        "Geología: Cenotes, suelo k'ankab y selva baja",
+        "Medicina Maya: J-Men, hierbabuena y ruda",
+        "Matemáticas: Sistema vigesimal y cuentas lunares",
+        "Gramática: Estructura VOS (Verbo-Objeto-Sujeto)",
+        "Vida Diaria: Vaquería y jarana",
+    ],
+}
+
+
+def diamond_worker_lang(worker_id: int) -> str:
+    """Worker→language interleave (diamond_miner_v5.py:110): even ids
+    mine Náhuatl, odd ids Maya."""
+    return "nah" if worker_id % 2 == 0 else "myn"
+
+
+def parse_teacher_seed(text: str | None) -> tuple[str, str] | None:
+    """Teacher (seed) response: ``SPANISH|TARGET`` pipe format
+    (diamond_miner_v5.py:63-81) — strip, split on '|', need ≥2 parts,
+    first two win; anything else is a discarded batch (None)."""
+    if not text:
+        return None
+    parts = text.strip().split("|")
+    if len(parts) >= 2:
+        return (parts[0], parts[1])
+    return None
+
+
+def parse_student_variations(payload: str | list | None) -> list[dict]:
+    """Student (variation) response: JSON array of ``{"es", "target"}``
+    objects (diamond_miner_v5.py:84-105); malformed JSON or a non-list
+    yields [] (the reference's except-return-[])."""
+    import json as _json
+
+    if isinstance(payload, str):
+        try:
+            payload = _json.loads(payload)
+        except ValueError:
+            return []
+    if not isinstance(payload, list):
+        return []
+    return [v for v in payload if isinstance(v, dict)]
+
+
+def diamond_rows(
+    lang: str,
+    domain: str,
+    teacher_text: str | None,
+    student_payload: str | list | None,
+) -> list[dict]:
+    """One mined batch → gold rows (diamond_miner_v5.py:108-148): the
+    stripped teacher seed (source Gemini-3-Pro, type seed_phd) followed
+    by every variation carrying BOTH ``es`` and ``target`` keys (source
+    Gemini-3-Flash, type augmentation). A failed teacher parse discards
+    the whole batch, variations included — the reference returns []
+    before ever calling the student."""
+    seed = parse_teacher_seed(teacher_text)
+    if seed is None:
+        return []
+    es_seed, target_seed = seed
+    rows = [{
+        "es": es_seed.strip(),
+        "target": target_seed.strip(),
+        "lang": lang,
+        "source": "Gemini-3-Pro",
+        "domain": domain,
+        "type": "seed_phd",
+    }]
+    for v in parse_student_variations(student_payload):
+        if "es" in v and "target" in v:
+            rows.append({
+                "es": v["es"],
+                "target": v["target"],
+                "lang": lang,
+                "source": "Gemini-3-Flash",
+                "domain": domain,
+                "type": "augmentation",
+            })
+    return rows

@@ -224,3 +224,115 @@ def test_http_verse_driver_offline_yields_fallback_sample(spark):
     assert len(rows) == len(BIBLE_FALLBACK_SAMPLE)
     assert all(r["layer"] == "bronze" and r["source_id"] == "s9" for r in rows)
     assert any("pehuallotl" in r["nah"] for r in rows)
+
+
+# --------------------------------------------------------------------------
+# Harvest-driver response parsers (youtube_harvester.py / diamond_miner_v5.py)
+# --------------------------------------------------------------------------
+
+_FIXTURES = __import__("pathlib").Path(__file__).parent / "fixtures"
+
+
+def test_youtube_transcript_rows_fixture():
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        YOUTUBE_TRANSCRIPT_KEYS,
+        youtube_transcript_rows,
+    )
+
+    payload = (_FIXTURES / "youtube_transcript_response.json").read_text(
+        encoding="utf-8"
+    )
+    rows = youtube_transcript_rows(payload, "abc123.mp3")
+    assert len(rows) == 3  # stray string item skipped
+    assert all(r["source_file"] == "abc123.mp3" for r in rows)
+    assert all(set(YOUTUBE_TRANSCRIPT_KEYS) <= set(r) for r in rows)
+    assert {r["detected_language"] for r in rows} == {"nah", "myn", "es"}
+
+
+def test_youtube_transcript_rows_rejects_non_list_shapes():
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        youtube_transcript_rows,
+    )
+
+    assert youtube_transcript_rows('{"not": "a list"}', "f.mp3") == []
+    assert youtube_transcript_rows("not json at all", "f.mp3") == []
+    assert youtube_transcript_rows(None, "f.mp3") == []
+
+
+def test_youtube_rows_route_through_legacy_coalesce(spark):
+    """The harvest JSONL feeds Record.from_legacy_format in the reference
+    (schemas.py:229-287): detected_language routes original_audio_text
+    into nah/myn, es comes from es_translation."""
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        youtube_transcript_rows,
+    )
+    from nahuatl_data_pipeline_spark.sources.readers import legacy_coalesce
+
+    payload = (_FIXTURES / "youtube_transcript_response.json").read_text(
+        encoding="utf-8"
+    )
+    rows = youtube_transcript_rows(payload, "vid.mp3")
+    df = spark.createDataFrame(
+        [tuple(r[k] for k in sorted(r)) for r in rows],
+        sorted(rows[0]),
+    )
+    got = legacy_coalesce(df).collect()
+    by_es = {r["es"]: r for r in got}
+    assert by_es["Hola, ¿cómo estás en este día?"]["nah"].startswith("Niltze")
+    assert by_es["¿Cómo estás, compañero?"]["myn"].startswith("Bix a beel")
+    assert all(r["origin_file"] == "vid.mp3" for r in got)
+
+
+def test_parse_teacher_seed_pipe_format():
+    from nahuatl_data_pipeline_spark.sources.parsers import parse_teacher_seed
+
+    assert parse_teacher_seed("Hola | Niltze") == ("Hola ", " Niltze")
+    assert parse_teacher_seed("  a|b|extra  ") == ("a", "b")
+    assert parse_teacher_seed("no pipe here") is None
+    assert parse_teacher_seed("") is None
+    assert parse_teacher_seed(None) is None
+
+
+def test_diamond_rows_fixture():
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        DIAMOND_DOMAINS,
+        diamond_rows,
+        diamond_worker_lang,
+    )
+
+    assert diamond_worker_lang(0) == "nah" and diamond_worker_lang(3) == "myn"
+    student = (_FIXTURES / "diamond_student_response.json").read_text(
+        encoding="utf-8"
+    )
+    domain = DIAMOND_DOMAINS["nah"][0]
+    rows = diamond_rows("nah", domain, " Frase médica | Tlahtolli pahtli ",
+                        student)
+    assert len(rows) == 3  # seed + 2 valid variations (2 dropped)
+    seed = rows[0]
+    assert seed["type"] == "seed_phd" and seed["source"] == "Gemini-3-Pro"
+    assert seed["es"] == "Frase médica" and seed["target"] == "Tlahtolli pahtli"
+    assert all(
+        r["type"] == "augmentation" and r["source"] == "Gemini-3-Flash"
+        for r in rows[1:]
+    )
+    assert all(r["lang"] == "nah" and r["domain"] == domain for r in rows)
+
+
+def test_diamond_rows_failed_teacher_discards_batch():
+    from nahuatl_data_pipeline_spark.sources.parsers import diamond_rows
+
+    assert diamond_rows("myn", "d", "no pipe", '[{"es":"x","target":"y"}]') == []
+    assert diamond_rows("myn", "d", None, "[]") == []
+
+
+def test_parse_student_variations_malformed():
+    from nahuatl_data_pipeline_spark.sources.parsers import (
+        parse_student_variations,
+    )
+
+    assert parse_student_variations("{bad json") == []
+    assert parse_student_variations('{"a": 1}') == []
+    assert parse_student_variations(None) == []
+    assert parse_student_variations('[{"es": "a", "target": "b"}, 7]') == [
+        {"es": "a", "target": "b"}
+    ]
