@@ -164,8 +164,12 @@ def path_ngrams(
     in a single sort pass), then a path-keyed aggregate whose width is
     ≤ |states|ⁿ — at 100 TB the second shuffle carries partial counts
     only. Rows whose window precedes the sequence start (any lag NULL)
-    are excluded; ``order_by`` must be a deterministic total order
-    (include a unique id as tiebreak)."""
+    are excluded, and a NULL ``state`` VALUE is treated the same way at
+    every position: a row whose current state is NULL emits no path
+    (symmetric with the same NULL later appearing as a lag — without
+    this, a nullable state column would both emit NULL-``sn`` paths AND
+    act as a sequence boundary). ``order_by`` must be a deterministic
+    total order (include a unique id as tiebreak)."""
     from pyspark.sql import Window
 
     if n < 2:
@@ -176,7 +180,7 @@ def path_ngrams(
     ] + [F.col(state).alias(f"s{n}")]
     out = df.select(*cols)
     cond = F.col("s1").isNotNull()
-    for i in range(2, n):
+    for i in range(2, n + 1):
         cond = cond & F.col(f"s{i}").isNotNull()
     return (
         out.filter(cond)

@@ -94,12 +94,22 @@ def run_curation_pipeline(
         )
         # LEFT join: null-text docs carry no tokens and are absent from
         # the dedup output — they keep their null text and fail the C4
-        # gate downstream exactly as before
+        # gate downstream exactly as before. The rewrite substitutes
+        # cleaned text ONLY where spans were actually removed: the
+        # reassembly is array_join(' '), which would collapse newlines /
+        # tabs / runs of spaces in EVERY document, so untouched docs
+        # must keep their original bytes.
+        order = redacted.columns
         redacted = (
-            redacted.drop(text_col)
-            .join(cleaned, id_col, "left")
-            .withColumn(text_col, F.col("__cleaned"))
+            redacted.join(cleaned, id_col, "left")
+            .withColumn(
+                text_col,
+                F.when(
+                    F.col("__sub_removed") > 0, F.col("__cleaned")
+                ).otherwise(F.col(text_col)),
+            )
             .drop("__cleaned")
+            .select(*order, "__sub_removed")
         )
     else:
         redacted = redacted.withColumn("__sub_removed", F.lit(0))

@@ -629,7 +629,8 @@ _Q130_SQL = """
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT s1, s2, event_type AS s3, CAST(COUNT(*) AS BIGINT) AS n_paths
-    FROM o WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+    FROM o
+    WHERE s1 IS NOT NULL AND s2 IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2, 3
 """
 

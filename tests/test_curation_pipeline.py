@@ -107,3 +107,31 @@ def test_curation_pipeline_substring_dedup_off_by_default(spark, tmp_path):
     cfg = CurationConfig(min_words=10)
     stats = run_curation_pipeline(spark, _docs(spark), out, cfg=cfg)
     assert stats["substring_tokens_removed"] == 0
+
+
+def test_substring_stage_keeps_untouched_docs_byte_identical(spark, tmp_path):
+    """The reassembly is array_join(' '): only docs that actually had
+    spans removed may have their whitespace rewritten — a doc with zero
+    removed tokens must come out byte-for-byte unchanged (newlines,
+    tabs, double spaces intact)."""
+    boiler = "all rights reserved by the original publisher."
+    messy = (
+        "First line with  double space.\nSecond\tline has tabs. "
+        "Lanterns flickered over the quiet harbor while fishermen mended "
+        "their nets beneath a pale winter moon tonight."
+    )
+    rows = [
+        (1, boiler + " " + _PROSE + " one."),
+        (2, boiler + " " + _PROSE2 + " two."),  # boilerplate removed here
+        (3, messy),                              # untouched by the stage
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "gold_bytes")
+    cfg = CurationConfig(
+        min_words=10, jaccard_threshold=0.95, substring_dedup_n=4
+    )
+    stats = run_curation_pipeline(spark, docs, out, cfg=cfg)
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert stats["substring_tokens_removed"] == 7
+    assert kept[3] == messy  # byte-identical: \n, \t, double space kept
+    assert "\n" in kept[3] and "  " in kept[3]

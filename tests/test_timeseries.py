@@ -177,6 +177,25 @@ def test_path_ngrams_hand_sequence(spark):
     assert out == {("A", "B", "A"): 2, ("B", "A", "B"): 1}
 
 
+def test_path_ngrams_null_state_symmetric(spark):
+    """A NULL state value emits no path at ANY position: it neither
+    appears as sn nor as a lag — symmetric boundary handling for
+    nullable state columns."""
+    from nahuatl_data_pipeline_spark.operators.timeseries import path_ngrams
+
+    # user 1: A B NULL C D -> only trigram fully inside non-null runs
+    # would be (NULL,C,D)/(B,NULL,C)/(A,B,NULL): all excluded; no
+    # 3-run of consecutive non-null states exists except none.
+    rows = [(1, 0, "A"), (1, 1, "B"), (1, 2, None), (1, 3, "C"), (1, 4, "D"),
+            (2, 0, "X"), (2, 1, "Y"), (2, 2, "Z")]
+    df = spark.createDataFrame(rows, "u long, seq long, s string")
+    out = {
+        (r["s1"], r["s2"], r["s3"]): r["n_paths"]
+        for r in path_ngrams(df, "u", "s", ["seq"], n=3).collect()
+    }
+    assert out == {("X", "Y", "Z"): 1}
+
+
 def test_path_ngrams_n2_equals_transition_counts(spark):
     from nahuatl_data_pipeline_spark.operators.timeseries import (
         path_ngrams,
