@@ -43,6 +43,8 @@ _BNLJ_OK = {
     "q127_length_rule_kappa",  # 1-row marginal product onto 1-row diag
     "q128_bootstrap_mean_ci",  # 1-row CI stats onto the 1-row base agg
     "q132_weighted_median_price",  # 1-row quantile-cuts broadcast (bands)
+    "q138_dsir_importance",  # 1-row corpus totals broadcast crossJoin
+    "q139_margin_topk",  # broadcast query side, non-equi (q24's shape)
 }
 
 
