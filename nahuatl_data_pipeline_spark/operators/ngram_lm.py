@@ -92,3 +92,78 @@ def bigram_logprob(
         F.round(F.avg("__lp"), round_to).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    alpha: float = 0.1,
+    tail_keep_pct: int = 30,
+    bands: int = 32,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus's own bigram LM, split each language
+    into head / middle / tail TERTILES by score (head = most fluent),
+    and keep head+middle outright while down-sampling the tail to
+    ``tail_keep_pct`` percent by a deterministic hash draw — the
+    published recipe for perplexity-stratified corpus selection,
+    without a model file.
+
+    Scale shape: scoring is ``bigram_logprob`` (linear, windowed
+    counts); the tertile CUTS come from the banded distributed prefix
+    sum (``anomaly.weighted_quantile`` with unit weights) — NOT a
+    per-language ntile window, which would sort each language's whole
+    corpus inside single tasks (q132's measured 100× cliff). Cuts are
+    one row per language and ride broadcast hash joins; the hash draw
+    is O(1)/row. Ties sit entirely on one side of each cut (cuts are
+    values, not row ranks), so equal scores never split buckets.
+
+    Returns one row per scored doc: ``(id, group, avg_logprob, bucket,
+    kept)``; bucket ∈ head/middle/tail, ``kept`` is the selection bit.
+    Cut comparisons happen on the ROUNDED scores bigram_logprob emits,
+    so bucket assignment is decimal-exact cross-engine."""
+    from nahuatl_data_pipeline_spark.functions.hashing import hash64
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        weighted_quantile,
+    )
+
+    scored = (
+        bigram_logprob(docs, id_col, text_col, alpha=alpha)
+        .join(docs.select(id_col, group_col), id_col)
+        .withColumn("__one", F.lit(1))
+    )
+    cuts = (
+        weighted_quantile(
+            scored, [group_col], "avg_logprob", "__one",
+            q=1.0 / 3.0, tiebreak=[id_col], bands=bands,
+        )
+        .select(group_col, F.col("wq").alias("__c1"))
+        .join(
+            weighted_quantile(
+                scored, [group_col], "avg_logprob", "__one",
+                q=2.0 / 3.0, tiebreak=[id_col], bands=bands,
+            ).select(group_col, F.col("wq").alias("__c2")),
+            group_col,
+        )
+    )
+    s = F.col("avg_logprob")
+    bucket = (
+        F.when(s <= F.col("__c1"), F.lit("tail"))
+        .when(s <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    draw = hash64(F.col(id_col).cast("string")) % 100
+    return (
+        scored.join(F.broadcast(cuts), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            s,
+            bucket.alias("bucket"),
+            (
+                (s > F.col("__c1")) | (draw < F.lit(tail_keep_pct))
+            ).alias("kept"),
+        )
+    )

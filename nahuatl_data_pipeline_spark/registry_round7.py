@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nahuatl_data_pipeline_spark.functions.text_analysis import (
+    BPE_ISH_PATTERN,
+)
 from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.registry_round6b import (
+    _Q109_SQL as _Q109_ORACLE,
+)
 from nahuatl_data_pipeline_spark.schemas import load_table
 
 # ---------------------------------------------------------------------------
@@ -133,3 +139,192 @@ def q139_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_topk(
         emb.filter(F.col("vec_id") < 10), emb, k_margin=4, k=5
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q140: SemDeDup-style semantic dedup over SRP cells
+# ---------------------------------------------------------------------------
+
+_Q140_SQL = """
+    WITH signs AS (
+      SELECT j,
+             LIST(CASE WHEN CAST('0x' || SUBSTRING(
+                          MD5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                          1, 15) AS BIGINT) % 2147483647 % 2 = 0
+                       THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+      FROM range(0, 8) t1(j), range(0, 64) t2(d)
+      GROUP BY j
+    ),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(
+                             CAST(e.embedding AS DOUBLE[]), s.sv) > 0
+                           THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
+      FROM embeddings e CROSS JOIN signs s
+      WHERE e.embedding IS NOT NULL AND LEN(e.embedding) = 64
+      GROUP BY e.vec_id, e.embedding
+    ),
+    k AS (SELECT cell, MIN(vec_id) AS keeper_id FROM b GROUP BY cell),
+    kv AS (
+      SELECT k.cell, k.keeper_id, b2.embedding AS kemb
+      FROM k JOIN b b2 ON b2.vec_id = k.keeper_id
+    )
+    SELECT b.vec_id, b.cell, kv.keeper_id,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(kv.kemb AS DOUBLE[])), 4)
+             AS cosine,
+           (b.vec_id = kv.keeper_id
+            OR ROUND(LIST_COSINE_SIMILARITY(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(kv.kemb AS DOUBLE[])), 4)
+               < 0.7) AS kept
+    FROM b JOIN kv ON b.cell = kv.cell
+"""
+
+
+@register("q140_semantic_dedup", _Q140_SQL)
+def q140_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) re-expressed over deterministic
+    sign-random-projection cells: one min-id representative per cell,
+    members dropped when cosine-to-representative ≥ 0.7
+    (operators/semantic_dedup.py — celling is a shuffle-free
+    projection; scoring is |members| cosines, never |members|²)."""
+    from nahuatl_data_pipeline_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_bits=8, dim=64, tau=0.7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141: CCNet-style perplexity head/middle/tail bucketing
+# ---------------------------------------------------------------------------
+
+_Q141_SQL = """
+    WITH scored AS (SELECT * FROM ({q109})),
+    langd AS (
+      SELECT s.doc_id, d.lang, s.avg_logprob
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    cum AS (
+      SELECT *,
+             SUM(1.0) OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER (PARTITION BY lang) AS tot
+      FROM langd
+    ),
+    cuts AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (1.0/3.0) * tot THEN avg_logprob END) AS c1,
+             MIN(CASE WHEN cum >= (2.0/3.0) * tot THEN avg_logprob END) AS c2
+      FROM cum GROUP BY lang
+    )
+    SELECT l.doc_id, l.lang, l.avg_logprob,
+           CASE WHEN l.avg_logprob <= c.c1 THEN 'tail'
+                WHEN l.avg_logprob <= c.c2 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           (l.avg_logprob > c.c1
+            OR CAST('0x' || SUBSTRING(MD5(CAST(l.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2147483647 % 100 < 30) AS kept
+    FROM langd l JOIN cuts c USING (lang)
+"""
+
+
+@register(
+    "q141_perplexity_buckets",
+    _Q141_SQL.replace("{q109}", _Q109_ORACLE),
+)
+def q141_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity stratification (Wenzek et al. 2020): per-lang
+    head/middle/tail score tertiles under the self-trained bigram LM,
+    tail hash-sampled at 30% (operators/ngram_lm.perplexity_buckets —
+    cuts via the banded prefix sum, no per-lang global sort)."""
+    from nahuatl_data_pipeline_spark.operators.ngram_lm import (
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return perplexity_buckets(
+        docs, "doc_id", "text", "lang", alpha=0.1, tail_keep_pct=30
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142: tokenizer fertility / bytes-per-token profile
+# ---------------------------------------------------------------------------
+
+_Q142_SQL = """
+    WITH a AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(LENGTH(text)), 0) AS BIGINT) AS total_chars,
+             CAST(COALESCE(SUM(STRLEN(text)), 0) AS BIGINT) AS total_bytes,
+             CAST(COALESCE(SUM(LEN(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), t -> t <> ''))), 0)
+               AS BIGINT) AS ws_tokens,
+             CAST(COALESCE(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{bpe}'))), 0)
+               AS BIGINT) AS bpe_tokens
+      FROM documents
+      GROUP BY source
+    )
+    SELECT source, n_docs, total_chars, total_bytes, ws_tokens, bpe_tokens,
+           CASE WHEN bpe_tokens > 0
+                THEN ROUND(total_bytes / bpe_tokens, 4) END
+             AS bytes_per_bpe_token,
+           CASE WHEN ws_tokens > 0
+                THEN ROUND(bpe_tokens / ws_tokens, 4) END AS fertility,
+           CASE WHEN ws_tokens > 0
+                THEN ROUND(total_chars / ws_tokens, 4) END
+             AS chars_per_ws_token
+    FROM a
+"""
+
+
+@register(
+    "q142_tokenizer_fertility",
+    _Q142_SQL.replace("{bpe}", BPE_ISH_PATTERN),
+)
+def q142_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility profile per source: bytes/chars/whitespace
+    tokens/BPE-ish subwords and their ratios — the shard-level
+    statistics that size a training run's token budget (fertility =
+    subwords per word, Ács 2019 terminology). One map-side-combined
+    aggregate over a pruned 2-column scan."""
+    from nahuatl_data_pipeline_spark.functions.text_analysis import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0))
+        .cast("long").alias("total_chars"),
+        F.coalesce(F.sum(F.octet_length("text")), F.lit(0))
+        .cast("long").alias("total_bytes"),
+        F.coalesce(F.sum(token_count("text")), F.lit(0))
+        .cast("long").alias("ws_tokens"),
+        F.coalesce(F.sum(bpe_ish_token_count("text")), F.lit(0))
+        .cast("long").alias("bpe_tokens"),
+    )
+    return agg.select(
+        "source", "n_docs", "total_chars", "total_bytes",
+        "ws_tokens", "bpe_tokens",
+        F.when(
+            F.col("bpe_tokens") > 0,
+            F.round(F.col("total_bytes") / F.col("bpe_tokens"), 4),
+        ).alias("bytes_per_bpe_token"),
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 4),
+        ).alias("fertility"),
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(F.col("total_chars") / F.col("ws_tokens"), 4),
+        ).alias("chars_per_ws_token"),
+    )

@@ -45,6 +45,7 @@ _BNLJ_OK = {
     "q132_weighted_median_price",  # 1-row quantile-cuts broadcast (bands)
     "q138_dsir_importance",  # 1-row corpus totals broadcast crossJoin
     "q139_margin_topk",  # broadcast query side, non-equi (q24's shape)
+    "q141_perplexity_buckets",  # q109's 1-row vocab + band-cuts broadcasts
 }
 
 
