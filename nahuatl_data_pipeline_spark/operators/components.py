@@ -110,8 +110,18 @@ def connected_components(
         # near-clique assumption allows. Contract it with the O(log n)
         # formulation instead of failing; ``sym`` is checkpointed, so
         # the expensive upstream pair computation is NOT re-run.
-        return connected_components_star(sym, src="s", dst="d").select(
+        star = connected_components_star(sym, src="s", dst="d").select(
             "id", F.col("component").alias("comp")
+        )
+        # the contraction drops self-loop edges on entry, so a vertex
+        # appearing ONLY as (x, x) would vanish from the fallback output
+        # while the propagation path labels it — restore such vertices
+        # as their own singleton components to keep the one-row-per-
+        # vertex contract identical on both paths
+        return (
+            labels.select("id")
+            .join(star, "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
         )
     raise ValueError(
         f"connected_components did not converge in {max_iter} rounds; "

@@ -85,7 +85,13 @@ def dsir_log_weights(
     ).select((hash64("__g") % n_buckets).alias("__b"))
 
     doc_b = occ.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
-    raw_b = occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__ca"))
+    # roll raw-corpus bucket counts up from doc_b (Σ per-doc counts is
+    # the same integer), NOT from occ: an independent occ aggregate
+    # would replay the corpus-sized pandas-UDF n-gram explode — the
+    # operator's dominant cost — a second time per call
+    raw_b = doc_b.groupBy("__b").agg(
+        F.sum("__c").cast("long").alias("__ca")
+    )
     tgt_b = tocc.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     totals = raw_b.agg(F.sum("__ca").alias("__ta")).crossJoin(
         tgt_b.agg(F.sum("__ct").alias("__tt"))

@@ -107,24 +107,30 @@ def semantic_dedup(
 
     Rows with NULL or wrong-arity vectors carry no geometry and are
     excluded (same contract as the other embedding operators)."""
+    from pyspark.sql import Window
+
     base = df.select(F.col(id_col), F.col(vec_col)).where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     )
-    cells = base.withColumn("cell", srp_cell(vec_col, n_bits, dim))
-    keepers = cells.groupBy("cell").agg(F.min(id_col).alias("keeper_id"))
-    # one row per non-empty cell, re-armed with the keeper's vector —
-    # keyed joins throughout (no broadcast assumption: at 2^20 cells
-    # this is corpus-co-partitioned work, and AQE may still elect a
-    # broadcast when it fits)
-    kvec = keepers.join(
-        cells.select(
-            F.col(id_col).alias("keeper_id"), F.col(vec_col).alias("__kv")
-        ),
+    # keeper id via a window min over the cell — the SRP projection is
+    # evaluated in ONE subtree (a groupBy(cell)+join-back formulation
+    # would replay the 512-multiply fold per consumer), and the window
+    # is the same single shuffle the groupBy would cost
+    withk = base.withColumn("cell", srp_cell(vec_col, n_bits, dim)).withColumn(
         "keeper_id",
+        F.min(id_col).over(Window.partitionBy("cell")),
+    )
+    # the keeper's vector comes from a fresh column-pruned re-scan of
+    # the SOURCE (no SRP recompute), keyed-joined on keeper_id — one
+    # row per member; no broadcast assumption (at 2^20 cells this is
+    # corpus-co-partitioned work, and AQE may still elect a broadcast
+    # when it fits)
+    kvec = base.select(
+        F.col(id_col).alias("keeper_id"), F.col(vec_col).alias("__kv")
     )
     cos = F.round(cosine_cols(F.col(vec_col), F.col("__kv")), round_to)
     return (
-        cells.join(kvec, "cell")
+        withk.join(kvec, "keeper_id")
         .select(
             F.col(id_col),
             F.col("cell"),

@@ -574,6 +574,7 @@ def margin_topk(
     k_margin: int = 4,
     k: int = 5,
     round_to: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Margin-based neighbor scoring (Artetxe & Schwenk, "Margin-based
     Parallel Corpus Mining with Multilingual Sentence Embeddings",
@@ -588,6 +589,12 @@ def margin_topk(
     neighbors per query by margin (``query_id, neighbor_id, cosine,
     margin, rank``; rounded scores + id tiebreaks → engine-identical
     ordering).
+
+    ``exclude_self`` drops pairs whose ids are EQUAL — right for
+    self-search (queries ⊆ corpus, the q139 shape), wrong for true
+    cross-corpus mining where two unrelated tables can reuse the same
+    id space: pass ``exclude_self=False`` there so an (es_5, nah_5)
+    true pair is not silently lost (``cosine_topk`` contract).
 
     Plan: the query side is broadcast (bounded search-request set, the
     q24 contract), so the scored pair table is built with the corpus
@@ -606,8 +613,13 @@ def margin_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     release_similarity_caches()
-    scored = (
+    paired = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        if exclude_self
+        else c.crossJoin(F.broadcast(q))
+    )
+    scored = (
+        paired
         .select(
             "query_id",
             "neighbor_id",
