@@ -86,3 +86,46 @@ def profile_table(
         "max_val",
         "mean_val",
     )
+
+
+def power_law_alpha(
+    counts: DataFrame,
+    count_col: str,
+    xmin: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Power-law (Zipf) exponent of a frequency table by the Clauset–
+    Shalizi–Newman discrete MLE approximation (SIAM Review 51(4), 2009,
+    eq. 3.7): over items with frequency ``x ≥ xmin``,
+
+        α ≈ 1 + n · [ Σ ln( x_i / (xmin − ½) ) ]⁻¹
+
+    Corpus-health diagnostic for training data: natural text keeps its
+    type/shingle frequencies near Zipfian (α ≈ 2); boilerplate floods,
+    template spam, or aggressive dedup show up as α drifting away long
+    before eyeballing samples would catch it — a one-row monitor per
+    snapshot next to q83/q113's drift checks.
+
+    Input is any (item, count) table — term counts, shingle document
+    frequencies, domain sizes — so the expensive tokenize/aggregate
+    stays in the caller's hands and is not replayed per diagnostic.
+    Output: one row ``(n_types, xmin, alpha)`` from a single map-side-
+    combined aggregate over the counts table; no sort, no collect.
+    """
+    if xmin < 2:
+        # xmin=1 puts ln(x/(xmin-0.5)) at ln(2x) > 0 for ALL x, but the
+        # continuous approximation is known-biased there; refuse the
+        # degenerate divide-by-zero region rather than guess.
+        raise ValueError(f"xmin must be >= 2, got {xmin}")
+    x = F.col(count_col).cast("double")
+    s = counts.where(x >= float(xmin)).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.log(x / (xmin - 0.5))).alias("__sl"),
+    )
+    return s.select(
+        F.col("n_types").cast("long").alias("n_types"),
+        F.lit(xmin).cast("long").alias("xmin"),
+        F.round(
+            F.lit(1.0) + F.col("n_types") / F.col("__sl"), round_to
+        ).alias("alpha"),
+    )

@@ -328,3 +328,277 @@ def q142_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_chars") / F.col("ws_tokens"), 4),
         ).alias("chars_per_ws_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143: nation trade-graph PageRank (domain-authority pattern)
+# ---------------------------------------------------------------------------
+
+_Q143_DAMP = 0.85
+_Q143_ITERS = 10
+
+
+def _q143_sql() -> str:
+    """Unrolled fixed-iteration PageRank: the oracle runs the SAME 10
+    synchronous rounds as the operator, one CTE per round — declarative
+    SQL needs no recursion when the iteration count is part of the
+    operator contract."""
+    head = """
+    WITH edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY cn.n_name, sn.n_name
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    trans AS (SELECT e.src, e.dst, e.w / o.ow AS p
+              FROM edges e JOIN outw o ON e.src = o.src),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, _Q143_ITERS + 1):
+        steps.append(
+            f""",
+    r{i} AS (
+      SELECT n.node,
+             (1 - {_Q143_DAMP}) / (SELECT n FROM nn)
+               + {_Q143_DAMP} * COALESCE(SUM(r.r * t.p), 0) AS r
+      FROM nodes n
+      LEFT JOIN trans t ON t.dst = n.node
+      LEFT JOIN r{i - 1} r ON r.node = t.src
+      GROUP BY n.node
+    )"""
+        )
+    tail = f"""
+    SELECT node AS nation, ROUND(r, 6) AS pagerank FROM r{_Q143_ITERS}
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q143_nation_trade_pagerank", _q143_sql())
+def q143_nation_trade_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted PageRank over the customer-nation -> supplier-nation
+    trade graph: the domain-authority pattern of web-corpus curation
+    (rank a contracted graph orders of magnitude smaller than the fact
+    table that induced it, use the score as a sampling prior). The
+    heavy part is the edge derivation — lineitem ⨝ orders shuffle join
+    riding AQE, tiny dims broadcast — contracted to a ≤|nations|² edge
+    list before any iteration; the 10 fixed rounds then run as
+    join+partial-agg on the contracted graph (operators/graph.py)."""
+    from nahuatl_data_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("__cnk"),
+                    F.col("n_name").alias("src"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("__cnk"),
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("__snk"),
+                    F.col("n_name").alias("dst"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("__snk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(
+        edges, "src", "dst", weight="w",
+        damping=_Q143_DAMP, iters=_Q143_ITERS,
+    ).select(F.col("node").alias("nation"), "pagerank")
+
+
+# ---------------------------------------------------------------------------
+# q144: Zipf power-law exponent over 3-gram shingle document frequencies
+# ---------------------------------------------------------------------------
+
+_Q144_XMIN = 5
+
+_Q144_SQL = rf"""
+    WITH tk AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                    i -> ARRAY_TO_STRING(tk[i:i+2], ' ')))) AS term
+      FROM tk WHERE LEN(tk) >= 3
+    ),
+    f AS (SELECT term, COUNT(*) AS c FROM sh GROUP BY term),
+    s AS (SELECT COUNT(*) AS n_types,
+                 SUM(LN(c / ({_Q144_XMIN} - 0.5))) AS sl
+          FROM f WHERE c >= {_Q144_XMIN})
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           CAST({_Q144_XMIN} AS BIGINT) AS xmin,
+           ROUND(1.0 + n_types / sl, 6) AS alpha
+    FROM s
+"""
+
+
+@register("q144_zipf_alpha", _Q144_SQL)
+def q144_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the corpus's 3-gram shingle document-
+    frequency distribution (Clauset-Shalizi-Newman MLE) — the one-row
+    corpus-health monitor: template spam or over-dedup moves alpha off
+    its natural-text value long before sampling would show it. Same
+    shingle space as q38/q108 (shared word_shingles kernel), one
+    term-keyed count + one map-side-combined 1-row fold
+    (operators/profile.py:power_law_alpha)."""
+    from nahuatl_data_pipeline_spark.functions.hashing import (
+        word_shingles,
+    )
+    from nahuatl_data_pipeline_spark.operators.profile import (
+        power_law_alpha,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(
+            F.explode(word_shingles("text", n=3)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return power_law_alpha(counts, "c", xmin=_Q144_XMIN)
+
+
+# ---------------------------------------------------------------------------
+# q145: best-quality representative per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def _q145_sql() -> str:
+    """q58's recursive-closure oracle + a longest-text representative
+    window — built lazily so the import order between registry modules
+    stays irrelevant."""
+    from nahuatl_data_pipeline_spark.registry import (
+        banded_pairs_oracle_sql,
+    )
+    from nahuatl_data_pipeline_spark.registry_ext import _Q58_BASE_SQL
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        {banded_pairs_oracle_sql(_Q58_BASE_SQL, threshold=0.5,
+                                 num_hashes=6, band_size=2)}
+      )
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT s AS id, s AS r FROM edges
+      UNION
+      SELECT e.d AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.s
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    lens AS (
+      SELECT doc_id, LENGTH(text) AS len FROM ({_Q58_BASE_SQL})
+    ),
+    ranked AS (
+      SELECT c.component, c.id, l.len,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY l.len DESC, c.id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN lens l ON l.doc_id = c.id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(id AS BIGINT) AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(len AS BIGINT) AS rep_chars
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("q145_cluster_best_rep", _q145_sql())
+def q145_cluster_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked cluster representatives: q58's transitive near-dup
+    clusters, but the kept document is the LONGEST member (doc_id
+    tiebreak), not the smallest id — production dedup keeps the best
+    copy, not the first crawled (the min-id canonical silently prefers
+    old snapshots). Adds one doc-keyed length join + one
+    component-keyed window on the cluster table — which is pair-graph-
+    sized, far smaller than the corpus."""
+    from pyspark.sql import Window
+
+    from nahuatl_data_pipeline_spark.operators.components import (
+        duplicate_clusters,
+    )
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        ngram_jaccard_pairs,
+    )
+    from nahuatl_data_pipeline_spark.registry_ext import _TAIL, _TAIL2
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+    )
+    v2 = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL2)).alias("text"),
+    )
+    corpus = docs.unionByName(v1).unionByName(v2)
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_n=3, jaccard_threshold=0.5
+    )
+    clusters = duplicate_clusters(pairs)
+    lens = corpus.select("doc_id", F.length("text").alias("rep_chars"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("rep_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(lens, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("rep_chars").cast("long").alias("rep_chars"),
+        )
+    )
