@@ -101,3 +101,75 @@ def chunk_documents(
             "chunk_id", "chunk"
         ),
     ).withColumn("chunk_n_chars", F.length("chunk"))
+
+
+def token_window_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-token-window document chunking with overlap — the
+    context-window splitter every pretraining/RAG pipeline runs before
+    packing or embedding: each document becomes ``ceil((n - overlap) /
+    stride)`` windows of ``chunk_tokens`` whitespace tokens starting
+    every ``stride = chunk_tokens - overlap`` tokens, the final window
+    keeping whatever remains. Complements ``chunk_text`` (sentence
+    packing by characters, the reference's F14 shape) and
+    ``operators/packing.py`` (cross-document concat-and-chop): this is
+    the per-document token-aligned variant whose overlap preserves
+    context across boundaries.
+
+    Output: ``(id, chunk_idx, chunk_text, n_tokens)`` — one row per
+    window, token-less documents dropped (no window to emit). Chunk
+    text is the ``' '``-join of the window's tokens: intra-document
+    whitespace is normalized BY CONSTRUCTION (token-level windows have
+    no byte-faithful representation; callers needing original bytes
+    keep offsets instead).
+
+    Plan: pure JVM expressions end-to-end — tokenize once, an integer
+    window count, ``explode(sequence(...))`` + ``slice`` —  no Python
+    boundary, no shuffle at all (chunking is embarrassingly row-local;
+    the explode multiplies rows in place). At 100 TB this pipelines
+    inside whatever scan feeds it.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap} / {chunk_tokens}"
+        )
+    from nahuatl_data_pipeline_spark.functions.text_analysis import tokens
+
+    stride = chunk_tokens - overlap
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .withColumn("__n", F.size("__tk"))
+        .where(F.col("__n") >= 1)
+    )
+    # exact integer ceil((n - overlap) / stride), floored at 1 so every
+    # non-empty doc emits at least one window
+    k = F.greatest(
+        F.lit(1),
+        F.floor(
+            (F.col("__n") - F.lit(overlap) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int"),
+    )
+    start = F.col("chunk_idx") * stride
+    win = F.slice(F.col("__tk"), start + 1, chunk_tokens)
+    return (
+        base.withColumn("__k", k)
+        .select(
+            id_col,
+            "__tk",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__k") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(win, " ").alias("chunk_text"),
+            F.size(win).cast("long").alias("n_tokens"),
+        )
+    )

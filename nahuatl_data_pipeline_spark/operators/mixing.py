@@ -361,3 +361,74 @@ def budget_select(
         .where(F.col("cum_weight") <= F.lit(float(budget)))
         .drop("__w", "__s", "__cuts", "__band", "__in_band_cum", "__prefix")
     )
+
+
+def water_fill(
+    avail: DataFrame,
+    key_col: str,
+    avail_col: str,
+    budget: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: find the
+    level ``c`` with ``Σ min(avail_i, c) = budget`` and give every
+    source ``min(avail_i, c)`` — the max-min-fair split of a training
+    budget (sources below the level keep everything, the rest are
+    leveled), the principled version of "cap every domain at N tokens"
+    (the cap falls out of the budget instead of being hand-picked).
+
+    Closed form, no iteration: sort sources by availability ascending;
+    source ``i`` is fully funded iff funding all smaller sources fully
+    and everyone else at ``avail_i`` still fits the budget
+    (``avail_i·(m−i+1) + prefix_{i−1} ≤ budget`` — monotone in ``i``),
+    then ``c = (budget − Σ_funded) / (m − K)``. The comparison runs on
+    exact integers (pass an integral ``budget``), so the funded set is
+    reproducible bit-for-bit in any SQL engine; only the final level
+    division is float (rounded).
+
+    Input is the already-contracted per-source table (one row per
+    source — the caller's big aggregate), so the global sort window
+    here orders dozens of rows, not the corpus. Output: ``(key,
+    avail, alloc)``; ``Σ alloc = budget`` up to the level rounding
+    whenever ``budget ≤ Σ avail``, else ``alloc = avail`` everywhere.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    a = F.col(avail_col).cast("long")
+    w = Window.orderBy(a.asc(), F.col(key_col).asc())
+    whole = Window.partitionBy(F.lit(1))
+    b = F.lit(int(budget)).cast("long")
+    ranked = avail.select(
+        F.col(key_col),
+        a.alias("__a"),
+        F.row_number().over(w).alias("__i"),
+        F.sum(a).over(w).alias("__p"),  # inclusive prefix sum
+    ).withColumn("__m", F.count(F.lit(1)).over(whole))
+    funded = ranked.withColumn(
+        "__full",
+        (
+            F.col("__a") * (F.col("__m") - F.col("__i") + 1)
+            + (F.col("__p") - F.col("__a"))
+        )
+        <= b,
+    )
+    lvl = funded.withColumn(
+        "__k", F.sum(F.col("__full").cast("long")).over(whole)
+    ).withColumn(
+        "__pk",
+        F.coalesce(
+            F.sum(F.when(F.col("__full"), F.col("__a"))).over(whole),
+            F.lit(0).cast("long"),
+        ),
+    )
+    c = (b - F.col("__pk")) / (F.col("__m") - F.col("__k"))
+    return lvl.select(
+        F.col(key_col),
+        F.col("__a").alias("avail"),
+        F.round(
+            F.when(F.col("__full"), F.col("__a").cast("double")).otherwise(c),
+            round_to,
+        ).alias("alloc"),
+    )

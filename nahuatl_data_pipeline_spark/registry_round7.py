@@ -602,3 +602,134 @@ def q145_cluster_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep_chars").cast("long").alias("rep_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q146: fixed-token-window chunking with overlap (context-window splitter)
+# ---------------------------------------------------------------------------
+
+_Q146_CHUNK = 32
+_Q146_OVERLAP = 8
+_Q146_STRIDE = _Q146_CHUNK - _Q146_OVERLAP
+
+_Q146_SQL = rf"""
+    WITH tk AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, tk, LEN(tk) AS n FROM tk WHERE LEN(tk) >= 1
+    ),
+    k AS (
+      SELECT doc_id, tk, n,
+             GREATEST(1, (n - {_Q146_OVERLAP} + {_Q146_STRIDE} - 1)
+                         // {_Q146_STRIDE}) AS k
+      FROM b
+    ),
+    c AS (
+      SELECT doc_id, tk, n, UNNEST(RANGE(0, k)) AS chunk_idx FROM k
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           ARRAY_TO_STRING(
+             tk[chunk_idx * {_Q146_STRIDE} + 1 :
+                chunk_idx * {_Q146_STRIDE} + {_Q146_CHUNK}], ' ')
+             AS chunk_text,
+           CAST(LEAST({_Q146_CHUNK}, n - chunk_idx * {_Q146_STRIDE})
+             AS BIGINT) AS n_tokens
+    FROM c
+"""
+
+
+@register("q146_token_window_chunks", _Q146_SQL)
+def q146_token_window_chunks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Context-window chunking: every document split into 32-token
+    windows starting every 24 tokens (8-token overlap preserves
+    context across boundaries) — the pre-packing/pre-embedding splitter
+    of every pretraining/RAG pipeline. Pure JVM expressions, zero
+    shuffle (functions/segmentation.py:token_window_chunks)."""
+    from nahuatl_data_pipeline_spark.functions.segmentation import (
+        token_window_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_window_chunks(
+        docs, "doc_id", "text",
+        chunk_tokens=_Q146_CHUNK, overlap=_Q146_OVERLAP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q147: water-filling token-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+_Q147_FRAC = 0.7
+
+_Q147_SQL = rf"""
+    WITH av AS (
+      SELECT lang,
+             CAST(SUM(LEN(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), t -> t <> '')))
+               AS BIGINT) AS avail
+      FROM documents
+      GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, avail,
+             ROW_NUMBER() OVER (ORDER BY avail ASC, lang ASC) AS i,
+             SUM(avail) OVER (ORDER BY avail ASC, lang ASC) AS p,
+             COUNT(*) OVER () AS m,
+             (SELECT CAST(FLOOR({_Q147_FRAC} * SUM(avail)) AS BIGINT)
+              FROM av) AS b
+      FROM av
+    ),
+    f AS (
+      SELECT *,
+             (avail * (m - i + 1) + (p - avail)) <= b AS is_full
+      FROM r
+    ),
+    l AS (
+      SELECT *,
+             SUM(CASE WHEN is_full THEN 1 ELSE 0 END) OVER () AS k,
+             COALESCE(SUM(CASE WHEN is_full THEN avail END) OVER (), 0)
+               AS pk
+      FROM f
+    )
+    SELECT lang,
+           CAST(avail AS BIGINT) AS avail,
+           ROUND(CASE WHEN is_full THEN CAST(avail AS DOUBLE)
+                 ELSE (b - pk) / CAST(m - k AS DOUBLE) END, 4) AS alloc
+    FROM l
+"""
+
+
+@register("q147_water_fill_budget", _Q147_SQL)
+def q147_water_fill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair training-budget allocation: per-language whitespace-
+    token availability (one map-side-combined aggregate over the
+    corpus), then the closed-form water-filling level at a 70%% total
+    budget — low-resource languages below the level keep everything,
+    the dominant ones are leveled (operators/mixing.py:water_fill; the
+    multilingual up-weighting every LLM data mix performs). The level
+    comparison runs on exact integers, so the funded set is engine-
+    reproducible; the budget scalar is one bounded 1-row collect (the
+    components.py bounded-scalar precedent)."""
+    from nahuatl_data_pipeline_spark.functions.text_analysis import (
+        token_count,
+    )
+    from nahuatl_data_pipeline_spark.operators.mixing import water_fill
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    av = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("avail")
+    )
+    total = av.agg(F.sum("avail").alias("t")).collect()[0]["t"]
+    return water_fill(
+        av, "lang", "avail", budget=int(_Q147_FRAC * total)
+    ).select(
+        "lang", F.col("avail").cast("long").alias("avail"), "alloc"
+    )
