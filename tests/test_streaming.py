@@ -268,3 +268,33 @@ def test_minwise_accumulator_stream_equals_one_batch(spark, tmp_path):
     est = minwise_overlap(sk, sk, k=16).collect()[0]
     assert est["est_jaccard"] == 1.0
     assert 0.3 * 37 <= est["est_a"] <= 3 * 37  # k=16: loose belt
+
+
+def test_token_window_chunks_composes_with_streams(spark, tmp_path):
+    """token_window_chunks is a stateless row-local explode, so the SAME
+    operator runs unchanged on a readStream — the streaming shape of a
+    chunk-as-you-ingest pipeline."""
+    from nahuatl_data_pipeline_spark.functions.segmentation import (
+        token_window_chunks,
+    )
+    from nahuatl_data_pipeline_spark.streaming.incremental import (
+        run_stream_to_memory,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    schema = "doc_id long, text string"
+
+    def chunk(df):
+        return token_window_chunks(df, "doc_id", "text", 4, 1)
+
+    batch = sorted(
+        map(tuple, chunk(spark.read.schema(schema).parquet(path)).collect())
+    )
+    stream = chunk(spark.readStream.schema(schema).parquet(path))
+    run_stream_to_memory(stream, "chunk_stream", output_mode="append")
+    got = sorted(map(tuple, spark.table("chunk_stream").collect()))
+    assert got == batch and len(got) == 4
