@@ -87,6 +87,10 @@ def pagerank(
     )
     trans = trans.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty edge list -> no vertices; keep the output contract
+        # (node, pagerank double) instead of dividing by zero
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("__r", F.lit(1.0 / n))
     for i in range(iters):

@@ -727,7 +727,7 @@ def q147_water_fill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     av = docs.groupBy("lang").agg(
         F.sum(token_count("text")).cast("long").alias("avail")
     )
-    total = av.agg(F.sum("avail").alias("t")).collect()[0]["t"]
+    total = av.agg(F.sum("avail").alias("t")).collect()[0]["t"] or 0
     return water_fill(
         av, "lang", "avail", budget=int(_Q147_FRAC * total)
     ).select(

@@ -137,3 +137,10 @@ def test_pagerank_partitioning_invariance(spark):
     assert _ranks(pagerank(df1, weight="w")) == _ranks(
         pagerank(df8, weight="w")
     )
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(df)
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0
