@@ -432,3 +432,62 @@ def water_fill(
             round_to,
         ).alias("alloc"),
     )
+
+
+def match_distribution(
+    df: DataFrame,
+    strata_col: str,
+    ref: DataFrame,
+    key: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Maximal subsample of ``df`` whose ``strata_col`` distribution
+    matches ``ref``'s — histogram matching for corpus mixing: make the
+    new crawl's length/language/domain profile match last snapshot's
+    before concatenating, so a shifted source can't silently tilt the
+    training mix.
+
+    Per-stratum keep rate ``r_b = R_b / max_b R_b`` with ``R_b =
+    ref_frac_b / corpus_frac_b`` — the unique scaling that yields the
+    LARGEST subsample with exactly the reference proportions (the
+    binding stratum keeps everything, every other stratum is thinned
+    to match). Strata absent from ``ref`` get rate 0; strata present
+    only in ``ref`` simply cannot appear (no rows to keep). Keep/drop
+    is the shared content-hash draw (``sample_bucket``), so the kept
+    set is reproducible across runs, partitionings, and engines, and
+    composes with the other mixing operators' determinism.
+
+    Plan: two stratum-keyed counts (map-side combined), rate algebra on
+    the |strata|-bounded table (window max — runs on dozens of rows),
+    rates broadcast-joined back onto ``df`` (bounded side, the eval-
+    side-broadcast precedent), then a zero-shuffle hash filter. The
+    corpus never shuffles.
+    """
+    from pyspark.sql import Window
+
+    corp = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__nc"))
+    tgt = ref.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__nt"))
+    both = corp.join(tgt, strata_col, "left").select(
+        strata_col,
+        "__nc",
+        F.coalesce("__nt", F.lit(0)).alias("__nt"),
+    )
+    whole = Window.partitionBy(F.lit(1))
+    # R_b written exactly as the SQL oracle computes it so the doubles
+    # are bit-identical: (nt * Nc) / (Nt * nc), all factors exact ints
+    rated = (
+        both.withColumn("__tc", F.sum("__nc").over(whole))
+        .withColumn("__tt", F.sum("__nt").over(whole))
+        .withColumn(
+            "__ratio",
+            (F.col("__nt").cast("double") * F.col("__tc"))
+            / (F.col("__tt").cast("double") * F.col("__nc")),
+        )
+        .withColumn(
+            "rate", F.col("__ratio") / F.max("__ratio").over(whole)
+        )
+        .select(strata_col, "rate")
+    )
+    return df.join(F.broadcast(rated), strata_col).filter(
+        sample_bucket(F.col(key), seed) < F.col("rate")
+    )

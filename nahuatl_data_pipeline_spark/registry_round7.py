@@ -733,3 +733,73 @@ def q147_water_fill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", F.col("avail").cast("long").alias("avail"), "alloc"
     )
+
+
+# ---------------------------------------------------------------------------
+# q148: histogram-matched resampling (match corpus lengths to a reference)
+# ---------------------------------------------------------------------------
+
+_Q148_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             LEAST(LEN(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+               t -> t <> '')) // 16, 8) AS b
+      FROM documents
+    ),
+    corp AS (SELECT b, COUNT(*) AS nc FROM tok GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS nt FROM tok WHERE lang = 'en'
+            GROUP BY b),
+    j AS (
+      SELECT c.b, c.nc, COALESCE(t.nt, 0) AS nt
+      FROM corp c LEFT JOIN tgt t ON c.b = t.b
+    ),
+    r AS (
+      SELECT b,
+             (CAST(nt AS DOUBLE) * SUM(nc) OVER ())
+               / (CAST(SUM(nt) OVER () AS DOUBLE) * nc) AS ratio
+      FROM j
+    ),
+    rated AS (SELECT b, ratio / MAX(ratio) OVER () AS rate FROM r)
+    SELECT tok.doc_id, CAST(tok.b AS BIGINT) AS length_bucket
+    FROM tok JOIN rated ON tok.b = rated.b
+    WHERE CAST(('0x' || SUBSTRING(MD5('42:' || CAST(tok.doc_id AS VARCHAR)),
+                1, 8)) AS BIGINT) / 4294967296.0 < rated.rate
+"""
+
+
+@register("q148_length_matched_resample", _Q148_SQL)
+def q148_length_matched_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram matching: the maximal subsample of the corpus whose
+    token-length distribution (16-token buckets, capped at 8) equals
+    the English subset's — the "make the new crawl's profile match the
+    reference snapshot" mixing step (operators/mixing.py:
+    match_distribution). Rate algebra runs on the ≤9-row bucket table;
+    membership is the shared content-hash draw, so the kept set is
+    engine-reproducible; the corpus itself never shuffles."""
+    from nahuatl_data_pipeline_spark.functions.text_analysis import (
+        token_count,
+    )
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        match_distribution,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.least(
+            F.floor(token_count("text") / 16), F.lit(8).cast("long")
+        ).alias("length_bucket"),
+    )
+    kept = match_distribution(
+        docs,
+        "length_bucket",
+        docs.filter(F.col("lang") == "en"),
+        key="doc_id",
+        seed=42,
+    )
+    return kept.select(
+        "doc_id", F.col("length_bucket").cast("long").alias("length_bucket")
+    )

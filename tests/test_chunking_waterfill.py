@@ -122,3 +122,52 @@ def test_water_fill_rejects_negative_budget(spark):
     df = spark.createDataFrame([("a", 1)], ["k", "a"])
     with pytest.raises(ValueError):
         water_fill(df, "k", "a", -1)
+
+
+def test_match_distribution_exact_proportions(spark):
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        match_distribution,
+    )
+
+    # corpus: 300 rows bucket A, 100 bucket B; reference: 1:1 ->
+    # A thinned to ~B's kept size, B (binding stratum) kept whole
+    rows = [(i, "A") for i in range(300)] + [(i + 1000, "B") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "b"])
+    ref = spark.createDataFrame(
+        [(0, "A"), (1, "B")], ["doc_id", "b"]
+    )
+    kept = match_distribution(df, "b", ref, key="doc_id").groupBy("b").count()
+    got = {r["b"]: r["count"] for r in kept.collect()}
+    assert got["B"] == 100  # binding stratum keeps everything
+    # A's keep rate is 1/3: hash draw keeps ~100 of 300 (binomial slack)
+    assert 70 <= got["A"] <= 130
+
+
+def test_match_distribution_absent_stratum_dropped(spark):
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        match_distribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "C")], ["doc_id", "b"]
+    )
+    ref = spark.createDataFrame([(9, "A")], ["doc_id", "b"])
+    kept = match_distribution(df, "b", ref, key="doc_id").collect()
+    assert all(r["b"] == "A" for r in kept)  # C absent from ref -> rate 0
+    assert len(kept) == 2  # A is the only (binding) stratum: rate 1
+
+
+def test_match_distribution_deterministic_across_partitions(spark):
+    from nahuatl_data_pipeline_spark.operators.mixing import (
+        match_distribution,
+    )
+
+    rows = [(i, "A" if i % 3 else "B") for i in range(200)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "b"])
+    df9 = df1.repartition(9)
+    ref = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B") for i in range(50)], ["doc_id", "b"]
+    )
+    k1 = sorted(r["doc_id"] for r in match_distribution(df1, "b", ref, "doc_id").collect())
+    k9 = sorted(r["doc_id"] for r in match_distribution(df9, "b", ref, "doc_id").collect())
+    assert k1 == k9 and len(k1) > 0
