@@ -803,3 +803,58 @@ def q148_length_matched_resample(
     return kept.select(
         "doc_id", F.col("length_bucket").cast("long").alias("length_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149: embedding covariance matrix (distributed Gram reduction)
+# ---------------------------------------------------------------------------
+
+_Q149_SQL = """
+    WITH v AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+    ),
+    x AS (
+      SELECT vec_id, e.pos, CAST(e.v AS DOUBLE) AS val
+      FROM (
+        SELECT vec_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                                     i -> {'pos': i - 1, 'v': embedding[i]}),
+                      recursive := true)
+        FROM v
+      ) e
+    ),
+    s AS (SELECT pos, SUM(val) AS sx, COUNT(*) AS n FROM x GROUP BY pos),
+    g AS (
+      SELECT a.pos AS i, b.pos AS j, SUM(a.val * b.val) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY a.pos, b.pos
+    )
+    SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+           ROUND((g.sxy - si.sx * sj.sx / si.n) / (si.n - 1), 6) + 0.0
+             AS cov
+    FROM g
+    JOIN s si ON si.pos = g.i
+    JOIN s sj ON sj.pos = g.j
+"""
+
+
+@register("q149_embedding_covariance", _Q149_SQL)
+def q149_embedding_covariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample covariance of the 64-d embedding store in long format
+    (upper triangle) — the statistic behind whitening, PCA drift and
+    Mahalanobis scoring. Distributed Gram reduction: one BLAS XᵀX per
+    Arrow batch inside mapInPandas (the d² pair-explode alternative is
+    2,080× row inflation), summed map-side into d(d+1)/2 cells; the
+    oracle computes the same triangle by quadratic pair join, feasible
+    at sf0.01 (operators/similarity.py:embedding_covariance).
+    whiten_embeddings builds on this driver-side (invariant-tested —
+    eigenvectors are not oracle-hashable)."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return embedding_covariance(emb, "embedding", dim=64)

@@ -275,3 +275,92 @@ def test_quantize_int8_reconstruction_error_bounded(spark):
     ).agg(F.max("m")).collect()[0][0]
     # symmetric quantization error <= scale/2 <= (2/127)/2
     assert worst <= (2.0 / 127) / 2 + 1e-9
+
+
+# --- embedding covariance / ZCA whitening ----------------------------------
+
+
+def _cov_df(spark, rows, dim):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        f"vec_id long, embedding array<double>",
+    )
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    # deterministic correlated 3-dim data
+    X = np.array(
+        [[i % 7, (i % 7) * 2.0 + (i % 3), (i % 5) - 2.0] for i in range(40)],
+        dtype=np.float64,
+    )
+    df = _cov_df(spark, X.tolist(), 3)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding", 3).collect()
+    }
+    want = np.cov(X, rowvar=False)
+    assert len(got) == 6  # upper triangle of 3x3
+    for (i, j), v in got.items():
+        assert v == pytest.approx(want[i, j], abs=1e-6), (i, j)
+
+
+def test_embedding_covariance_skips_bad_vectors(spark):
+    import numpy as np
+
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    X = [[1.0, 2.0], [3.0, 1.0], [2.0, 5.0], [0.0, 1.0]]
+    rows = [(0, X[0]), (1, X[1]), (2, None), (3, [1.0]), (4, X[2]), (5, X[3])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding", 2).collect()
+    }
+    want = np.cov(np.array(X), rowvar=False)
+    for (i, j), v in got.items():
+        assert v == pytest.approx(want[i, j], abs=1e-6)
+
+
+def test_whiten_embeddings_identity_covariance(spark):
+    import numpy as np
+
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        whiten_embeddings,
+    )
+
+    # strongly correlated deterministic data
+    X = np.array(
+        [
+            [i % 11, (i % 11) * 3.0 + (i % 4), (i % 6) - 2.0 + (i % 11) * 0.5]
+            for i in range(200)
+        ],
+        dtype=np.float64,
+    )
+    df = _cov_df(spark, X.tolist(), 3)
+    out = whiten_embeddings(df, "vec_id", "embedding", 3, eps=1e-9)
+    W = np.asarray([r["whitened"] for r in out.collect()])
+    C = np.cov(W, rowvar=False)
+    assert np.allclose(C, np.eye(3), atol=1e-4), C
+
+
+def test_whiten_preserves_rows_and_mean_zero(spark):
+    import numpy as np
+
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        whiten_embeddings,
+    )
+
+    X = [[float(i), float(i % 3)] for i in range(30)]
+    df = _cov_df(spark, X, 2)
+    out = whiten_embeddings(df, "vec_id", "embedding", 2).collect()
+    assert len(out) == 30
+    W = np.asarray([r["whitened"] for r in out])
+    assert np.allclose(W.mean(axis=0), 0.0, atol=1e-9)
