@@ -308,3 +308,66 @@ def pmi_cooccurrence(
             F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
         ).limit(top_k)
     return out
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    train: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    vocab_size: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage / OOV audit: build a top-``vocab_size``
+    term vocabulary from ``train`` (the tokenizer-training corpus) and
+    measure, per ``group_col`` of ``docs``, the fraction of term
+    OCCURRENCES that fall outside it — the "will the tokenizer
+    fragment this source" check run before adding any new source to a
+    training mix.
+
+    ``shingle_n`` picks the term space (word n-gram shingles, the
+    q38/q108 kernel; distinct-per-doc set semantics). Vocabulary
+    selection is deterministic: count desc, term asc tiebreak.
+
+    Plan: one term-count aggregate over ``train`` + a rank window on
+    the VOCABULARY-sized table (the q124 shape — never the occurrence
+    stream); the vocabulary (≤ ``vocab_size`` rows) broadcast-left-
+    joins onto the occurrence stream, and per-group OOV tallies
+    map-side combine. Output: ``(group, n_terms, oov_terms,
+    oov_rate)``.
+    """
+    from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
+
+    occ = docs.select(
+        F.col(group_col),
+        F.explode(word_shingles(text_col, n=shingle_n)).alias("term"),
+    )
+    tocc = train.select(
+        F.explode(word_shingles(text_col, n=shingle_n)).alias("term")
+    )
+    counts = tocc.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.col("__c").desc(), F.col("term").asc())
+    vocab = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= vocab_size)
+        .select("term", F.lit(True).alias("__in"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "term", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.when(F.col("__in").isNull(), 1).otherwise(0)
+            ).cast("long").alias("oov_terms"),
+        )
+        .select(
+            group_col,
+            "n_terms",
+            "oov_terms",
+            F.round(
+                F.col("oov_terms") / F.col("n_terms"), round_to
+            ).alias("oov_rate"),
+        )
+    )

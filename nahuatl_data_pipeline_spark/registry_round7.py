@@ -858,3 +858,70 @@ def q149_embedding_covariance(
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     return embedding_covariance(emb, "embedding", dim=64)
+
+
+# ---------------------------------------------------------------------------
+# q150: vocabulary coverage / OOV audit per source
+# ---------------------------------------------------------------------------
+
+_Q150_V = 500
+
+_Q150_SQL = rf"""
+    WITH tk AS (
+      SELECT doc_id, source, lang,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    occ AS (
+      SELECT source,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                    i -> ARRAY_TO_STRING(tk[i:i+1], ' ')))) AS term
+      FROM tk WHERE LEN(tk) >= 2
+    ),
+    tocc AS (
+      SELECT UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                    i -> ARRAY_TO_STRING(tk[i:i+1], ' ')))) AS term
+      FROM tk WHERE lang = 'en' AND LEN(tk) >= 2
+    ),
+    counts AS (SELECT term, COUNT(*) AS c FROM tocc GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term,
+               ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+        FROM counts
+      ) WHERE r <= {_Q150_V}
+    )
+    SELECT occ.source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_terms,
+           ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM occ LEFT JOIN vocab v ON occ.term = v.term
+    GROUP BY occ.source
+"""
+
+
+@register("q150_vocab_oov_audit", _Q150_SQL)
+def q150_vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: top-500 bigram-shingle
+    vocabulary built from the English subset (the "tokenizer training
+    corpus"), per-source fraction of shingle occurrences outside it —
+    the fragmentation check before adding a source to a training mix
+    (operators/tfidf.py:vocab_coverage). The rank window runs on the
+    vocabulary-sized count table; the vocabulary broadcast-joins onto
+    the occurrence stream."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "text"
+    )
+    return vocab_coverage(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        "source",
+        "text",
+        shingle_n=2,
+        vocab_size=_Q150_V,
+    )

@@ -193,3 +193,41 @@ def test_pmi_support_floor(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = pmi_cooccurrence(docs, "doc_id", "text", min_pair_docs=5).collect()
     assert ("rare1", "rare2") not in {(r["term_a"], r["term_b"]) for r in got}
+
+
+def test_vocab_coverage_hand_case(spark):
+    from nahuatl_data_pipeline_spark.operators.tfidf import vocab_coverage
+
+    # train vocab (unigram shingles, V=2): "a" (3 docs), "b" (2) kept;
+    # "c" (1) cut by the tiebreak rank
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "g1", "a b"), (2, "g1", "x"), (3, "g2", "a x y")],
+        ["doc_id", "grp", "text"],
+    )
+    got = {
+        r["grp"]: (r["n_terms"], r["oov_terms"], r["oov_rate"])
+        for r in vocab_coverage(
+            docs, train, "grp", "text", shingle_n=1, vocab_size=2
+        ).collect()
+    }
+    # g1: terms a,b,x -> 1 OOV of 3; g2: a,x,y -> 2 OOV of 3
+    assert got["g1"] == (3, 1, round(1 / 3, 6))
+    assert got["g2"] == (3, 2, round(2 / 3, 6))
+
+
+def test_vocab_coverage_tiebreak_deterministic(spark):
+    from nahuatl_data_pipeline_spark.operators.tfidf import vocab_coverage
+
+    # all terms tie at count 1: vocabulary = lexicographically first V
+    train = spark.createDataFrame([(1, "d c b a")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "g", "a b c d")], ["doc_id", "grp", "text"]
+    )
+    row = vocab_coverage(
+        docs, train, "grp", "text", shingle_n=1, vocab_size=2
+    ).collect()[0]
+    # vocab = {a, b}; c and d are OOV
+    assert (row["n_terms"], row["oov_terms"]) == (4, 2)
