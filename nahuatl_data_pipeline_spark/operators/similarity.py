@@ -795,3 +795,72 @@ def whiten_embeddings(
     return base.select(
         F.col(id_col), project(F.col(vec_col)).alias(out_col)
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` embedding outliers by DIAGONAL Mahalanobis distance —
+    the per-dimension-standardized novelty score (Σ (xᵢ−μᵢ)²/varᵢ):
+    the embedding-store outlier sweep for mislabeled, corrupted, or
+    off-distribution vectors before they poison retrieval or training.
+    The full-covariance variant is :func:`whiten_embeddings` + plain
+    L2; the diagonal form keeps every step exactly reproducible in SQL
+    (no eigenproblem), which is why it is the oracle-checked member of
+    the family.
+
+    Plan: per-dimension moments via posexplode + one 64-group
+    aggregate; the d-row moment table broadcast-joins back onto the
+    exploded stream; per-vector distances map-side combine; the top-k
+    is ``orderBy().limit(k)`` → TakeOrderedAndProject (per-task heaps
+    + a driver merge of k·P rows, never a global sort), with the rank
+    window running on the k survivors only (the weighted_topk_sample
+    shape). Distances are rounded BEFORE ranking (id tiebreak), so the
+    selected set and order are engine-identical. Zero-variance
+    dimensions are floored at 1e-12 (identically on both sides) so a
+    constant dimension cannot produce a division by zero.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    base = df.select(F.col(id_col), F.col(vec_col)).where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    x = base.select(
+        id_col, F.posexplode(vec_col).alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    m = x.groupBy("pos").agg(
+        F.sum("val").alias("sx"),
+        F.sum(F.col("val") * F.col("val")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = F.col("sx") / F.col("n")
+    var = F.greatest(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1),
+        F.lit(1e-12),
+    )
+    mom = m.select("pos", mu.alias("mu"), var.alias("var"))
+    d2 = (
+        x.join(F.broadcast(mom), "pos")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val") - F.col("mu"))
+                    * (F.col("val") - F.col("mu"))
+                    / F.col("var")
+                ),
+                round_to,
+            ).alias("md2")
+        )
+    )
+    top = d2.orderBy(F.desc("md2"), F.asc(id_col)).limit(k)
+    rw = Window.orderBy(F.desc("md2"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(rw).cast("int")
+    )

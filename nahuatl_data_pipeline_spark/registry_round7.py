@@ -925,3 +925,64 @@ def q150_vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=2,
         vocab_size=_Q150_V,
     )
+
+
+# ---------------------------------------------------------------------------
+# q151: diagonal-Mahalanobis embedding outliers (novelty top-k)
+# ---------------------------------------------------------------------------
+
+_Q151_SQL = """
+    WITH v AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+    ),
+    x AS (
+      SELECT vec_id, e.pos, CAST(e.v AS DOUBLE) AS val
+      FROM (
+        SELECT vec_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                                     i -> {'pos': i - 1, 'v': embedding[i]}),
+                      recursive := true)
+        FROM v
+      ) e
+    ),
+    m AS (
+      SELECT pos, SUM(val) AS sx, SUM(val * val) AS sxx, COUNT(*) AS n
+      FROM x GROUP BY pos
+    ),
+    mom AS (
+      SELECT pos, sx / n AS mu,
+             GREATEST((sxx - sx * sx / n) / (n - 1), 1e-12) AS var
+      FROM m
+    ),
+    d AS (
+      SELECT x.vec_id,
+             ROUND(SUM((x.val - mom.mu) * (x.val - mom.mu) / mom.var), 4)
+               AS md2
+      FROM x JOIN mom ON x.pos = mom.pos
+      GROUP BY x.vec_id
+    )
+    SELECT vec_id, md2, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY md2 DESC, vec_id ASC) AS rank
+      FROM d
+    ) WHERE rank <= 20
+"""
+
+
+@register("q151_embedding_outliers", _Q151_SQL)
+def q151_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding-store outliers by diagonal Mahalanobis distance
+    (per-dimension-standardized novelty) — the sweep for corrupted or
+    off-distribution vectors before they poison retrieval/training
+    (operators/similarity.py:mahalanobis_outliers; full-covariance
+    variant = whiten_embeddings + L2). Moments are one 64-group
+    aggregate broadcast back; top-k is TakeOrderedAndProject, never a
+    global sort."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return mahalanobis_outliers(emb, "vec_id", "embedding", dim=64, k=20)

@@ -364,3 +364,44 @@ def test_whiten_preserves_rows_and_mean_zero(spark):
     assert len(out) == 30
     W = np.asarray([r["whitened"] for r in out])
     assert np.allclose(W.mean(axis=0), 0.0, atol=1e-9)
+
+
+def test_mahalanobis_outliers_finds_planted_outlier(spark):
+    import numpy as np
+
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    # tight deterministic cluster + one far point
+    rows = [(i, [float(i % 3) * 0.01, float(i % 5) * 0.01]) for i in range(50)]
+    rows.append((999, [50.0, -50.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mahalanobis_outliers(df, "vec_id", "embedding", 2, k=3).collect()
+    assert got[0]["vec_id"] == 999 and got[0]["rank"] == 1
+    assert got[0]["md2"] > got[1]["md2"] * 10
+
+
+def test_mahalanobis_constant_dimension_no_crash(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    # dim 1 is constant: variance floors at 1e-12 instead of dividing
+    # by zero; scores stay finite
+    rows = [(i, [float(i), 7.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mahalanobis_outliers(df, "vec_id", "embedding", 2, k=5).collect()
+    assert len(got) == 5
+    import math
+    assert all(math.isfinite(r["md2"]) for r in got)
+
+
+def test_mahalanobis_validates_k(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        mahalanobis_outliers(df, "vec_id", "embedding", 1, k=0)
