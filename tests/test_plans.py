@@ -232,3 +232,36 @@ def test_q66_incremental_dedup_no_cartesian(spark):
     plan = plan_of(spark, "q66_incremental_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q146_chunking_zero_shuffle(spark):
+    """token_window_chunks claims zero shuffle and no Python boundary:
+    the whole query must be scan → codegen projections/explodes."""
+    plan = plan_of(spark, "q146_token_window_chunks")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q148_resample_rates_broadcast_corpus_never_sorts(spark):
+    """match_distribution: the strata-bounded rate table broadcasts onto
+    the corpus (no sort-merge join), and the kept-set filter adds no
+    exchange beyond the two bucket aggregates + rate windows."""
+    plan = plan_of(spark, "q148_length_matched_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q151_outlier_topk_never_global_sorts(spark):
+    """mahalanobis_outliers: top-k must plan as TakeOrderedAndProject
+    (per-task heaps + driver merge), never a global Sort."""
+    plan = plan_of(spark, "q151_embedding_outliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # 64-row moment table broadcast
+
+
+def test_q150_vocab_broadcast_onto_occurrences(spark):
+    """vocab_coverage: the ≤V-row vocabulary must broadcast onto the
+    occurrence stream — the occurrences never sort-merge."""
+    plan = plan_of(spark, "q150_vocab_oov_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
