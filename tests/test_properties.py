@@ -164,3 +164,68 @@ def test_scd2_merge_matches_dict_model(spark, base_rows, upd_rows):
         if k not in b:
             want.append((k, float(v), 2, True))
     assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(TEXT, min_size=1, max_size=10),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=3),
+)
+def test_chunk_windows_reconstruct_token_stream(spark, texts, chunk, ov):
+    """Dropping each window's leading `overlap` tokens (except window 0)
+    and concatenating reconstructs the document's token stream exactly —
+    full coverage, no duplication, for ANY text/chunk/overlap combo."""
+    from nahuatl_data_pipeline_spark.functions.segmentation import (
+        token_window_chunks,
+    )
+
+    if ov >= chunk:
+        ov = chunk - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = token_window_chunks(df, "doc_id", "text", chunk, ov).collect()
+    got: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        assert len(toks) == r["n_tokens"]
+        assert 1 <= r["n_tokens"] <= chunk
+        got.setdefault(r["doc_id"], []).extend(
+            toks if r["chunk_idx"] == 0 else toks[ov:]
+        )
+    for i, t in enumerate(texts):
+        want = t.split()
+        if want:
+            assert got[i] == want, (t, chunk, ov)
+        else:
+            assert i not in got
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=60_000),
+)
+def test_water_fill_properties(spark, avails, budget):
+    """Σ alloc == min(budget, Σ avail) (up to level rounding), every
+    alloc ∈ [0, avail], and fully-funded sources are exactly those at
+    or below the level."""
+    from nahuatl_data_pipeline_spark.operators.mixing import water_fill
+
+    df = spark.createDataFrame(
+        [(f"s{i}", a) for i, a in enumerate(avails)], "k string, a long"
+    )
+    rows = water_fill(df, "k", "a", budget).collect()
+    total = sum(avails)
+    allocs = {r["k"]: r["alloc"] for r in rows}
+    assert len(allocs) == len(avails)
+    s = sum(allocs.values())
+    assert abs(s - min(budget, total)) <= 1e-3 * max(1, len(avails))
+    for r in rows:
+        assert -1e-9 <= r["alloc"] <= r["avail"] + 1e-9
