@@ -180,3 +180,41 @@ def c4_rule_flags(
             & (n_words >= min_words)
         ).alias("keep_doc"),
     )
+
+
+def common_prefix(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Longest common text prefix per group — the shared-banner /
+    template-header detector: a scraper that prepends the same
+    boilerplate to every page of a domain shows up as a long common
+    prefix, which line-level dedup only catches if the banner happens
+    to end at a newline.
+
+    Uses the classic order-statistics trick: the common prefix of ALL
+    strings in a group equals the common prefix of the
+    lexicographically smallest and largest — so the corpus-sized work
+    is ONE min/max aggregate (map-side combined), and the
+    character-level comparison runs on two strings per group via a
+    higher-order filter over character positions (codegen, no UDF).
+    Output: ``(group, prefix_len, prefix)``; groups whose texts are all
+    NULL report NULL prefix.
+    """
+    agg = df.groupBy(group_col).agg(
+        F.min(text_col).alias("__mn"), F.max(text_col).alias("__mx")
+    )
+    L = F.least(F.length("__mn"), F.length("__mx"))
+    mn, mx = F.col("__mn"), F.col("__mx")
+    first_mismatch = F.array_min(
+        F.filter(
+            F.sequence(F.lit(1), L),
+            lambda i: mn.substr(i, F.lit(1)) != mx.substr(i, F.lit(1)),
+        )
+    )
+    return agg.withColumn(
+        "prefix_len", F.coalesce(first_mismatch - 1, L).cast("long")
+    ).select(
+        group_col,
+        "prefix_len",
+        mn.substr(F.lit(1), F.col("prefix_len").cast("int")).alias("prefix"),
+    )

@@ -992,3 +992,107 @@ def q151_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return mahalanobis_outliers(emb, "vec_id", "embedding", dim=64, k=20)
+
+
+# ---------------------------------------------------------------------------
+# q152: deterministic span corruption (denoising training pairs)
+# ---------------------------------------------------------------------------
+
+_Q152_SQL = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    b AS (SELECT doc_id, tk, LEN(tk) AS n FROM tk WHERE LEN(tk) >= 2),
+    p AS (
+      SELECT doc_id, tk, n,
+             GREATEST(1, LEAST(5, CAST(FLOOR(n * 0.2) AS INT))) AS len
+      FROM b
+    ),
+    s AS (
+      SELECT doc_id, tk, n, len,
+             CAST((CAST(('0x' || SUBSTRING(
+                     MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2147483647) % (n - len + 1) AS INT)
+               AS start
+      FROM p
+    )
+    SELECT doc_id,
+           ARRAY_TO_STRING(
+             LIST_CONCAT(LIST_CONCAT(tk[1:start], ['<extra_id_0>']),
+                         tk[start + len + 1:n]), ' ') AS input_text,
+           ARRAY_TO_STRING(
+             LIST_CONCAT(['<extra_id_0>'], tk[start + 1:start + len]),
+             ' ') AS target_text,
+           CAST(start AS BIGINT) AS span_start,
+           CAST(len AS BIGINT) AS span_len
+    FROM s
+"""
+
+
+@register("q152_span_corruption", _Q152_SQL)
+def q152_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style denoising pair generation: a content-hash-selected
+    token span replaced by a sentinel in the input, emitted as the
+    target — reproducible across runs/engines/partitionings because
+    span selection is the engine-wide md5 idiom, never an RNG
+    (operators/corruption.py:span_corrupt). Whole operator is one
+    codegen projection, zero shuffle."""
+    from nahuatl_data_pipeline_spark.operators.corruption import span_corrupt
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corrupt(
+        docs, "doc_id", "text", max_span=5, span_frac=0.2, seed=42
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153: per-source common-prefix boilerplate detection
+# ---------------------------------------------------------------------------
+
+_Q153_SQL = """
+    WITH banners AS (
+      SELECT source,
+             'BANNER[' || source || '] :: ' || text AS text
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, MIN(text) AS mn, MAX(text) AS mx
+      FROM banners GROUP BY source
+    ),
+    lcp AS (
+      SELECT source, mn,
+             COALESCE(
+               LIST_MIN(LIST_FILTER(
+                 RANGE(1, LEAST(LENGTH(mn), LENGTH(mx)) + 1),
+                 i -> SUBSTRING(mn, i, 1) <> SUBSTRING(mx, i, 1))) - 1,
+               LEAST(LENGTH(mn), LENGTH(mx))) AS plen
+      FROM agg
+    )
+    SELECT source,
+           CAST(plen AS BIGINT) AS prefix_len,
+           SUBSTRING(mn, 1, CAST(plen AS INT)) AS prefix
+    FROM lcp
+"""
+
+
+@register("q153_boilerplate_prefix", _Q153_SQL)
+def q153_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-banner detection: longest common text prefix per source
+    via the order-statistics trick — lcp(all) = lcp(min, max), so the
+    corpus-sized work is ONE min/max aggregate and the char-level
+    comparison runs on two strings per group (codegen HOF, no UDF).
+    The query plants a per-source banner and the operator recovers it
+    (operators/curation.py:common_prefix)."""
+    from nahuatl_data_pipeline_spark.operators.curation import common_prefix
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    planted = docs.select(
+        "source",
+        F.concat(
+            F.lit("BANNER["), F.col("source"), F.lit("] :: "), F.col("text")
+        ).alias("text"),
+    )
+    return common_prefix(planted, "source", "text")
