@@ -104,6 +104,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="comma-separated cluster columns; 1 → range sort, 2+ → z-order",
     )
     layout.add_argument("--num-files", type=int, default=8)
+    convert = sub.add_parser(
+        "convert",
+        help="bulk JSONL→Parquet conversion "
+        "(the reference's convert_to_parquet.py, distributed)",
+    )
+    convert.add_argument(
+        "--input", required=True, help="JSONL path or glob"
+    )
+    convert.add_argument("--out", required=True, help="parquet output dir")
+    convert.add_argument(
+        "--schema",
+        choices=["legacy", "infer"],
+        default="legacy",
+        help="'legacy' pins the reference's corpus schema (one scan); "
+        "'infer' samples the input first (two scans — dev only)",
+    )
     return p
 
 
@@ -258,6 +274,23 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
         )
         print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "convert":
+        from nahuatl_data_pipeline_spark.sources.writers import (
+            convert_jsonl_to_parquet,
+        )
+
+        if args.schema == "legacy":
+            convert_jsonl_to_parquet(spark, args.input, args.out)
+        else:
+            spark.read.json(args.input).write.mode("overwrite").parquet(
+                args.out
+            )
+        print(json.dumps({
+            "out": args.out,
+            "rows": spark.read.parquet(args.out).count(),
+        }))
         return 0
 
     if args.cmd == "layout":

@@ -351,3 +351,19 @@ def test_cli_layout_zorder_and_range(spark, tmp_path, capsys):
     assert main(["layout", "--input", src, "--out", rout, "--by", "x"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["layout"] == "range_sorted" and rep["rows"] == 1024
+
+
+def test_cli_convert_jsonl_to_parquet(spark, tmp_path, capsys):
+    """convert_to_parquet.py parity: bulk JSONL→Parquet as one
+    distributed scan+write; 'infer' mode for ad-hoc schemas."""
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    out = str(tmp_path / "out_pq")
+    assert main(["convert", "--input", str(src), "--out", out,
+                 "--schema", "infer"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] == 2
+    df = spark.read.parquet(out)
+    assert sorted(map(tuple, df.select("a", "b").collect())) == [
+        (1, "x"), (2, "y"),
+    ]
