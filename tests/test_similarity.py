@@ -405,3 +405,21 @@ def test_mahalanobis_validates_k(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         mahalanobis_outliers(df, "vec_id", "embedding", 1, k=0)
+
+
+def test_embedding_covariance_partition_stable(spark):
+    """Partial-Gram sums change batch order with the partitioning; the
+    rounded output must not."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 11) / 10.0 for j in range(4)])
+        for i in range(300)
+    ]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df9 = df1.repartition(9)
+    c1 = sorted(map(tuple, embedding_covariance(df1, "embedding", 4).collect()))
+    c9 = sorted(map(tuple, embedding_covariance(df9, "embedding", 4).collect()))
+    assert c1 == c9
