@@ -359,3 +359,67 @@ def percentile_transform(
         )
         .drop("__cuts")
     )
+
+
+def code_switch_profile(
+    df: DataFrame, id_col: str, text_col: str, round_to: int = 6
+) -> DataFrame:
+    """Per-document code-switching profile: sentence-level language ID
+    (the q18 expression cascade) rolled up to ``(id, majority_lang,
+    n_sents_lid, n_langs, switch_frac)`` — the bilingual-corpus
+    diagnostic that doc-level LID hides: a document that alternates
+    Spanish and Náhuatl sentence by sentence gets ONE doc-level label,
+    but its switch fraction is what decides whether it belongs in a
+    monolingual training split, a translation-pair miner, or neither.
+
+    Only sentences the heuristic can label participate (NULL-lang
+    sentences carry no signal); documents with zero labeled sentences
+    are absent from the output. ``majority_lang`` ties break
+    lexicographically; ``switch_frac = 1 − majority_count /
+    labeled_count`` (0 = monolingual, → 1 with many alternating
+    languages).
+
+    Plan: sentence explode + LID stay in codegen (no UDF); two
+    doc-keyed aggregates (map-side combined) + one rank window on the
+    (doc, lang)-sized count table — ≤ |langs| rows per doc, far
+    smaller than the sentence stream.
+    """
+    from pyspark.sql import Window
+
+    from nahuatl_data_pipeline_spark.functions.langid import detect_language
+    from nahuatl_data_pipeline_spark.functions.segmentation import sentences
+
+    sent = df.select(
+        F.col(id_col), F.explode(sentences(text_col)).alias("__s")
+    )
+    lid = sent.select(
+        id_col, detect_language(F.col("__s")).alias("__l")
+    ).where(F.col("__l").isNotNull())
+    counts = lid.groupBy(id_col, "__l").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__c").desc(), F.col("__l").asc()
+    )
+    major = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__l").alias("majority_lang"),
+            F.col("__c").alias("__mc"),
+        )
+    )
+    tot = counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_sents_lid"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    return major.join(tot, id_col).select(
+        id_col,
+        "majority_lang",
+        "n_sents_lid",
+        "n_langs",
+        F.round(
+            F.lit(1.0) - F.col("__mc") / F.col("n_sents_lid"), round_to
+        ).alias("switch_frac"),
+    )

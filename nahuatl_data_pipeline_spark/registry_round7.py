@@ -1096,3 +1096,101 @@ def q153_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return common_prefix(planted, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# q154: sentence-level code-switching profile
+# ---------------------------------------------------------------------------
+
+
+def _q154_sql() -> str:
+    from nahuatl_data_pipeline_spark.registry import _cnt_sql
+
+    lang_case = f"""CASE
+             WHEN REGEXP_MATCHES(low, '[āēīōū]') THEN 'nah'
+             WHEN {_cnt_sql("tl", 2)} + {_cnt_sql("tz", 2)}
+                + {_cnt_sql("kw", 2)} + {_cnt_sql("ku", 2)} >= 1 THEN 'nah'
+             WHEN {_cnt_sql("k''", 2)} + {_cnt_sql("ch''", 3)}
+                + {_cnt_sql("t''", 2)} + {_cnt_sql("p''", 2)}
+                + {_cnt_sql("ts''", 3)} + {_cnt_sql("ʔ", 1)} >= 1 THEN 'myn'
+             WHEN REGEXP_MATCHES(low, '[¿¡ñ]') THEN 'es'
+             ELSE NULL
+           END"""
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' . ¿cómo está el señor? . nican tzintli tlalli .'
+               WHEN 1 THEN ' . tlatoani tzintli . tlalli kweponi . ¡hola señor! .'
+               ELSE ' . ¡buenos días señor! .'
+             END AS text
+      FROM documents
+    ),
+    sent AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(
+               LIST_TRANSFORM(
+                 REGEXP_EXTRACT_ALL(text, '[^.!?]+[.!?]*'),
+                 s -> TRIM(s)),
+               s -> s <> '')) AS s
+      FROM planted
+    ),
+    lid AS (
+      SELECT doc_id, {lang_case} AS l
+      FROM (SELECT doc_id, s, LOWER(s) AS low FROM sent)
+    ),
+    labeled AS (SELECT doc_id, l FROM lid WHERE l IS NOT NULL),
+    counts AS (
+      SELECT doc_id, l, COUNT(*) AS c FROM labeled GROUP BY doc_id, l
+    ),
+    major AS (
+      SELECT doc_id, l AS majority_lang, c AS mc FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, l ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sents_lid,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM counts GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.majority_lang, t.n_sents_lid, t.n_langs,
+           ROUND(1.0 - m.mc / CAST(t.n_sents_lid AS DOUBLE), 6)
+             AS switch_frac
+    FROM major m JOIN tot t ON m.doc_id = t.doc_id
+    """
+
+
+@register("q154_code_switching", _q154_sql())
+def q154_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level code-switching profile: the q18 LID cascade per
+    SENTENCE, rolled up to majority language + switch fraction — the
+    bilingual-corpus diagnostic doc-level LID hides (an es/nah
+    alternating doc belongs in a translation-pair miner, not a
+    monolingual split). Codegen explode + cascade, two doc-keyed
+    aggregates, rank window on the (doc, lang) count table
+    (operators/quality.py:code_switch_profile)."""
+    from nahuatl_data_pipeline_spark.operators.quality import (
+        code_switch_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted bilingual sentence suffixes (the corpus's own text carries
+    # no LID signal): doc_id%3 rotates es/nah majorities and a
+    # monolingual case, so majority, tiebreak, and switch_frac all vary
+    suffix = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" . \u00bfc\u00f3mo est\u00e1 el se\u00f1or? . nican tzintli tlalli ."),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit(" . tlatoani tzintli . tlalli kweponi . \u00a1hola se\u00f1or! ."),
+        )
+        .otherwise(F.lit(" . \u00a1buenos d\u00edas se\u00f1or! ."))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return code_switch_profile(planted, "doc_id", "text")

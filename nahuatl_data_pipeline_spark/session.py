@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffles START wide and AQE coalesces them down when small:
+        # per-task aggregation state is bounded by input/initialN, so a
+        # 100x corpus cannot blow a hash-aggregate's memory just because
+        # the static shuffle-partition count matched the core count
+        # (observed: AGGREGATE_OUT_OF_MEMORY in the curation pipeline's
+        # repetition/dedup aggregates at the 100x replica with 32 static
+        # partitions; 256 initial fixed it with no measurable cost at
+        # sf0.1 — AQE merges the small partitions right back).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(

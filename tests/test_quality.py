@@ -149,3 +149,34 @@ def test_percentile_transform_never_shuffles_scored_side(spark):
     # the 1-row cuts broadcast; the scored side stays exchange-free
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_code_switch_profile_hand_case(spark):
+    from nahuatl_data_pipeline_spark.operators.quality import (
+        code_switch_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # 2 nah sentences + 1 es -> majority nah, switch 1/3
+            (1, "tlatoani tzintli. tlalli kweponi. ¡hola señor!"),
+            # 1 es + 1 nah -> tie, lexicographic majority 'es', switch 0.5
+            (2, "¿cómo está? nican tzintli."),
+            # signal-free text -> zero labeled sentences -> absent
+            (3, "plain words only. more plain words."),
+            # monolingual
+            (4, "¡buenos días señor!"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["majority_lang"], r["n_sents_lid"], r["n_langs"],
+            r["switch_frac"],
+        )
+        for r in code_switch_profile(df, "doc_id", "text").collect()
+    }
+    assert got[1] == ("nah", 3, 2, round(1 / 3, 6))
+    assert got[2] == ("es", 2, 2, 0.5)
+    assert 3 not in got
+    assert got[4] == ("es", 1, 1, 0.0)
