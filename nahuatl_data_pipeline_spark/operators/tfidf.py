@@ -31,6 +31,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Generation-based cache pool (fuzzy_dedup.py:37-51 pattern): each
+# tfidf_cosine_pairs call releases the previous call's persisted
+# posting index and registers its own.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_tfidf_caches() -> None:
+    """Unpersist intermediates cached by earlier tf-idf calls."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
 
 def term_array(text_col: str):
     r"""THE tokenization expression (trim + lowercase + ``\s+`` split)
@@ -220,8 +234,18 @@ def tfidf_cosine_pairs(
     # both self-join legs consume the posting table — materialize it once
     # or the whole tokenize→tf→window subtree runs twice (module lesson).
     # Size is one row per (doc, sub-cap term): the capped index, far
-    # smaller than the corpus it came from.
-    normed = normed.localCheckpoint(eager=True)
+    # smaller than the corpus it came from. persist() (compressed
+    # columnar InMemoryRelation, spills to disk under pressure), NOT
+    # localCheckpoint: checkpoint blocks are DESERIALIZED row objects —
+    # at the 100×-unique replica the 44M-row index as checkpoint blocks
+    # plus the pair-join's concurrent spill readers OOM'd an 8 GiB JVM
+    # (SCALE.md round 7), while the columnar cache of the same index
+    # fits with room to spare. Lineage truncation isn't needed here —
+    # the plan is not iterative — only reuse is.
+    release_tfidf_caches()
+    normed = normed.persist()
+    normed.count()  # eager: both self-join legs read the cache
+    _LIVE_CACHES.append(normed)
     a = normed.select(
         F.col("__doc").alias("id_a"), "term", F.col("wn").alias("wa")
     )
