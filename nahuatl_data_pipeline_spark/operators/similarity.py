@@ -699,6 +699,40 @@ def embedding_covariance(
     further algebra); the default rounds for engine-reproducible
     output (float folds differ in summation order across engines).
     """
+    return finalize_covariance(
+        embedding_moments(df, vec_col, dim), round_to
+    )
+
+
+def finalize_covariance(
+    moments: DataFrame, round_to: int | None = 6
+) -> DataFrame:
+    """Raw-moment cells ``(i, j, sxy, sx_i, sx_j, n)`` → ``(i, j,
+    cov)`` — split out of :func:`embedding_covariance` so MERGED
+    moments (:func:`merge_covariance_moments`) finalize through the
+    identical formula."""
+    cov = (
+        F.col("sxy") - F.col("sx_i") * F.col("sx_j") / F.col("n")
+    ) / (F.col("n") - 1)
+    if round_to is not None:
+        # + 0.0 normalizes IEEE negative zero: a cell that rounds to
+        # zero from below prints "-0.0" in one engine and "0.0" in the
+        # other, breaking value-hash parity on numerically equal output
+        cov = F.round(cov, round_to) + F.lit(0.0)
+    return moments.select("i", "j", cov.alias("cov"))
+
+
+def embedding_moments(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """The MERGEABLE form of :func:`embedding_covariance`: raw-moment
+    cells ``(i, j, sxy, sx_i, sx_j, n)`` — every field is a plain sum
+    or count, so two shards'/snapshots' tables combine by cellwise
+    addition (:func:`merge_covariance_moments`) with NO access to the
+    original vectors: the statistic a 100 TB store keeps per-shard and
+    rolls up on demand (Spark's partial-aggregation algebra, made
+    durable across jobs). Output bounded by d(d+1)/2 rows per shard.
+
+    Same plan as :func:`embedding_covariance` minus the finalize; kept
+    as the covariance path's building block rather than a copy."""
     base = df.select(F.col(vec_col).alias("__v")).where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     )
@@ -717,31 +751,39 @@ def embedding_covariance(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
             )
             G = X.T @ X
-            yield pd.DataFrame(
-                {"i": iu0, "j": iu1, "sxy": G[iu0, iu1]}
-            )
+            yield pd.DataFrame({"i": iu0, "j": iu1, "sxy": G[iu0, iu1]})
 
     g = (
         base.mapInPandas(gram, "i int, j int, sxy double")
         .groupBy("i", "j")
         .agg(F.sum("sxy").alias("sxy"))
     )
-    si = s.select(
-        F.col("pos").alias("i"), F.col("sx").alias("sx_i"), "n"
-    )
+    si = s.select(F.col("pos").alias("i"), F.col("sx").alias("sx_i"), "n")
     sj = s.select(F.col("pos").alias("j"), F.col("sx").alias("sx_j"))
-    cov = (
-        F.col("sxy") - F.col("sx_i") * F.col("sx_j") / F.col("n")
-    ) / (F.col("n") - 1)
-    if round_to is not None:
-        # + 0.0 normalizes IEEE negative zero: a cell that rounds to
-        # zero from below prints "-0.0" in one engine and "0.0" in the
-        # other, breaking value-hash parity on numerically equal output
-        cov = F.round(cov, round_to) + F.lit(0.0)
     return (
         g.join(F.broadcast(si), "i")
         .join(F.broadcast(sj), "j")
-        .select("i", "j", cov.alias("cov"))
+        .select("i", "j", "sxy", "sx_i", "sx_j", "n")
+    )
+
+
+def merge_covariance_moments(*parts: DataFrame) -> DataFrame:
+    """Cellwise-add raw-moment tables from disjoint shards: every field
+    of :func:`embedding_moments` is a sum over rows, so the union's
+    moments are exactly the sums of the parts' — the merged, finalized
+    covariance is the same formula over pooled sums (only float
+    summation ORDER differs, absorbed by finalize's rounding). One
+    d²-bounded aggregate; the original vectors are never re-read."""
+    if not parts:
+        raise ValueError("need at least one moments table")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx_i").alias("sx_i"),
+        F.sum("sx_j").alias("sx_j"),
+        F.sum("n").alias("n"),
     )
 
 

@@ -1194,3 +1194,39 @@ def q154_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), suffix).alias("text")
     )
     return code_switch_profile(planted, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q155: sharded covariance via mergeable raw moments
+# ---------------------------------------------------------------------------
+
+
+@register("q155_sharded_covariance_merge", _Q149_SQL)
+def q155_sharded_covariance_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-statistics path to q149's covariance: the store is
+    split into two disjoint shards (vec_id parity), each reduced to its
+    raw-moment cells (embedding_moments — plain sums, d(d+1)/2 rows per
+    shard), the cells merged by addition WITHOUT re-reading any vector
+    (merge_covariance_moments), then finalized. The oracle computes the
+    covariance DIRECTLY over the whole store (q149's SQL), so the hash
+    match certifies the merge algebra itself — the per-shard/rollup
+    pattern a 100 TB embedding store uses across snapshots instead of
+    rescanning history."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_moments,
+        finalize_covariance,
+        merge_covariance_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    even = embedding_moments(
+        emb.filter(F.col("vec_id") % 2 == 0), "embedding", 64
+    )
+    odd = embedding_moments(
+        emb.filter(F.col("vec_id") % 2 == 1), "embedding", 64
+    )
+    return finalize_covariance(merge_covariance_moments(even, odd))

@@ -423,3 +423,52 @@ def test_embedding_covariance_partition_stable(spark):
     c1 = sorted(map(tuple, embedding_covariance(df1, "embedding", 4).collect()))
     c9 = sorted(map(tuple, embedding_covariance(df9, "embedding", 4).collect()))
     assert c1 == c9
+
+
+def test_covariance_moments_merge_equals_direct(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_moments,
+        finalize_covariance,
+        merge_covariance_moments,
+    )
+
+    rows = [
+        (i, [((i * 5 + j) % 13) / 7.0 for j in range(3)]) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    direct = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding", 3).collect()
+    }
+    # 3-way disjoint shards
+    parts = [
+        embedding_moments(
+            df.filter(F.col("vec_id") % 3 == k), "embedding", 3
+        )
+        for k in range(3)
+    ]
+    merged = {
+        (r["i"], r["j"]): r["cov"]
+        for r in finalize_covariance(
+            merge_covariance_moments(*parts)
+        ).collect()
+    }
+    assert merged == direct
+    # single-part merge is the identity path
+    solo = {
+        (r["i"], r["j"]): r["cov"]
+        for r in finalize_covariance(
+            merge_covariance_moments(embedding_moments(df, "embedding", 3))
+        ).collect()
+    }
+    assert solo == direct
+
+
+def test_merge_covariance_moments_requires_parts(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        merge_covariance_moments,
+    )
+
+    with pytest.raises(ValueError):
+        merge_covariance_moments()
