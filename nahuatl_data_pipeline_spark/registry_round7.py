@@ -1230,3 +1230,71 @@ def q155_sharded_covariance_merge(
         emb.filter(F.col("vec_id") % 2 == 1), "embedding", 64
     )
     return finalize_covariance(merge_covariance_moments(even, odd))
+
+
+# ---------------------------------------------------------------------------
+# q156: join-key skew report (pre-join diagnostic)
+# ---------------------------------------------------------------------------
+
+_Q156_PARTS = 200
+
+
+def _q156_one_sql(table: str, key: str) -> str:
+    return f"""
+      SELECT '{table}.{key}' AS key_name,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_freq,
+             ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY c), 6)
+               AS p99_freq,
+             ROUND(SUM(CAST(c AS DOUBLE) * c)
+                   / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS hhi,
+             ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top1_share,
+             CAST(GREATEST(CAST(1 AS BIGINT),
+                      (MAX(c) * {_Q156_PARTS} + SUM(c) - 1) // SUM(c))
+               AS BIGINT) AS salt_factor
+      FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY {key})
+    """
+
+
+_Q156_SQL = " UNION ALL ".join(
+    _q156_one_sql(t, k)
+    for t, k in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_suppkey"),
+        ("events", "user_id"),
+    ]
+)
+
+
+@register("q156_join_key_skew", _Q156_SQL)
+def q156_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics for the three natural join keys: one
+    map-side-combined count per key + one aggregate over the
+    key-cardinality table each, yielding max/p99 frequency, HHI
+    concentration, and a DERIVED salt factor (how many times the
+    hottest key outweighs an average 200-way partition — the
+    salted_join parameter computed instead of guessed;
+    operators/skew.py:key_skew_report)."""
+    from nahuatl_data_pipeline_spark.operators.skew import key_skew_report
+
+    parts = []
+    for table, key in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_suppkey"),
+        ("events", "user_id"),
+    ]:
+        rep = key_skew_report(
+            load_table(spark, sf_dir, table).select(key),
+            key,
+            n_partitions=_Q156_PARTS,
+        )
+        parts.append(
+            rep.select(
+                F.lit(f"{table}.{key}").alias("key_name"), "*"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -119,3 +119,37 @@ def test_q69_plan_shows_salt_stage(spark):
     physical = df._jdf.queryExecution().executedPlan().toString()
     # one partial+final pair per stage => 4 HashAggregate nodes total
     assert physical.count("HashAggregate") >= 4
+
+
+def test_key_skew_report_hand_case(spark):
+    from nahuatl_data_pipeline_spark.operators.skew import key_skew_report
+
+    # 10 rows of 'hot', 1 each of 5 cold keys -> 15 rows, 6 keys
+    rows = [("hot",)] * 10 + [(f"c{i}",) for i in range(5)]
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_report(df, "k", n_partitions=3).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_freq"]) == (15, 6, 10)
+    assert r["top1_share"] == round(10 / 15, 6)
+    # hottest key = 10 rows vs avg partition of 5 -> salt 2
+    assert r["salt_factor"] == 2
+    assert r["hhi"] == round((100 + 5) / 225, 6)
+
+
+def test_key_skew_report_uniform_needs_no_salt(spark):
+    from nahuatl_data_pipeline_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame([(f"k{i % 8}",) for i in range(80)], ["k"])
+    r = key_skew_report(df, "k", n_partitions=8).collect()[0]
+    assert r["salt_factor"] == 1
+    assert r["max_freq"] == 10
+
+
+def test_key_skew_report_counts_null_keys(spark):
+    from nahuatl_data_pipeline_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), ("a",)], "k string"
+    )
+    r = key_skew_report(df, "k").collect()[0]
+    # NULL groups like a value: it's the hottest "key" here
+    assert (r["n_keys"], r["max_freq"]) == (2, 3)
