@@ -1,13 +1,16 @@
 """Round-7 registry extension: beyond-reference training-data
-operators q138–q151 — DSIR importance weighting (q138), margin-based
+operators q138–q156 — DSIR importance weighting (q138), margin-based
 neighbor mining (q139), SemDeDup-style semantic dedup (q140), CCNet
 perplexity bucketing (q141), tokenizer fertility (q142), trade-graph
 PageRank (q143), Zipf power-law fit (q144), best-representative
 cluster dedup (q145), token-window chunking (q146), water-filling
 budget allocation (q147), histogram-matched resampling (q148),
-embedding covariance (q149), vocabulary OOV audit (q150), and
-diagonal-Mahalanobis outliers (q151). All oracle-checked; plan
-contracts asserted in the global sweep + tests/test_plans.py."""
+embedding covariance (q149), vocabulary OOV audit (q150),
+diagonal-Mahalanobis outliers (q151), span corruption (q152),
+common-prefix banner detection (q153), code-switching profile (q154),
+sharded covariance merge (q155), and join-key skew report (q156).
+All oracle-checked; plan contracts asserted in the global sweep +
+tests/test_plans.py."""
 
 from __future__ import annotations
 
