@@ -33,6 +33,17 @@ DEFAULT = [
     "q142_tokenizer_fertility",
     "q143_nation_trade_pagerank",
     "q144_zipf_alpha",
+    "q146_token_window_chunks",
+    "q147_water_fill_budget",
+    "q148_length_matched_resample",
+    "q149_embedding_covariance",
+    "q150_vocab_oov_audit",
+    "q151_embedding_outliers",
+    "q152_span_corruption",
+    "q153_boilerplate_prefix",
+    "q154_code_switching",
+    "q155_sharded_covariance_merge",
+    "q156_join_key_skew",
 ]
 
 
