@@ -269,6 +269,78 @@ def _band_bucket_sizes(
     )
 
 
+def banded_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """The candidate-generation half of the banded pipeline, shared by
+    every operator that wants banded-minhash pruning with its own verify
+    metric (Jaccard here; tf-idf cosine in operators/tfidf.py).
+
+    Returns ``(shd, cands, n_cands)``: the persisted shingle frame
+    (``__id``, ``__sh``), the persisted + eagerly materialized distinct
+    candidate pair frame (``id_a`` < ``id_b``), and its size (computed
+    anyway for the callers' broadcast gates; also recorded in
+    ``LAST_STATS``). Both frames are registered with the call's cache
+    generation — callers must NOT call ``release_fuzzy_caches`` after
+    this returns until they are done with the result.
+
+    Plan shape: per-row signature (no shuffle) → explode bands (rows ×
+    n_bands) → self-join on (band_id, band_key) → distinct pairs. The
+    join key is the band bucket, so cost is Σ bucket² not n².
+    ``max_bucket_size`` is the hot-bucket guard (see
+    :func:`banded_minhash_pairs` for the recall contract).
+    """
+    assert num_hashes % band_size == 0
+    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
+    shd, bands = _signature_bands(
+        df, id_col, text_col, shingle_n, num_hashes, band_size
+    )
+    # NOTE: the uncapped bands frame is deliberately NOT persisted.
+    # Both self-join legs do re-derive the signature aggregate, but an
+    # sf10-replica A/B (3 runs each) showed no improvement from caching
+    # it outside the ±2× machine-load band, while adding a full extra
+    # materialization + memory pressure for the pre-cap band set. The
+    # capped SUBSET below is persisted: there the plan-level win is
+    # deterministic (the semi-join subtree — sizes aggregate included —
+    # would otherwise re-run per self-join leg; explode nodes halve).
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("__bc")
+        )
+        # persist: BOTH self-join legs consume the capped bands, and an
+        # unmaterialized semi-join would re-run the signature aggregate
+        # (the plan's biggest shuffle) plus the sizes aggregate per leg
+        # — confirmed 16 explode nodes vs 8 in the executed plan before
+        # this persist. Registered with the call's cache generation
+        # below, same lifetime as shd/cands.
+        bands = bands.join(
+            sizes.filter(F.col("__bc") <= max_bucket_size),
+            ["band_id", "band_key"],
+            "left_semi",
+        ).persist()
+        bands.count()  # eager: both legs read the cache
+        _register_caches(bands)
+    a = bands.select(F.col("__id").alias("id_a"), "band_id", "band_key")
+    b = bands.select(F.col("__id").alias("id_b"), "band_id", "band_key")
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+    n_cands = cands.count()
+    LAST_STATS["banded_candidates"] = n_cands
+    _register_caches(shd, cands)
+    return shd, cands, n_cands
+
+
 def banded_minhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -310,50 +382,18 @@ def banded_minhash_pairs(
     falls back to an ordinary shuffle join instead of overflowing the
     driver/executor broadcast limit.
     """
-    assert num_hashes % band_size == 0
-    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
-    shd, bands = _signature_bands(
-        df, id_col, text_col, shingle_n, num_hashes, band_size
-    )
-    # NOTE: the uncapped bands frame is deliberately NOT persisted.
-    # Both self-join legs do re-derive the signature aggregate, but an
-    # sf10-replica A/B (3 runs each) showed no improvement from caching
-    # it outside the ±2× machine-load band, while adding a full extra
-    # materialization + memory pressure for the pre-cap band set. The
-    # capped SUBSET below is persisted: there the plan-level win is
-    # deterministic (the semi-join subtree — sizes aggregate included —
-    # would otherwise re-run per self-join leg; explode nodes halve).
-    if max_bucket_size is not None:
-        sizes = bands.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("__bc")
-        )
-        # persist: BOTH self-join legs consume the capped bands, and an
-        # unmaterialized semi-join would re-run the signature aggregate
-        # (the plan's biggest shuffle) plus the sizes aggregate per leg
-        # — confirmed 16 explode nodes vs 8 in the executed plan before
-        # this persist. Registered with the call's cache generation
-        # below, same lifetime as shd/cands.
-        bands = bands.join(
-            sizes.filter(F.col("__bc") <= max_bucket_size),
-            ["band_id", "band_key"],
-            "left_semi",
-        ).persist()
-        bands.count()  # eager: both legs read the cache
-        _register_caches(bands)
-    a = bands.select(F.col("__id").alias("id_a"), "band_id", "band_key")
-    b = bands.select(F.col("__id").alias("id_b"), "band_id", "band_key")
-    cands = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .persist()
+    shd, cands, n_cands = banded_candidate_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        max_bucket_size=max_bucket_size,
     )
     # Size-gate the broadcast: sparse candidate sets (the normal case)
     # broadcast so the wide shingle arrays never shuffle; dense ones
     # (dirty corpus) take a shuffle join rather than blowing the limit.
-    n_cands = cands.count()
-    LAST_STATS["banded_candidates"] = n_cands
     cand_side = F.broadcast(cands) if n_cands <= broadcast_max_candidates else cands
     # Jaccard verify only on the candidates: join the cached shingle
     # arrays back by id.
@@ -371,8 +411,7 @@ def banded_minhash_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    _register_caches(shd, cands)
-    return out
+    return out  # shd/cands already cache-registered by banded_candidate_pairs
 
 
 def ngram_jaccard_pairs(
@@ -416,6 +455,97 @@ def ngram_jaccard_pairs(
         broadcast_max_candidates=broadcast_max_candidates,
         max_bucket_size=max_bucket_size,
     )
+
+
+# --------------------------------------------------------------------------
+# Build-once shared pair table (round 8 — VERDICT r7 task #2)
+# --------------------------------------------------------------------------
+
+# (applicationId, corpus_key, params…) → persisted verified-pair frame.
+# Separate pool from _LIVE_CACHES: pair tables survive across fuzzy-dedup
+# calls (that is their point), bounded by _PAIR_TABLE_MAX entries (LRU).
+_PAIR_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_PAIR_TABLE_MAX = 4
+
+
+def release_pair_tables() -> None:
+    """Unpersist every cached shared pair table (test/session teardown)."""
+    while _PAIR_TABLE_CACHE:
+        _, df = _PAIR_TABLE_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    corpus_key: str,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    broadcast_max_candidates: int = 2_000_000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Build-once near-dup pair table: :func:`ngram_jaccard_pairs`, but
+    the verified pair set is persisted and memoized under ``corpus_key``
+    so every consumer of the SAME pair graph — pair listing (q38),
+    degree profiling (q97), component clustering (q58), best-rep
+    selection (q145) — pays the shingle/band/verify pipeline ONCE per
+    session instead of re-deriving it per query (q97 was spending 57 s
+    of its 30× wall rebuilding q38's 2.3M-pair graph, SCALE.md round 7).
+
+    ``corpus_key`` is the caller's contract: two calls may share a key
+    ONLY if they pass identical (rows, params) inputs — the registry's
+    shared corpus builders (``q38_corpus``/``q58_corpus``) are the
+    intended key owners. The cache is per Spark application (the key
+    embeds ``applicationId``, so a restarted session never sees stale
+    handles) and holds at most ``_PAIR_TABLE_MAX`` tables, evicted LRU
+    with an unpersist. The pair table is small relative to its corpus —
+    one row per verified near-dup pair — which is what makes persist
+    the right contract where caching the corpus itself would not be.
+    """
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        corpus_key,
+        id_col,
+        text_col,
+        shingle_n,
+        jaccard_threshold,
+        num_hashes,
+        band_size,
+        max_bucket_size,
+    )
+    hit = _PAIR_TABLE_CACHE.pop(key, None)
+    if hit is not None:
+        _PAIR_TABLE_CACHE[key] = hit  # re-insert: LRU recency
+        LAST_STATS["pair_table_hit"] = 1
+        return hit
+    pairs = ngram_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        broadcast_max_candidates=broadcast_max_candidates,
+        max_bucket_size=max_bucket_size,
+    ).persist()
+    pairs.count()  # materialize BEFORE releasing the build intermediates
+    release_fuzzy_caches()  # shd/cands are baked into the pair table now
+    while len(_PAIR_TABLE_CACHE) >= _PAIR_TABLE_MAX:
+        old = _PAIR_TABLE_CACHE.pop(next(iter(_PAIR_TABLE_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _PAIR_TABLE_CACHE[key] = pairs
+    return pairs
 
 
 # --------------------------------------------------------------------------

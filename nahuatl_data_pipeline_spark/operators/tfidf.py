@@ -160,6 +160,11 @@ def tfidf_cosine_pairs(
     max_df_frac: float | None = 0.05,
     threshold: float = 0.5,
     round_to: int = 6,
+    candidates: str = "all",
+    num_hashes: int = 6,
+    band_size: int = 2,
+    broadcast_max_candidates: int = 2_000_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All document pairs with tf-idf cosine similarity ≥ ``threshold``,
     via an inverted-index join — the sparse-vector complement of the
@@ -191,17 +196,71 @@ def tfidf_cosine_pairs(
     thresholding: the pair dot product is a float fold whose last ulp
     depends on summation order (the anomaly.py reproducibility
     contract).
+
+    ``candidates`` picks the pairing strategy:
+
+    - ``'all'``: exact all-pairs over the (capped) posting lists. The df
+      cap makes the join linear in corpus size, but the CONSTANT is the
+      cap — at the 100×-unique decade the exact posting join cost 414 s
+      vs 109 s for q38's banded Jaccard on the same corpus (SCALE.md
+      round 7). Complete by construction; the right mode when missing a
+      sub-threshold-Jaccard / high-cosine pair is unacceptable.
+    - ``'banded'``: banded-minhash candidate pruning
+      (``fuzzy_dedup.banded_candidate_pairs``, the q25/q38 scheme —
+      ``num_hashes``/``band_size`` bands over the SAME shingle space as
+      the term vectors) followed by EXACT tf-idf scoring of the
+      surviving pairs: weights, norms and the df cap are still defined
+      over the whole corpus, so every emitted cosine is identical to the
+      ``'all'`` value — banding only prunes which pairs are scored.
+      Posting-join cost drops from Σ df² to Σ |cand|·|doc terms|, the
+      scale default. Recall contract: a pair is missed iff it shares no
+      minhash band — collision probability J^band_size per band on the
+      shingle space, so high-overlap pairs (the near-dup use case)
+      survive; measured 99.86 % of threshold-0.5 pairs on the
+      100×-unique replica at 3×2 bands, 59.5 s vs 413.8 s exact
+      (SCALE.md round 8). The candidate frame is
+      broadcast below ``broadcast_max_candidates`` (dirty corpora fall
+      back to a shuffle join); ``max_bucket_size`` is the hot-bucket
+      guard, same semantics as the Jaccard path.
     """
     from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
+
+    if candidates not in ("all", "banded"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
 
     if df_cap is None and max_df_frac is None:
         raise ValueError(
             "one of df_cap / max_df_frac is required: an uncapped inverted "
             "index makes every stop-term posting list a quadratic join input"
         )
+    cands = n_cands = None
+    if candidates == "banded":
+        from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+            banded_candidate_pairs,
+        )
+
+        # shd is the persisted (id, shingle-array) frame: the banding
+        # already paid the shingle pandas_udf once, so (for n>1, where
+        # shingles are distinct-per-doc) the tf table explodes the CACHE
+        # instead of re-shingling the corpus.
+        shd, cands, n_cands = banded_candidate_pairs(
+            docs.select(F.col(id_col), F.col(text_col)),
+            id_col,
+            text_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            max_bucket_size=max_bucket_size,
+        )
     if shingle_n == 1:
+        # unigram tf counts MULTIPLICITY — always from the token stream
+        # (the banding's shd holds the distinct token set, wrong tf)
         toks = tokenize(docs, id_col, text_col)
         tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    elif cands is not None:
+        tf = shd.select(
+            F.col("__id").alias(id_col), F.explode("__sh").alias("term")
+        ).withColumn("tf", F.lit(1))
     else:
         # word_shingles is distinct-per-doc → tf ≡ 1, no aggregate needed
         tf = docs.select(
@@ -252,6 +311,28 @@ def tfidf_cosine_pairs(
     b = normed.select(
         F.col("__doc").alias("id_b"), "term", F.col("wn").alias("wb")
     )
+    if cands is not None:
+        # banded mode: score ONLY the candidate pairs. The cand frame
+        # fans out by id_a's posting list, then the (id_b, term)-keyed
+        # join picks matching terms — work is Σ_pairs |terms(id_a)|,
+        # never Σ df². Weights/norms above are corpus-global, so each
+        # emitted cosine equals the 'all'-mode value exactly.
+        cand_side = (
+            F.broadcast(cands)
+            if n_cands <= broadcast_max_candidates
+            else cands
+        )
+        return (
+            cand_side.join(a, "id_a")
+            .join(b, ["id_b", "term"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.round(F.sum(F.col("wa") * F.col("wb")), round_to).alias(
+                    "cosine"
+                )
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
     return (
         a.join(b, "term")
         .filter(F.col("id_a") < F.col("id_b"))

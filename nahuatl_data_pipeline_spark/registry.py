@@ -863,19 +863,17 @@ def _mh_list_sql_exprs(num_hashes: int) -> list[str]:
     ]
 
 
-def banded_pairs_oracle_sql(
-    base_sql: str,
-    threshold: float,
-    num_hashes: int = 8,
-    band_size: int = 2,
+def banded_candidates_ctes(
+    num_hashes: int = 6, band_size: int = 2
 ) -> str:
-    """DuckDB mirror of ``operators/fuzzy_dedup.banded_minhash_pairs`` at
-    shingle_n=3 over an arbitrary ``base`` relation (doc_id, text):
-    3-gram shingles → md5-affine minhash signature → band-equality
-    candidates → exact shingle Jaccard ≥ threshold. ONE definition of the
-    banding shared by every pair-family oracle (q25, q38, q58's pairs
-    CTE, q97 via q38's registered string) so the candidate scheme cannot
-    drift between queries or between the engines."""
+    """The candidate-generation CTE chain (``toks`` → ``sh`` → ``hashed``
+    → ``sig`` → ``bands`` → ``cand``), mirroring
+    ``operators/fuzzy_dedup.banded_candidate_pairs`` at shingle_n=3 over
+    a prior CTE ``base(doc_id, text)``. ONE definition of the banding
+    text shared by the Jaccard-verify wrapper below AND the q108
+    banded-tf-idf oracle, so the candidate scheme cannot drift between
+    verify metrics. ``sig`` keeps the ``shingles`` column so verifies
+    that need the raw sets (Jaccard) can join it back."""
     assert num_hashes % band_size == 0
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
@@ -887,9 +885,7 @@ def banded_pairs_oracle_sql(
         )
         for b in range(num_hashes // band_size)
     )
-    return f"""
-    WITH base AS ({base_sql}),
-    toks AS (
+    return f"""toks AS (
       SELECT doc_id,
              LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
                          t -> t <> '') AS tk
@@ -920,7 +916,25 @@ def banded_pairs_oracle_sql(
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def banded_pairs_oracle_sql(
+    base_sql: str,
+    threshold: float,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> str:
+    """DuckDB mirror of ``operators/fuzzy_dedup.banded_minhash_pairs`` at
+    shingle_n=3 over an arbitrary ``base`` relation (doc_id, text):
+    3-gram shingles → md5-affine minhash signature → band-equality
+    candidates → exact shingle Jaccard ≥ threshold. ONE definition of the
+    banding shared by every pair-family oracle (q25, q38, q58's pairs
+    CTE, q97 via q38's registered string) so the candidate scheme cannot
+    drift between queries or between the engines."""
+    return f"""
+    WITH base AS ({base_sql}),
+    {banded_candidates_ctes(num_hashes, band_size)}
     SELECT id_a, id_b,
            ROUND(CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
                  / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles))), 6)

@@ -262,6 +262,36 @@ _Q38_BASE_SQL = f"""SELECT doc_id, text FROM documents
       FROM documents WHERE doc_id < 100"""
 
 
+def q38_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q38/q97's exact input (docs + planted near-dups) — ONE definition
+    (the q25_input pattern), and the owner of the ``q38:{sf_dir}``
+    pair-table corpus key: both queries pass identical rows, so they
+    legally share one :func:`~nahuatl_data_pipeline_spark.operators.
+    fuzzy_dedup.near_dup_pairs` build."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def q38_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared q38/q97 pair table (build-once persist contract)."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        near_dup_pairs,
+    )
+
+    return near_dup_pairs(
+        q38_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        corpus_key=f"q38:{sf_dir}",
+        shingle_n=3,
+        jaccard_threshold=0.5,
+    )
+
+
 @register(
     "q38_ngram_jaccard_pairs",
     banded_pairs_oracle_sql(
@@ -272,20 +302,11 @@ def q38_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over banded-minhash candidates
     (3 bands × 2 hashes — q25's scheme at a lighter signature width; the
     original single-min-shingle bucketing wasted ~5× candidates at 100×,
-    SCALE.md round 6) — planted near-dups exercise the match path."""
-    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
-        ngram_jaccard_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
-    )
-    return ngram_jaccard_pairs(
-        docs.unionByName(planted), "doc_id", "text", shingle_n=3,
-        jaccard_threshold=0.5,
-    )
+    SCALE.md round 6) — planted near-dups exercise the match path. The
+    pair set is the session-shared build-once table (near_dup_pairs):
+    q97's degree profile consumes the same persisted graph instead of
+    re-deriving it."""
+    return q38_pairs(spark, sf_dir)
 
 
 @register(
@@ -1018,14 +1039,19 @@ def q58_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     label + deterministic canonical (min doc_id). The oracle computes
     the same closure with a recursive CTE. Replaces the reference's
     pairwise right-side drop (SparkDedup.scala:120-160), which mishandles
-    chains."""
+    chains. Pairs come from the session-shared build-once table
+    (near_dup_pairs) — q145's best-rep selection reuses the same
+    persisted graph."""
     from nahuatl_data_pipeline_spark.operators.components import (
         duplicate_clusters,
     )
-    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
-        ngram_jaccard_pairs,
-    )
 
+    return duplicate_clusters(q58_pairs(spark, sf_dir))
+
+
+def q58_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q58/q145's exact input (docs + two planted generations) — ONE
+    definition, owner of the ``q58:{sf_dir}`` pair-table corpus key."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     v1 = docs.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -1035,8 +1061,20 @@ def q58_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_TAIL2)).alias("text"),
     )
-    pairs = ngram_jaccard_pairs(
-        docs.unionByName(v1).unionByName(v2), "doc_id", "text",
-        shingle_n=3, jaccard_threshold=0.5,
+    return docs.unionByName(v1).unionByName(v2)
+
+
+def q58_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared q58/q145 pair table (build-once persist contract)."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        near_dup_pairs,
     )
-    return duplicate_clusters(pairs)
+
+    return near_dup_pairs(
+        q58_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        corpus_key=f"q58:{sf_dir}",
+        shingle_n=3,
+        jaccard_threshold=0.5,
+    )

@@ -387,12 +387,13 @@ def q97_dup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the near-dup pair graph — the sizing
     signal between q38 (pairs) and q58 (components): a heavy tail means
     big dup families (cluster-dedup territory), a flat profile means
-    pairwise-only duplication. Pairs come from the SAME operator call
-    as q38; degrees are two partial-count aggregates over the (small)
-    pair set."""
+    pairwise-only duplication. Pairs come from the session-shared
+    build-once table (near_dup_pairs): when q38 ran first, this query
+    is two partial-count aggregates over the persisted (small) pair
+    set — no re-derivation (57 s of its 30× wall in round 7)."""
     from nahuatl_data_pipeline_spark import registry_ext
 
-    pairs = registry_ext.q38_ngram_jaccard_pairs(spark, sf_dir)
+    pairs = registry_ext.q38_pairs(spark, sf_dir)
     ids = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
         pairs.select(F.col("id_b").alias("doc_id"))
     )

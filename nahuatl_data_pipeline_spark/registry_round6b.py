@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nahuatl_data_pipeline_spark.registry import register
+from nahuatl_data_pipeline_spark.registry import (
+    banded_candidates_ctes,
+    register,
+)
 from nahuatl_data_pipeline_spark.schemas import load_table
 
 # ---------------------------------------------------------------------------
@@ -251,6 +254,13 @@ _Q108_TAIL = " tail token alpha beta"
 # while its ~30k shingle types have low df. The cap is RELATIVE
 # (max_df 5% of docs), so it tracks corpus growth; each planted pair
 # shares all its original shingles and scores ≈1.0.
+#
+# Round 8: the query runs candidates='banded' (3×2 minhash bands, the
+# q38 scheme over the SAME shingle space) — the oracle prepends the
+# shared banding CTE chain and joins its ``cand`` into the tf-idf
+# scoring, mirroring the pruning exactly. Weights/df/norms stay
+# corpus-global, so every surviving pair's cosine is identical to the
+# exact all-pairs value (tested in tests/test_tfidf.py).
 _Q108_SQL = rf"""
     WITH base AS (
       SELECT doc_id, text FROM documents
@@ -258,18 +268,9 @@ _Q108_SQL = rf"""
       SELECT doc_id + 1000000 AS doc_id, text || '{_Q108_TAIL}' AS text
       FROM documents WHERE doc_id < 100
     ),
-    tk AS (
-      SELECT doc_id,
-             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
-                         t -> t <> '') AS tk
-      FROM base
-    ),
+    {banded_candidates_ctes(num_hashes=6, band_size=2)},
     tf AS (
-      SELECT doc_id,
-             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
-                    i -> ARRAY_TO_STRING(tk[i:i+2], ' ')))) AS term,
-             1 AS tf
-      FROM tk WHERE LEN(tk) >= 3
+      SELECT doc_id, UNNEST(shingles) AS term, 1 AS tf FROM sh
     ),
     capped AS (
       SELECT * FROM (
@@ -289,11 +290,12 @@ _Q108_SQL = rf"""
              w / SQRT(SUM(w * w) OVER (PARTITION BY doc_id)) AS wn
       FROM weighted
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT c.id_a, c.id_b,
            ROUND(SUM(a.wn * b.wn), 6) AS cosine
-    FROM normed a JOIN normed b
-      ON a.term = b.term AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    FROM cand c
+    JOIN normed a ON a.doc_id = c.id_a
+    JOIN normed b ON b.doc_id = c.id_b AND b.term = a.term
+    GROUP BY c.id_a, c.id_b
     HAVING ROUND(SUM(a.wn * b.wn), 6) >= 0.5
 """
 
@@ -305,7 +307,11 @@ def q108_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lever; operators/tfidf.py:tfidf_cosine_pairs). The model-free
     counterpart of q39's embedding cosine and the weighted complement
     of q38's set Jaccard: same 3-gram shingle space, but a shared RARE
-    shingle moves the score more than a shared common one."""
+    shingle moves the score more than a shared common one. Since round 8
+    the query default is candidates='banded' — minhash-band candidate
+    pruning before exact tf-idf scoring (414 s → linear-cost at the
+    100×-unique decade; the oracle replicates the banding, and exact
+    all-pairs mode remains available as candidates='all')."""
     from nahuatl_data_pipeline_spark.operators.tfidf import (
         tfidf_cosine_pairs,
     )
@@ -322,6 +328,9 @@ def q108_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         max_df_frac=0.05,
         threshold=0.5,
+        candidates="banded",
+        num_hashes=6,
+        band_size=2,
     )
 
 

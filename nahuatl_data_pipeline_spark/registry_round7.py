@@ -573,25 +573,13 @@ def q145_cluster_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nahuatl_data_pipeline_spark.operators.components import (
         duplicate_clusters,
     )
-    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
-        ngram_jaccard_pairs,
+    from nahuatl_data_pipeline_spark.registry_ext import (
+        q58_corpus,
+        q58_pairs,
     )
-    from nahuatl_data_pipeline_spark.registry_ext import _TAIL, _TAIL2
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    v1 = docs.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
-    )
-    v2 = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_TAIL2)).alias("text"),
-    )
-    corpus = docs.unionByName(v1).unionByName(v2)
-    pairs = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", shingle_n=3, jaccard_threshold=0.5
-    )
-    clusters = duplicate_clusters(pairs)
+    corpus = q58_corpus(spark, sf_dir)
+    clusters = duplicate_clusters(q58_pairs(spark, sf_dir))
     lens = corpus.select("doc_id", F.length("text").alias("rep_chars"))
     w = Window.partitionBy("component").orderBy(
         F.col("rep_chars").desc(), F.col("doc_id").asc()

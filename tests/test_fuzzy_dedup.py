@@ -325,3 +325,93 @@ def test_word_shingles_ascii_whitespace_contract(spark):
     df = spark.createDataFrame([("a\xa0b c d e",)], ["text"])
     got = df.select(word_shingles("text", n=3).alias("sh")).collect()[0]["sh"]
     assert got == ["a\xa0b c d", "c d e"]
+
+
+# ---------------------------------------------------------------------------
+# near_dup_pairs: build-once shared pair table (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _pair_corpus(spark):
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(8))) for i in range(12)]
+    rows += [
+        (100 + i, " ".join(f"t{i}x{j}" for j in range(8)) + " suffix tok")
+        for i in range(4)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_near_dup_pairs_matches_direct_call(spark):
+    from nahuatl_data_pipeline_spark.operators import fuzzy_dedup as fd
+
+    fd.release_pair_tables()
+    docs = _pair_corpus(spark)
+    direct = sorted(
+        map(
+            tuple,
+            fd.ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_n=3, jaccard_threshold=0.5
+            ).collect(),
+        )
+    )
+    shared = sorted(
+        map(
+            tuple,
+            fd.near_dup_pairs(
+                docs,
+                "doc_id",
+                "text",
+                corpus_key="test:direct",
+                shingle_n=3,
+                jaccard_threshold=0.5,
+            ).collect(),
+        )
+    )
+    assert shared == direct and len(shared) >= 4
+    fd.release_pair_tables()
+
+
+def test_near_dup_pairs_second_call_is_cache_hit(spark):
+    from nahuatl_data_pipeline_spark.operators import fuzzy_dedup as fd
+
+    fd.release_pair_tables()
+    docs = _pair_corpus(spark)
+    kw = dict(corpus_key="test:hit", shingle_n=3, jaccard_threshold=0.5)
+    first = fd.near_dup_pairs(docs, "doc_id", "text", **kw)
+    fd.LAST_STATS.clear()
+    second = fd.near_dup_pairs(docs, "doc_id", "text", **kw)
+    assert second is first  # the SAME persisted frame, not a rebuild
+    assert fd.LAST_STATS.get("pair_table_hit") == 1
+    # a different key (params drift) must NOT hit
+    third = fd.near_dup_pairs(
+        docs, "doc_id", "text",
+        corpus_key="test:hit", shingle_n=3, jaccard_threshold=0.6,
+    )
+    assert third is not first
+    fd.release_pair_tables()
+
+
+def test_near_dup_pairs_lru_eviction_unpersists(spark):
+    from nahuatl_data_pipeline_spark.operators import fuzzy_dedup as fd
+
+    from pyspark.sql import functions as F
+
+    fd.release_pair_tables()
+    docs = _pair_corpus(spark)
+    frames = []
+    # distinct corpus per key (the contract): identical plans under
+    # different keys would alias in Spark's CacheManager (canonical-form
+    # matching), so an evicted sibling could unpersist the survivor
+    for i in range(fd._PAIR_TABLE_MAX + 1):
+        frames.append(
+            fd.near_dup_pairs(
+                docs.filter(F.col("doc_id") != 200 + i), "doc_id", "text",
+                corpus_key=f"test:evict{i}", shingle_n=3,
+                jaccard_threshold=0.5,
+            )
+        )
+    assert len(fd._PAIR_TABLE_CACHE) == fd._PAIR_TABLE_MAX
+    # the oldest entry was evicted and unpersisted
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[-1].storageLevel.useMemory is True
+    fd.release_pair_tables()

@@ -231,3 +231,115 @@ def test_vocab_coverage_tiebreak_deterministic(spark):
     ).collect()[0]
     # vocab = {a, b}; c and d are OOV
     assert (row["n_terms"], row["oov_terms"]) == (4, 2)
+
+
+# ---------------------------------------------------------------------------
+# candidates='banded' mode (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _banded_corpus(spark):
+    """20 base docs with distinct 8-token texts + 5 near-dup variants
+    (2-token tail) — the variants share nearly all 3-gram shingles with
+    their originals, so banding must surface them."""
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(20)
+    ]
+    rows += [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(8)) + " tail tok")
+        for i in range(5)
+    ]
+    return _docs(spark, rows)
+
+
+def test_banded_mode_subset_of_exact_with_identical_scores(spark):
+    """Banded pruning may only DROP pairs, never change a score: every
+    banded pair must appear in the exact output with the same cosine."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _banded_corpus(spark)
+    kw = dict(shingle_n=3, df_cap=100, threshold=0.1)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", candidates="all", **kw
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", candidates="banded", **kw
+        ).collect()
+    }
+    assert banded, "banding found no pairs at all"
+    for pair, cos in banded.items():
+        assert pair in exact and exact[pair] == cos
+
+
+def test_banded_mode_finds_planted_near_dups(spark):
+    """Each planted variant shares all 6 of its original's 3-gram
+    shingles (8-token doc → 6 shingles; the variant adds 4 more) —
+    Jaccard 0.6, cosine ≈ high — and must survive banding."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    got = tfidf_cosine_pairs(
+        _banded_corpus(spark),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        df_cap=100,
+        threshold=0.5,
+        candidates="banded",
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    for i in range(5):
+        assert (i, 100 + i) in pairs
+
+
+def test_banded_mode_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_max_candidates=0 forces the shuffle-join path; results
+    must be identical to the broadcast path."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _banded_corpus(spark)
+    kw = dict(
+        shingle_n=3, df_cap=100, threshold=0.1, candidates="banded"
+    )
+    a = sorted(
+        map(
+            tuple,
+            tfidf_cosine_pairs(docs, "doc_id", "text", **kw).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            tfidf_cosine_pairs(
+                docs, "doc_id", "text", broadcast_max_candidates=0, **kw
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_banded_mode_rejects_unknown_mode(spark):
+    import pytest
+
+    from nahuatl_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    with pytest.raises(ValueError, match="candidates"):
+        tfidf_cosine_pairs(
+            _docs(spark, [(1, "a b c")]),
+            "doc_id",
+            "text",
+            df_cap=5,
+            candidates="bogus",
+        )
