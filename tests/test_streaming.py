@@ -298,3 +298,123 @@ def test_token_window_chunks_composes_with_streams(spark, tmp_path):
     run_stream_to_memory(stream, "chunk_stream", output_mode="append")
     got = sorted(map(tuple, spark.table("chunk_stream").collect()))
     assert got == batch and len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# Late / out-of-order data through the watermark (round 8 — VERDICT r7 #7)
+# ---------------------------------------------------------------------------
+#
+# Multi-micro-batch protocol: one parquet file per batch written with
+# pyarrow under ascending mtimes; maxFilesPerTrigger=1 + availableNow
+# makes the file source process them as separate micro-batches in mtime
+# order, so the watermark advances BETWEEN files exactly like a live
+# stream — which is what makes drop-vs-keep observable at all (a single
+# batch would see everything before the watermark ever moves).
+
+
+def _write_event_file(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def _staged_dir(tmp_path, batches):
+    """Write each batch as one file with strictly increasing mtimes."""
+    import os
+
+    d = tmp_path / "staged_events"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        p = str(d / f"b{i}.parquet")
+        _write_event_file(p, rows)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(d)
+
+
+def test_windowed_agg_drops_too_late_keeps_in_tolerance(spark, tmp_path):
+    """The documented drop/keep contract for a 1 h-tolerance tumbling
+    window: after the watermark passes a window's end, events for it are
+    DISCARDED; a late event inside the tolerance still merges into its
+    (unfinalized) window.
+
+    Lag note (measured, Spark 4.1): the watermark computed from batch
+    N's data becomes effective for INPUT FILTERING in batch N+2 (state
+    eviction/append emission commits at batch N+1's end) — hence the
+    spacer batch between the watermark-advancing data and the late
+    arrivals; a live deployment sees the same one-trigger lag."""
+    e = lambda i, ts, v: (i, ts, 100, "click", v, None)
+    path = _staged_dir(
+        tmp_path,
+        [
+            # batch 0: on-time. max ts 13:00 → wm 12:00
+            [e(1, _ts(10, 0), 1.0), e(2, _ts(12, 10), 2.0), e(3, _ts(13, 0), 3.0)],
+            # batch 1: spacer — the 12:00 wm becomes the filter wm next batch
+            [e(9, _ts(13, 1), 0.5)],
+            # batch 2: 10:30 is TOO LATE ([10,11) end 11:00 ≤ wm 12:00) →
+            # dropped; 12:30 is late but in tolerance ([12,13) end > wm) →
+            # merges into the still-open window
+            [e(4, _ts(10, 30), 10.0), e(5, _ts(12, 30), 4.0)],
+            # batch 3: advances wm to 14:30 → finalizes [12,13) and [13,14)
+            [e(6, _ts(15, 30), 5.0)],
+        ],
+    )
+    stream = windowed_event_counts(
+        read_event_stream(spark, path, max_files_per_trigger=1),
+        window_duration="1 hour",
+        watermark="1 hour",
+    )
+    run_stream_to_memory(stream, "late_win_test", output_mode="append")
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("late_win_test").collect()
+    }
+    assert got[_ts(10, 0)] == (1, 1.0)  # too-late event 4 did NOT count
+    assert got[_ts(12, 0)] == (2, 6.0)  # late-but-tolerated event 5 DID
+    assert got[_ts(13, 0)] == (2, 3.5)  # on-time 13:00 + spacer 13:01
+    # [15,16) never finalized under append (wm 14:30 < end) — not emitted
+    assert _ts(15, 0) not in got and len(got) == 3
+
+
+def test_dedup_within_watermark_expires_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving while its
+    state is live is dropped; once the watermark expires the state, the
+    key is treated as NEW and re-emitted — the documented bounded-state
+    trade vs the reference's grow-forever in-memory index. Spacer batch
+    per the measured one-trigger watermark lag (see windowed test)."""
+    e = lambda i, ts: (i, ts, 100, "click", 1.0, None)
+    path = _staged_dir(
+        tmp_path,
+        [
+            [e(1, _ts(10, 0))],   # id 1 state created @10:00
+            [e(99, _ts(13, 0))],  # → wm 12:00; id 1 expires at next commit
+            [e(98, _ts(13, 5))],  # spacer: wm 12:00 now the filter wm
+            [e(99, _ts(13, 10)), e(1, _ts(13, 30))],  # 99 dup dropped
+            #                                           (state @13:00 live);
+            #                                           1 re-emitted (expired)
+        ],
+    )
+    stream = streaming_dedup(
+        read_event_stream(spark, path, max_files_per_trigger=1),
+        keys=["event_id"],
+        watermark="1 hour",
+    )
+    run_stream_to_memory(stream, "late_dedup_test")
+    out = spark.table("late_dedup_test")
+    assert out.filter(F.col("event_id") == 1).count() == 2
+    assert out.filter(F.col("event_id") == 99).count() == 1
+    assert out.filter(F.col("event_id") == 98).count() == 1
+    assert out.count() == 4
