@@ -55,6 +55,16 @@ def _build_parser() -> argparse.ArgumentParser:
                               "here (run_quality_check.py:343-449 parity)")
     quality.add_argument("--suite-name", default="corpus_suite")
 
+    audit = sub.add_parser(
+        "audit",
+        help="gold-standard SFT audit report (analyze_gold_standard.py)",
+    )
+    audit.add_argument("--input", required=True, help="parquet path")
+    audit.add_argument("--report", default=None,
+                       help="write the markdown report here "
+                            "(gold_standard_report.md parity)")
+    audit.add_argument("--min-rows", type=int, default=10_000)
+
     drift = sub.add_parser(
         "drift", help="token-distribution drift between two corpora"
     )
@@ -165,6 +175,32 @@ def main(argv: list[str] | None = None) -> int:
         for row in out.collect():
             print(json.dumps(row.asDict(), default=str))
         return 0
+
+    if args.cmd == "audit":
+        # exit-code contract mirrors the reference's verdict tiers:
+        # 0 = PASS (score ≥ 80), 1 = reservations/FAIL
+        from nahuatl_data_pipeline_spark.operators.audit import (
+            audit_gold_standard,
+            render_audit_markdown,
+        )
+
+        result = audit_gold_standard(
+            spark.read.parquet(args.input), min_rows=args.min_rows
+        )
+        md = render_audit_markdown(result, source_path=args.input)
+        if args.report:
+            with open(args.report, "w", encoding="utf-8") as f:
+                f.write(md)
+        print(
+            json.dumps(
+                {
+                    "score": result.score,
+                    "verdict": result.verdict,
+                    "metrics": result.metrics,
+                }
+            )
+        )
+        return 0 if result.verdict == "PASS" else 1
 
     if args.cmd == "quality":
         # exit-code contract of run_quality_check.py:343-449:
