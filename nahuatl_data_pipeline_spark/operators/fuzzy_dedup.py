@@ -549,6 +549,116 @@ def near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# Fuzzy bipartite decontamination (round 8)
+# --------------------------------------------------------------------------
+
+
+def fuzzy_decontamination_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Train documents NEAR-duplicating an eval/benchmark document:
+    the fuzzy complement of ``curation.contamination_flags`` (exact
+    13-gram window overlap). A paraphrased or lightly-edited benchmark
+    leak — reworded question, renumbered answer list, whitespace-mangled
+    copy — shares few or no EXACT 13-gram windows with its source, so
+    the published exact protocol misses it while its 3-gram shingle
+    Jaccard stays high; this operator catches exactly that band.
+
+    Plan: banded-minhash signatures on BOTH sides (the shared
+    :func:`_signature_bands` machinery — same scheme as q25/q38/q108, so
+    recall behavior is the documented J^band_size-per-band curve), then
+    a BIPARTITE band-key join (train bands ⨝ eval bands — never a self
+    join, so cost is Σ_bucket |train|·|eval|, linear in the train side
+    for a fixed eval suite) → distinct candidate pairs → exact shingle
+    Jaccard verify. The eval side (bands and shingle arrays) is
+    broadcast: benchmark suites are MBs against a 100 TB corpus, which
+    makes the whole probe shuffle-free on the train side except the
+    final per-pair dedup — the same asymmetry contract as the exact
+    operator.
+
+    Output: one row per (train ``id_col``, eval id, jaccard ≥
+    threshold). Roll up with :func:`fuzzy_contamination_flags` for the
+    scrub-by-anti-join shape.
+    """
+    eval_id = eval_id_col or id_col
+    release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
+    tr_shd, tr_bands = _signature_bands(
+        train.select(F.col(id_col), F.col(text_col)),
+        id_col, text_col, shingle_n, num_hashes, band_size,
+    )
+    ev_shd, ev_bands = _signature_bands(
+        evalset.select(F.col(eval_id).alias(id_col), F.col(text_col)),
+        id_col, text_col, shingle_n, num_hashes, band_size,
+    )
+    _register_caches(tr_shd, ev_shd)
+    cands = (
+        tr_bands.select(
+            F.col("__id").alias("train_id"), "band_id", "band_key"
+        )
+        .join(
+            F.broadcast(
+                ev_bands.select(
+                    F.col("__id").alias("eval_id"), "band_id", "band_key"
+                )
+            ),
+            ["band_id", "band_key"],
+        )
+        .select("train_id", "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    sh_t = tr_shd.select(
+        F.col("__id").alias("train_id"), F.col("__sh").alias("sh_t")
+    )
+    sh_e = ev_shd.select(
+        F.col("__id").alias("eval_id"), F.col("__sh").alias("sh_e")
+    )
+    inter = F.size(F.array_intersect("sh_t", "sh_e"))
+    union = F.size(F.array_union("sh_t", "sh_e"))
+    return (
+        cands.join(sh_t, "train_id")
+        .join(F.broadcast(sh_e), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(
+                inter.cast("double") / union.cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def fuzzy_contamination_flags(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Per-train-doc rollup of :func:`fuzzy_decontamination_pairs` in
+    the ``contamination_flags`` output shape: one row per contaminated
+    train doc (clean docs absent — anti-join to scrub), with the match
+    count and the strongest eval similarity."""
+    pairs = fuzzy_decontamination_pairs(
+        train, evalset, id_col=id_col, text_col=text_col, **kwargs
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    ).select(
+        F.col("train_id").alias(id_col), "n_eval_matches", "max_jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -415,3 +415,91 @@ def test_near_dup_pairs_lru_eviction_unpersists(spark):
     assert frames[0].storageLevel.useMemory is False
     assert frames[-1].storageLevel.useMemory is True
     fd.release_pair_tables()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy bipartite decontamination (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _decontam_frames(spark):
+    base = "the quick brown fox jumps over the lazy sleeping dog today"
+    train = spark.createDataFrame(
+        [
+            (1, base),  # verbatim leak
+            (2, base.replace("quick", "speedy")),  # 1-word paraphrase
+            (3, " ".join(f"clean{i}" for i in range(12))),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame([(900, base)], ["doc_id", "text"])
+    return train, evalset
+
+
+def test_fuzzy_decontamination_catches_paraphrase_exact_misses(spark):
+    """The motivating case: a 1-word paraphrase of an eval doc shares NO
+    exact 13-gram window (doc is only 10 tokens) but keeps high 3-gram
+    shingle Jaccard — exact contamination_flags returns nothing, the
+    fuzzy operator flags both the verbatim and the paraphrased leak."""
+    from nahuatl_data_pipeline_spark.operators.curation import (
+        contamination_flags,
+    )
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        fuzzy_contamination_flags,
+    )
+
+    train, evalset = _decontam_frames(spark)
+    assert contamination_flags(train, evalset, n=13).count() == 0
+    got = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination_flags(
+            train, evalset, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["max_jaccard"] == 1.0  # verbatim
+    assert 0.5 <= got[2]["max_jaccard"] < 1.0  # paraphrase
+    assert got[1]["n_eval_matches"] == 1
+
+
+def test_fuzzy_decontamination_pairs_shape_and_threshold(spark):
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        fuzzy_decontamination_pairs,
+    )
+
+    train, evalset = _decontam_frames(spark)
+    rows = fuzzy_decontamination_pairs(
+        train, evalset, jaccard_threshold=0.99
+    ).collect()
+    # only the verbatim leak survives a 0.99 threshold
+    assert [(r["train_id"], r["eval_id"], r["jaccard"]) for r in rows] == [
+        (1, 900, 1.0)
+    ]
+
+
+def test_fuzzy_decontamination_distinct_eval_id_column(spark):
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        fuzzy_decontamination_pairs,
+    )
+
+    train, _ = _decontam_frames(spark)
+    evalset = spark.createDataFrame(
+        [("task-1", "the quick brown fox jumps over the lazy sleeping dog today")],
+        ["task_id", "text"],
+    )
+    rows = fuzzy_decontamination_pairs(
+        train, evalset, eval_id_col="task_id", jaccard_threshold=0.9
+    ).collect()
+    assert rows and all(r["eval_id"] == "task-1" for r in rows)
+
+
+def test_fuzzy_decontamination_short_docs_unflaggable(spark):
+    """Docs under shingle_n tokens produce no shingles on either side —
+    same contract as the exact 13-gram protocol."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        fuzzy_decontamination_pairs,
+    )
+
+    train = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
+    evalset = spark.createDataFrame([(9, "two words")], ["doc_id", "text"])
+    assert fuzzy_decontamination_pairs(train, evalset).collect() == []
