@@ -366,8 +366,10 @@ def banded_minhash_pairs(
     it shares is oversized; run ``exact_dedup`` first so byte-identical
     families (true mega-buckets) never reach LSH, and the cap then
     sheds only collision buckets, which are overwhelmingly false
-    candidates. Default None = exact historical behavior (the q25
-    oracle reproduces banding with no cap).
+    candidates. Default None = no cap; since round 8 the q25/q108
+    registered queries pass 150 (the production posture probed at
+    100×), with the cap replicated in their oracles via the shared
+    CTE builder.
 
     Plan shape: per-row signature (no shuffle) → explode bands (rows ×
     n_bands) → self-join on (band_id, band_key) → distinct pairs →
@@ -464,8 +466,12 @@ def ngram_jaccard_pairs(
 # (applicationId, corpus_key, params…) → persisted verified-pair frame.
 # Separate pool from _LIVE_CACHES: pair tables survive across fuzzy-dedup
 # calls (that is their point), bounded by _PAIR_TABLE_MAX entries (LRU).
+# 2, not more: only two pair-graph corpora exist per sf_dir (q38's and
+# q58's), and at the 100× clone decade each table is ~25M rows — holding
+# four of those in one 8 GiB local-mode JVM squeezed the heap enough to
+# tip q31's own LSH join into OOM during the round-8 full sweep.
 _PAIR_TABLE_CACHE: dict[tuple, DataFrame] = {}
-_PAIR_TABLE_MAX = 4
+_PAIR_TABLE_MAX = 2
 
 
 def release_pair_tables() -> None:

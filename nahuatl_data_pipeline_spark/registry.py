@@ -864,7 +864,9 @@ def _mh_list_sql_exprs(num_hashes: int) -> list[str]:
 
 
 def banded_candidates_ctes(
-    num_hashes: int = 6, band_size: int = 2
+    num_hashes: int = 6,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> str:
     """The candidate-generation CTE chain (``toks`` → ``sh`` → ``hashed``
     → ``sig`` → ``bands`` → ``cand``), mirroring
@@ -873,7 +875,10 @@ def banded_candidates_ctes(
     text shared by the Jaccard-verify wrapper below AND the q108
     banded-tf-idf oracle, so the candidate scheme cannot drift between
     verify metrics. ``sig`` keeps the ``shingles`` column so verifies
-    that need the raw sets (Jaccard) can join it back."""
+    that need the raw sets (Jaccard) can join it back.
+    ``max_bucket_size`` mirrors the hot-bucket guard: band buckets over
+    the limit are dropped before the candidate self-join (the Σ bucket²
+    bound that keeps dirty/clone corpora feasible)."""
     assert num_hashes % band_size == 0
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
@@ -885,6 +890,19 @@ def banded_candidates_ctes(
         )
         for b in range(num_hashes // band_size)
     )
+    cap_ctes = ""
+    bands_src = "bands"
+    if max_bucket_size is not None:
+        cap_ctes = f""",
+    bands_capped AS (
+      SELECT b.* FROM bands b
+      JOIN (
+        SELECT band_id, band_key FROM bands
+        GROUP BY band_id, band_key
+        HAVING COUNT(*) <= {max_bucket_size}
+      ) ok USING (band_id, band_key)
+    )"""
+        bands_src = "bands_capped"
     return f"""toks AS (
       SELECT doc_id,
              LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
@@ -910,10 +928,10 @@ def banded_candidates_ctes(
     ),
     bands AS (
       {band_selects}
-    ),
+    ){cap_ctes},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM {bands_src} a JOIN {bands_src} b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     )"""
@@ -924,6 +942,7 @@ def banded_pairs_oracle_sql(
     threshold: float,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB mirror of ``operators/fuzzy_dedup.banded_minhash_pairs`` at
     shingle_n=3 over an arbitrary ``base`` relation (doc_id, text):
@@ -934,7 +953,7 @@ def banded_pairs_oracle_sql(
     drift between queries or between the engines."""
     return f"""
     WITH base AS ({base_sql}),
-    {banded_candidates_ctes(num_hashes, band_size)}
+    {banded_candidates_ctes(num_hashes, band_size, max_bucket_size)}
     SELECT id_a, id_b,
            ROUND(CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
                  / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles))), 6)
@@ -947,6 +966,13 @@ def banded_pairs_oracle_sql(
 """
 
 
+# Hot-bucket cap 150 (round 8): the production posture probed at 100x in
+# round 6 (precision 99.996% on the clone replica; the uncapped query was
+# killed >60 min there). Mirrored in the oracle via the shared CTE
+# builder; at sf0.01/sf0.1 no bucket reaches 150, so small-scale results
+# are unchanged.
+_Q25_BUCKET_CAP = 150
+
 _Q25_ORACLE = banded_pairs_oracle_sql(
     f"""SELECT doc_id, text FROM documents
       UNION ALL
@@ -955,6 +981,7 @@ _Q25_ORACLE = banded_pairs_oracle_sql(
     threshold=0.5,
     num_hashes=8,
     band_size=2,
+    max_bucket_size=_Q25_BUCKET_CAP,
 )
 
 
@@ -982,7 +1009,7 @@ def q25_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = q25_input(spark, sf_dir)
     return banded_minhash_pairs(
         base, "doc_id", "text", shingle_n=3, num_hashes=8, band_size=2,
-        jaccard_threshold=0.5,
+        jaccard_threshold=0.5, max_bucket_size=_Q25_BUCKET_CAP,
     )
 
 

@@ -246,6 +246,7 @@ def q107_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q108_TAIL = " tail token alpha beta"
+_Q108_BUCKET_CAP = 150
 
 # Planted near-dups (q38's pattern): doc_id<100 re-enter with a 4-token
 # tail at id+1000000. Term space is DISTINCT 3-gram shingles (tf≡1) —
@@ -260,7 +261,12 @@ _Q108_TAIL = " tail token alpha beta"
 # shared banding CTE chain and joins its ``cand`` into the tf-idf
 # scoring, mirroring the pruning exactly. Weights/df/norms stay
 # corpus-global, so every surviving pair's cosine is identical to the
-# exact all-pairs value (tested in tests/test_tfidf.py).
+# exact all-pairs value (tested in tests/test_tfidf.py). The hot-bucket
+# cap (150, q25's probe value) is mirrored too: on a dense clone corpus
+# an uncapped band bucket of B docs emits B² candidates in one task —
+# the 100× clone sweep filled the shuffle disk before the cap
+# (SCALE.md round 8); at sane duplication levels buckets never reach
+# 150 and the cap is a no-op (sf0.01/sf0.1 outputs unchanged).
 _Q108_SQL = rf"""
     WITH base AS (
       SELECT doc_id, text FROM documents
@@ -268,7 +274,7 @@ _Q108_SQL = rf"""
       SELECT doc_id + 1000000 AS doc_id, text || '{_Q108_TAIL}' AS text
       FROM documents WHERE doc_id < 100
     ),
-    {banded_candidates_ctes(num_hashes=6, band_size=2)},
+    {banded_candidates_ctes(num_hashes=6, band_size=2, max_bucket_size=_Q108_BUCKET_CAP)},
     tf AS (
       SELECT doc_id, UNNEST(shingles) AS term, 1 AS tf FROM sh
     ),
@@ -331,6 +337,7 @@ def q108_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates="banded",
         num_hashes=6,
         band_size=2,
+        max_bucket_size=_Q108_BUCKET_CAP,
     )
 
 
