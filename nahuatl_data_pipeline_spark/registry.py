@@ -131,6 +131,20 @@ def register(name: str, sql: str | None):
     return deco
 
 
+# Queries whose registered semantics (plan AND oracle together) changed
+# in a given round: a green row from an EARLIER round certified a
+# different (query, oracle) pair, so it must not count — the query sorts
+# as never-certified until the driver re-hashes the new pair. Entries
+# self-expire: once a row at/after the listed round exists, the pin is a
+# no-op and can be garbage-collected on sight.
+#   round 8: q25/q108 made the hot-bucket cap (150) the registered
+#   default, mirrored in their oracles (banded_candidates_ctes).
+_RECERTIFY_IF_BEFORE: dict[str, int] = {
+    "q25_near_dup_pairs": 8,
+    "q108_tfidf_cosine_pairs": 8,
+}
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, least-recently-driver-certified first.
 
@@ -138,8 +152,14 @@ def queries() -> dict[str, QueryFn]:
     time, so the driver's 50-entry cap rotates across rounds with zero
     manual edits: whatever it certified last round sinks to the back,
     whatever is stalest (or brand new) floats to the front.
+    Semantics-changed queries (``_RECERTIFY_IF_BEFORE``) float to the
+    very front until a green row at/after their change round exists.
     """
-    order = ordered_by_staleness(_QUERIES, certification_rounds())
+    rounds = certification_rounds()
+    for name, changed_round in _RECERTIFY_IF_BEFORE.items():
+        if rounds.get(name, 0) < changed_round:
+            rounds.pop(name, None)
+    order = ordered_by_staleness(_QUERIES, rounds)
     return {n: _QUERIES[n] for n in order}
 
 

@@ -111,8 +111,29 @@ def test_ordering_stalest_first_stable_within_round():
 
 def test_live_queries_order_matches_artifacts():
     """queries() on the real repo: no entry certified in a NEWER round
-    may precede one certified in an older round (never = round 0)."""
+    may precede one certified in an older round (never = round 0) —
+    after applying the semantics-change pins (_RECERTIFY_IF_BEFORE),
+    which deliberately zero a query's effective round until the driver
+    re-hashes its changed (plan, oracle) pair."""
+    from nahuatl_data_pipeline_spark.registry import _RECERTIFY_IF_BEFORE
+
     rounds = certification_rounds()
+    for name, changed_round in _RECERTIFY_IF_BEFORE.items():
+        if rounds.get(name, 0) < changed_round:
+            rounds.pop(name, None)
     seq = [rounds.get(n, 0) for n in queries()]
     assert seq == sorted(seq)
     assert len(seq) == len(set(queries())) and len(seq) >= 68
+
+
+def test_recertify_pin_floats_changed_queries_to_front():
+    """A semantics-changed query must occupy the driver's certification
+    window even though it holds an (invalidated) older green row; the
+    pin expires once a row at/after the change round exists."""
+    from nahuatl_data_pipeline_spark.registry import _RECERTIFY_IF_BEFORE
+
+    names = list(queries())
+    rounds = certification_rounds()
+    for name, changed_round in _RECERTIFY_IF_BEFORE.items():
+        if rounds.get(name, 0) < changed_round:
+            assert names.index(name) < 50, f"{name} fell out of the window"
