@@ -211,3 +211,36 @@ def read_layer_dir(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str | list[str],
+    row_tag: str,
+    schema=None,
+    mode: str = "PERMISSIVE",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Distributed XML source (Spark 4 ships the former spark-xml
+    integration natively): one row per ``row_tag`` element, attributes
+    surfaced as ``_attr`` columns. The distributed complement of the
+    driver-side ``parsers.parse_bible_xml`` regex path — that one
+    handles small fetched documents inside a download loop; this one
+    scans an XML *dataset* with executor parallelism, pushdown-pruned
+    columns, and the standard PERMISSIVE/corrupt-record contract of the
+    JSONL reader (S1).
+
+    Always pass ``schema`` in production: XML schema inference both
+    costs an extra full scan AND coerces aggressively (observed: short
+    text like ``T1`` inferred as timestamp). PERMISSIVE mode needs the
+    ``_corrupt_record`` column present in that explicit schema to
+    capture malformed elements, same as the JSONL reader.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag).option(
+        "mode", mode
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)

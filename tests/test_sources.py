@@ -480,3 +480,61 @@ def test_write_zordered_clamps_bits_for_many_dims(spark, tmp_path):
     write_zordered(df, out, ["a", "b", "c", "d"], num_files=4)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# XML source (round 8 — Spark-native distributed XML)
+# ---------------------------------------------------------------------------
+
+
+def test_read_xml_explicit_schema_and_attributes(spark, tmp_path):
+    from nahuatl_data_pipeline_spark.sources.readers import read_xml
+
+    p = str(tmp_path / "verses.xml")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(
+            """<?xml version="1.0"?>
+<bible>
+  <verse id="1" book="GEN">In the beginning was the corpus</verse>
+  <verse id="2" book="GEN">And the corpus was distributed</verse>
+  <verse id="3" book="EXO">T1</verse>
+</bible>"""
+        )
+    df = read_xml(
+        spark,
+        p,
+        row_tag="verse",
+        schema="_id long, _book string, _VALUE string",
+    )
+    rows = {r["_id"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1]["_book"] == "GEN"
+    assert rows[1]["_VALUE"] == "In the beginning was the corpus"
+    # the schema-inference pitfall the docstring warns about: with an
+    # explicit schema, 'T1' stays a STRING, not a coerced timestamp
+    assert rows[3]["_VALUE"] == "T1"
+
+
+def test_read_xml_permissive_corrupt_record(spark, tmp_path):
+    from nahuatl_data_pipeline_spark.sources.readers import read_xml
+
+    p = str(tmp_path / "mixed.xml")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(
+            """<root>
+  <rec><a>1</a></rec>
+  <rec><a>not_a_number</a></rec>
+</root>"""
+        )
+    df = read_xml(
+        spark,
+        p,
+        row_tag="rec",
+        schema="a long, _corrupt_record string",
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    good = [r for r in rows if r["a"] == 1]
+    bad = [r for r in rows if r["a"] is None]
+    assert len(good) == 1 and len(bad) == 1
+    assert bad[0]["_corrupt_record"] is not None
