@@ -155,3 +155,91 @@ def sequence_pieces(
             (end_abs - begin_abs).alias("piece_len"),
         )
     )
+
+
+def length_grouped_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_size: int = 8,
+    bucket_width: int = 64,
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Length-grouped batch assignment: documents batched with
+    similar-length peers so per-batch padding (to the batch max) is
+    small — the dataloader trick that cuts padded-token waste 2-10× vs
+    random batching for training/inference over variable-length text.
+    The complement of :func:`pack_sequences`: packing CONCATENATES docs
+    to fill a context window (pretraining), length-grouping keeps docs
+    separate but co-schedules equals (SFT/inference batching).
+
+    Assignment is deterministic and partitioning-independent: length
+    bucket = ``ceil(n_tokens / bucket_width)``; within a bucket, rows
+    order by a seeded content hash (no ``rand()``), chunked into
+    ``batch_size`` groups. Buckets are SHARDED by a hash of the id
+    (``n_shards``) and batches form within (bucket, shard) — the scale
+    contract: a window partitioned only by bucket would funnel billions
+    of same-length rows through a handful of tasks at 100 TB, while
+    sharding bounds every window partition at rows/(buckets·shards)
+    with zero effect on padding quality (batches are still
+    equal-length-grouped; the only cost is ≤1 partial batch per
+    (bucket, shard) instead of per bucket).
+
+    Output: ``(id, n_tokens, bucket, shard, batch_id, batch_key)`` —
+    ``batch_key`` is the globally-unique batch handle.
+    """
+    if batch_size < 1 or bucket_width < 1 or n_shards < 1:
+        raise ValueError("batch_size, bucket_width, n_shards must be >= 1")
+    n = token_count(F.col(text_col))
+    keyed = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.ceil(F.col("n_tokens") / F.lit(bucket_width)).cast("long")
+    ).withColumn(
+        "shard",
+        (
+            F.conv(
+                F.substring(_shuffle_hash(F.col(id_col), seed), 1, 15), 16, 10
+            ).cast("long")
+            % n_shards
+        ).cast("long"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        _shuffle_hash(F.col(id_col), seed + 1), F.col(id_col)
+    )
+    return keyed.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    ).withColumn(
+        "batch_key",
+        F.concat_ws("/", "bucket", "shard", "batch_id"),
+    )
+
+
+def batch_padding_stats(batches: DataFrame) -> DataFrame:
+    """Per-batch padding accounting over :func:`length_grouped_batches`
+    output: each batch pads every member to the batch max, so waste =
+    ``n_rows·max − Σ n_tokens``. One map-side-combined aggregate keyed
+    by the batch handle; the corpus-level waste fraction is a second
+    tiny fold over the batch table::
+
+        stats.agg(F.sum("padded_tokens"), F.sum("waste_tokens"))
+    """
+    return batches.groupBy("batch_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    ).select(
+        "batch_key",
+        "n_rows",
+        "max_tokens",
+        "sum_tokens",
+        (F.col("n_rows") * F.col("max_tokens")).cast("long").alias(
+            "padded_tokens"
+        ),
+        (F.col("n_rows") * F.col("max_tokens") - F.col("sum_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+    )

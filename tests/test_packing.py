@@ -124,3 +124,114 @@ def test_pieces_tile_sequences_exactly(spark):
 
     # empty doc contributes no pieces
     assert pieces.filter(F.col("doc_id") == 30).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# length-grouped batching (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _bimodal(spark, n_short=40, n_long=40):
+    rows = [(i, " ".join(["s"] * 5)) for i in range(n_short)]
+    rows += [(1000 + i, " ".join(["l"] * 500)) for i in range(n_long)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_length_grouped_batches_members_share_bucket(spark):
+    from nahuatl_data_pipeline_spark.operators.packing import (
+        length_grouped_batches,
+    )
+
+    out = length_grouped_batches(
+        _bimodal(spark), "doc_id", "text", batch_size=8, bucket_width=64
+    )
+    rows = out.collect()
+    assert len(rows) == 80
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_key"], []).append(r)
+    for members in by_batch.values():
+        assert len(members) <= 8
+        assert len({m["bucket"] for m in members}) == 1
+
+
+def test_length_grouped_batches_deterministic_across_partitioning(spark):
+    from nahuatl_data_pipeline_spark.operators.packing import (
+        length_grouped_batches,
+    )
+
+    df = _bimodal(spark)
+    a = sorted(
+        map(tuple, length_grouped_batches(df, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            length_grouped_batches(
+                df.repartition(13), "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_length_grouping_beats_random_batching_on_padding(spark):
+    """The point of the operator: on a bimodal corpus, grouped batches
+    pad almost nothing while bucket-blind batching (bucket_width large
+    enough to merge the modes) pads every short doc to the long max."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.packing import (
+        batch_padding_stats,
+        length_grouped_batches,
+    )
+
+    df = _bimodal(spark)
+
+    def waste_frac(bucket_width):
+        b = length_grouped_batches(
+            df, "doc_id", "text", batch_size=8,
+            bucket_width=bucket_width, n_shards=2,
+        )
+        s = batch_padding_stats(b).agg(
+            F.sum("waste_tokens").alias("w"), F.sum("padded_tokens").alias("p")
+        ).collect()[0]
+        return s["w"] / s["p"]
+
+    grouped = waste_frac(64)    # short and long modes in separate buckets
+    blind = waste_frac(10_000)  # one bucket: batches mix 5- and 500-token docs
+    assert grouped == 0.0  # equal lengths within each mode → zero padding
+    assert blind > 0.3
+
+
+def test_batch_padding_stats_hand_computed(spark):
+    from nahuatl_data_pipeline_spark.operators.packing import (
+        batch_padding_stats,
+        length_grouped_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")], "doc_id long, text string"
+    )
+    b = length_grouped_batches(
+        df, "doc_id", "text", batch_size=4, bucket_width=64, n_shards=1
+    )
+    s = batch_padding_stats(b).collect()
+    assert len(s) == 1  # all three docs land in bucket 1, shard 0, batch 0
+    row = s[0]
+    assert row["n_rows"] == 3 and row["max_tokens"] == 3
+    assert row["sum_tokens"] == 6 and row["waste_tokens"] == 3
+    assert row["padded_tokens"] == 9
+
+
+def test_length_grouped_batches_rejects_bad_params(spark):
+    import pytest
+
+    from nahuatl_data_pipeline_spark.operators.packing import (
+        length_grouped_batches,
+    )
+
+    with pytest.raises(ValueError):
+        length_grouped_batches(
+            _bimodal(spark), "doc_id", "text", batch_size=0
+        )
