@@ -125,6 +125,15 @@ def minhash_lsh_pairs(
     chain (generation-managed like the banded path): the self-join
     consumes it as BOTH sides, so without the persist every shingle and
     TF vector is computed twice.
+
+    Dirty-corpus envelope: approxSimilarityJoin has no hot-bucket cap
+    lever, so on a corpus with B-member duplicate families it carries
+    the full Σ C(B,2) candidate volume (the 100× clone replica passes
+    solo at 484 s but OOM'd under accumulated sweep state — SCALE.md
+    round 8). The capped deterministic path (``banded_minhash_pairs``
+    with ``max_bucket_size``) is the production choice for such
+    corpora; this path exists for SparkDedup.scala parity and clean
+    corpora.
     """
     from pyspark.ml.feature import HashingTF
     from pyspark.storagelevel import StorageLevel
@@ -559,6 +568,10 @@ def near_dup_pairs(
 # --------------------------------------------------------------------------
 
 
+def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if do_broadcast else df
+
+
 def fuzzy_decontamination_pairs(
     train: DataFrame,
     evalset: DataFrame,
@@ -569,6 +582,7 @@ def fuzzy_decontamination_pairs(
     num_hashes: int = 6,
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Train documents NEAR-duplicating an eval/benchmark document:
     the fuzzy complement of ``curation.contamination_flags`` (exact
@@ -588,7 +602,9 @@ def fuzzy_decontamination_pairs(
     broadcast: benchmark suites are MBs against a 100 TB corpus, which
     makes the whole probe shuffle-free on the train side except the
     final per-pair dedup — the same asymmetry contract as the exact
-    operator.
+    operator. ``broadcast_eval=False`` is the escape hatch when the
+    "eval" side is another full corpus (cross-corpus near-dup audit):
+    both joins fall back to shuffle joins, result-identical (tested).
 
     Output: one row per (train ``id_col``, eval id, jaccard ≥
     threshold). Roll up with :func:`fuzzy_contamination_flags` for the
@@ -610,10 +626,11 @@ def fuzzy_decontamination_pairs(
             F.col("__id").alias("train_id"), "band_id", "band_key"
         )
         .join(
-            F.broadcast(
+            _maybe_broadcast(
                 ev_bands.select(
                     F.col("__id").alias("eval_id"), "band_id", "band_key"
-                )
+                ),
+                broadcast_eval,
             ),
             ["band_id", "band_key"],
         )
@@ -630,7 +647,7 @@ def fuzzy_decontamination_pairs(
     union = F.size(F.array_union("sh_t", "sh_e"))
     return (
         cands.join(sh_t, "train_id")
-        .join(F.broadcast(sh_e), "eval_id")
+        .join(_maybe_broadcast(sh_e, broadcast_eval), "eval_id")
         .select(
             "train_id",
             "eval_id",

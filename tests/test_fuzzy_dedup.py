@@ -503,3 +503,17 @@ def test_fuzzy_decontamination_short_docs_unflaggable(spark):
     train = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
     evalset = spark.createDataFrame([(9, "two words")], ["doc_id", "text"])
     assert fuzzy_decontamination_pairs(train, evalset).collect() == []
+
+
+def test_fuzzy_decontamination_shuffle_fallback_matches_broadcast(spark):
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        fuzzy_decontamination_pairs,
+    )
+
+    train, evalset = _decontam_frames(spark)
+    kw = dict(jaccard_threshold=0.5)
+    a = sorted(map(tuple, fuzzy_decontamination_pairs(
+        train, evalset, broadcast_eval=True, **kw).collect()))
+    b = sorted(map(tuple, fuzzy_decontamination_pairs(
+        train, evalset, broadcast_eval=False, **kw).collect()))
+    assert a == b and a
