@@ -1,0 +1,137 @@
+"""URL canonicalization and URL-key dedup — the web-crawl staple the
+text-side dedup family (exact/minhash/simhash) sits on top of in a
+crawl-scale pipeline: collapse re-crawls and tracking-parameter
+variants of the same page BEFORE paying any content-hash or shingle
+cost.
+
+Beyond the reference (its sources are curated HF datasets with stable
+ids, so it never needs this; the analogous id-construction is
+``manager.py:17-21``'s sha256(url+ts) — which treats every tracked
+variant as a distinct document, exactly the failure mode this module
+removes).
+
+Scale posture: ``canonicalize_url`` is a pure column expression —
+regexp/split/array_sort codegen, zero Python hops, so it rides inside
+whole-stage codegen on the scan. ``url_dedup`` is ONE shuffle on the
+canonical key (window row_number, same contract as
+``operators/dedup.py``); at 100 TB it is strictly cheaper than any
+content dedup because the key is bytes of URL, not bytes of document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tracking parameters stripped by default: the query-string noise that
+# makes one page crawl as many URLs. Matched against the full "k=v"
+# token, anchored.
+DEFAULT_TRACKING_PARAMS = (
+    "utm_[a-z]+",
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "mc_eid",
+    "igshid",
+    "ref",
+)
+
+
+def _tracking_regex(params: tuple[str, ...]) -> str:
+    return "^(" + "|".join(params) + ")(=|$)"
+
+
+def canonicalize_url(
+    url: Column,
+    *,
+    drop_scheme: bool = False,
+    tracking_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
+) -> Column:
+    """Canonical form of ``url`` as a pure Spark expression.
+
+    Rules (each a standard crawl-dedup normalization):
+
+    - trim surrounding whitespace; strip the ``#fragment``;
+    - lowercase the ``scheme://host[:port]`` prefix (path/query case is
+      preserved — it is significant on most servers);
+    - strip a leading ``www.`` and the scheme-default port
+      (``:80`` for http, ``:443`` for https);
+    - strip trailing slashes from the path;
+    - drop tracking query parameters (``tracking_params``, matched
+      against the ``k=v`` token), sort the survivors so parameter
+      order cannot distinguish URLs, and drop the ``?`` when none
+      survive;
+    - ``drop_scheme=True`` additionally removes ``scheme://`` so that
+      http/https re-crawls of the same page collapse.
+
+    Scheme-less inputs (no ``://``): fragment/query/trailing-slash
+    rules still apply; the host-specific rules (lowercase, ``www.``,
+    default port) require an explicit scheme to locate the authority
+    and are skipped — document ingestion should prepend one if its
+    source emits bare authorities.
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+
+    # Authority prefix (scheme://host[:port]) normalized, path preserved.
+    prefix = F.lower(
+        F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)", 1)
+    )
+    prefix = F.regexp_replace(prefix, r"^(https?://)www\.", "$1")
+    prefix = F.regexp_replace(prefix, r"^(http://[^/:]+):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^/:]+):443$", "$1")
+    if drop_scheme:
+        prefix = F.regexp_replace(prefix, r"^[a-z][a-z0-9+.\-]*://", "")
+    path = F.regexp_replace(
+        base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", ""
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+
+    tracking_rx = _tracking_regex(tracking_params)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(tracking_rx),
+        )
+    )
+    q = F.concat_ws("&", kept)
+    return F.when(
+        F.length(q) > 0, F.concat(prefix, path, F.lit("?"), q)
+    ).otherwise(F.concat(prefix, path))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    order_col: str | None = None,
+    descending: bool = True,
+    canon_col: str = "canonical_url",
+    **canon_kwargs,
+) -> DataFrame:
+    """Keep ONE row per canonical URL.
+
+    Winner per key: highest (``descending=True``) ``order_col`` —
+    e.g. crawl timestamp for keep-latest or a quality score for
+    keep-best — with the raw URL string as the deterministic
+    tiebreak; with no ``order_col`` the lexically-smallest raw URL
+    wins (pure function of the data, never of partitioning).
+
+    Output keeps every input column plus ``canon_col``. One shuffle on
+    the canonical key; the window is per-URL-family sized, so no key
+    carries more rows than one page has crawl variants.
+    """
+    out = df.withColumn(
+        canon_col, canonicalize_url(F.col(url_col), **canon_kwargs)
+    )
+    order = [F.col(url_col).asc()]
+    if order_col is not None:
+        lead = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        order = [lead, *order]
+    w = Window.partitionBy(canon_col).orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,107 @@
+"""URL canonicalization + URL-key dedup (functions/url.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nahuatl_data_pipeline_spark.functions.url import (
+    canonicalize_url,
+    url_dedup,
+)
+
+
+def _canon(spark, urls, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(canonicalize_url(F.col("url"), **kw).alias("c")).collect()
+    return [r.c for r in rows]
+
+
+@pytest.mark.parametrize(
+    "raw, want",
+    [
+        # host lowercased, path case preserved
+        ("HTTPS://Example.COM/Path/A", "https://example.com/Path/A"),
+        # www + default port + trailing slash
+        ("http://www.example.com:80/a/", "http://example.com/a"),
+        ("https://example.com:443/", "https://example.com"),
+        # non-default port kept
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # fragment stripped
+        ("https://example.com/a#sec-2", "https://example.com/a"),
+        # tracking params dropped, survivors sorted, '?' dropped if none
+        (
+            "https://example.com/a?utm_source=x&b=2&a=1&fbclid=z",
+            "https://example.com/a?a=1&b=2",
+        ),
+        ("https://example.com/a?utm_campaign=x&gclid=1", "https://example.com/a"),
+        # param ORDER no longer distinguishes
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        # ref is tracking; reference/refresh are NOT (anchored match)
+        (
+            "https://example.com/a?ref=hn&reference=k",
+            "https://example.com/a?reference=k",
+        ),
+        # whitespace trim
+        ("  https://example.com/a  ", "https://example.com/a"),
+        # scheme-less: query/slash rules only, authority untouched
+        ("Example.com/a/?utm_source=x", "Example.com/a"),
+    ],
+)
+def test_canonicalize_hand_values(spark, raw, want):
+    assert _canon(spark, [raw]) == [want]
+
+
+def test_drop_scheme_collapses_http_https(spark):
+    got = _canon(
+        spark,
+        ["http://www.example.com/a", "https://example.com/a/"],
+        drop_scheme=True,
+    )
+    assert got == ["example.com/a", "example.com/a"]
+
+
+def test_custom_tracking_params(spark):
+    got = _canon(
+        spark,
+        ["https://e.com/a?sid=1&b=2"],
+        tracking_params=("sid",),
+    )
+    assert got == ["https://e.com/a?b=2"]
+
+
+def test_url_dedup_keeps_latest_per_canonical(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a?utm_source=x", 10),
+            (2, "https://www.example.com/a/", 30),
+            (3, "HTTP://example.com/a", 20),  # http != https: own family
+            (4, "https://example.com/b", 5),
+        ],
+        ["doc_id", "url", "crawl_ts"],
+    )
+    out = url_dedup(df, order_col="crawl_ts").orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [2, 3, 4]
+    assert out[0].canonical_url == "https://example.com/a"
+
+    # drop_scheme: the http row joins the https family; latest still wins
+    out2 = url_dedup(df, order_col="crawl_ts", drop_scheme=True).collect()
+    assert sorted(r.doc_id for r in out2) == [2, 4]
+
+
+def test_url_dedup_deterministic_without_order_col(spark):
+    rows = [(i, u) for i, u in enumerate(
+        ["https://e.com/a?b=2&a=1", "https://e.com/a?a=1&b=2"])]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    # lexically-smallest RAW url wins regardless of partitioning
+    for parts in (1, 7):
+        out = url_dedup(df.repartition(parts)).collect()
+        assert [(r.doc_id, r.url) for r in out] == [
+            (1, "https://e.com/a?a=1&b=2")
+        ]
+
+
+def test_canonicalize_is_pure_codegen(spark):
+    df = spark.createDataFrame([("https://e.com/a?b=1",)], ["url"])
+    plan = df.select(
+        canonicalize_url(F.col("url")).alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
