@@ -121,17 +121,27 @@ def url_dedup(
     Output keeps every input column plus ``canon_col``. One shuffle on
     the canonical key; the window is per-URL-family sized, so no key
     carries more rows than one page has crawl variants.
+
+    Rows whose canonical key is NULL (NULL url) or empty (whitespace-only
+    or fragment-only urls) pass through UNDEDUPLICATED: they are not one
+    page's crawl variants, so collapsing them to a single survivor would
+    silently drop documents in a pre-filter stage — and at scale a
+    shared NULL/'' window key would funnel all junk rows through one
+    task. They are filtered out of the window and unioned back.
     """
     out = df.withColumn(
         canon_col, canonicalize_url(F.col(url_col), **canon_kwargs)
     )
+    no_key = F.col(canon_col).isNull() | (F.col(canon_col) == "")
     order = [F.col(url_col).asc()]
     if order_col is not None:
         lead = F.col(order_col).desc() if descending else F.col(order_col).asc()
         order = [lead, *order]
     w = Window.partitionBy(canon_col).orderBy(*order)
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
+    deduped = (
+        out.filter(~no_key)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return deduped.unionByName(out.filter(no_key))

@@ -45,13 +45,20 @@ def _pick_columns(df: DataFrame) -> tuple[str, str, bool]:
     return cols[0], cols[1], False
 
 
-def audit_metrics(df: DataFrame, src: str, tgt: str) -> dict:
-    """All audit scalars in one aggregate pass. Exact duplicate count =
-    rows − distinct full rows; source-duplicate (ambiguity) count =
-    rows − distinct sources — the pandas ``duplicated().sum()``
-    semantics (:64-67) without materializing a driver copy."""
+def audit_metrics_frame(df: DataFrame, src: str, tgt: str) -> DataFrame:
+    """All audit scalars as ONE 1-row DataFrame (single aggregate pass)
+    — the distributed surface behind :func:`audit_metrics`, registered
+    as a certified query (q162). Exact duplicate count = rows − distinct
+    full rows; source-duplicate (ambiguity) count = rows − distinct
+    sources — the pandas ``duplicated().sum()`` semantics (:64-67)
+    without materializing a driver copy. Distinct sources are counted
+    over a null-INCLUSIVE key (``countDistinct`` skips NULLs, but
+    pandas treats NaN==NaN in ``duplicated``, so k null sources must
+    count as ONE distinct value → k−1 duplicates); the full-row
+    distinct needs no such guard because ``struct()`` of null fields is
+    itself non-null."""
     all_cols = [F.col(c) for c in df.columns]
-    row = df.agg(
+    agg = df.agg(
         F.count(F.lit(1)).alias("total_rows"),
         sum(
             (F.count(F.lit(1)) - F.count(F.col(c))) for c in df.columns
@@ -63,7 +70,12 @@ def audit_metrics(df: DataFrame, src: str, tgt: str) -> dict:
             "empty_target"
         ),
         F.countDistinct(F.struct(*all_cols)).alias("__distinct_rows"),
-        F.countDistinct(F.col(src)).alias("__distinct_src"),
+        (
+            F.countDistinct(F.col(src))
+            + F.coalesce(
+                F.max(F.when(F.col(src).isNull(), 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("__distinct_src"),
         F.round(F.avg(F.length(F.col(src))), 1).alias("src_len_avg"),
         F.max(F.length(F.col(src))).alias("src_len_max"),
         F.min(F.length(F.col(src))).alias("src_len_min"),
@@ -73,11 +85,22 @@ def audit_metrics(df: DataFrame, src: str, tgt: str) -> dict:
         F.count(F.when(F.length(F.col(tgt)) < 10, 1)).alias(
             "short_targets"
         ),
-    ).collect()[0]
-    m = row.asDict()
-    m["exact_duplicates"] = m["total_rows"] - m.pop("__distinct_rows")
-    m["source_duplicates"] = m["total_rows"] - m.pop("__distinct_src")
-    return m
+    )
+    keep = [c for c in agg.columns if not c.startswith("__")]
+    return agg.select(
+        *keep,
+        (F.col("total_rows") - F.col("__distinct_rows")).alias(
+            "exact_duplicates"
+        ),
+        (F.col("total_rows") - F.col("__distinct_src")).alias(
+            "source_duplicates"
+        ),
+    )
+
+
+def audit_metrics(df: DataFrame, src: str, tgt: str) -> dict:
+    """Driver-side dict of :func:`audit_metrics_frame`'s single row."""
+    return audit_metrics_frame(df, src, tgt).collect()[0].asDict()
 
 
 def audit_sample(df: DataFrame, src: str, tgt: str, k: int = 5) -> list[dict]:

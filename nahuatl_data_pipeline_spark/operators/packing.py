@@ -191,7 +191,10 @@ def length_grouped_batches(
     """
     if batch_size < 1 or bucket_width < 1 or n_shards < 1:
         raise ValueError("batch_size, bucket_width, n_shards must be >= 1")
-    n = token_count(F.col(text_col))
+    # NULL text → 0 tokens (same contract as pack_sequences): without the
+    # coalesce those rows get bucket NULL and batch_padding_stats yields
+    # NULL max/sum/waste for their batches
+    n = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     keyed = df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),

@@ -349,6 +349,7 @@ def pmi_cooccurrence(
     min_pair_docs: int = 5,
     top_k: int | None = None,
     round_to: int = 6,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Token-pair collocations by pointwise mutual information over
     DOCUMENT co-occurrence: ``pmi(a,b) = ln(n_ab·N / (n_a·n_b))`` with
@@ -365,6 +366,19 @@ def pmi_cooccurrence(
     joined onto the (vocab²-bounded) pair table — joining small onto
     small, never back onto the token stream. ``min_pair_docs`` floors
     support: PMI of a 1-document pair is pure noise.
+
+    ``max_vocab`` is the operator-side scale lever (the q108
+    ``max_df_frac`` idea): keep only the top-``max_vocab`` terms by
+    document frequency (count desc, term asc tiebreak — deterministic)
+    BEFORE the self-join, bounding the per-doc pair fan-out at
+    C(min(d, max_vocab), 2) over a fixed universe instead of C(d, 2)
+    over the open vocabulary — without it the pair volume at 100 TB
+    rests on the caller pre-filtering text. Marginals (``n_t``) and the
+    corpus size N are computed BEFORE the cut, so surviving pairs keep
+    their exact uncapped PMI values; the cut only restricts WHICH pairs
+    are emitted, never their scores. Rare-term pairs were dominated by
+    ``min_pair_docs`` noise anyway (a term in < min_pair_docs documents
+    can never form a qualifying pair).
     """
     from nahuatl_data_pipeline_spark.functions.hashing import token_set
 
@@ -375,6 +389,18 @@ def pmi_cooccurrence(
     # materialize once or the tokenize subtree runs three times
     # (module lesson, same as tfidf_cosine_pairs' posting table)
     dt = dt.localCheckpoint(eager=True)
+    tc = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    if max_vocab is not None:
+        # rank window runs on the VOCABULARY-sized table (q124 shape),
+        # never the occurrence stream; kept terms' n_t marginals are
+        # unchanged by the cut, so tc is reused below as-is
+        w = Window.orderBy(F.col("n_t").desc(), F.col("term").asc())
+        vocab = (
+            tc.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= max_vocab)
+            .select("term")
+        )
+        dt = dt.join(F.broadcast(vocab), "term", "left_semi")
     a = dt.select(F.col(id_col).alias("__d"), F.col("term").alias("term_a"))
     b = dt.select(F.col(id_col).alias("__d"), F.col("term").alias("term_b"))
     pairs = (
@@ -384,7 +410,6 @@ def pmi_cooccurrence(
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_docs)
     )
-    tc = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
     n = docs.select(F.count(F.lit(1)).alias("__n"))
     ta = tc.select(
         F.col("term").alias("term_a"), F.col("n_t").alias("__na")

@@ -137,11 +137,12 @@ def register(name: str, sql: str | None):
 # as never-certified until the driver re-hashes the new pair. Entries
 # self-expire: once a row at/after the listed round exists, the pin is a
 # no-op and can be garbage-collected on sight.
-#   round 8: q25/q108 made the hot-bucket cap (150) the registered
-#   default, mirrored in their oracles (banded_candidates_ctes).
+#   round 8 pins (q25/q108 bucket-cap defaults) recertified green in
+#   CORRECTNESS_r08 → expired, garbage-collected.
+#   round 9: q118 made max_vocab=1000 the registered default (PMI
+#   fan-out cap), mirrored in the oracle's vocab/dtc CTEs.
 _RECERTIFY_IF_BEFORE: dict[str, int] = {
-    "q25_near_dup_pairs": 8,
-    "q108_tfidf_cosine_pairs": 8,
+    "q118_token_collocations": 9,
 }
 
 
@@ -1210,3 +1211,4 @@ from nahuatl_data_pipeline_spark import registry_round6  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round6b  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round6c  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round7  # noqa: E402,F401
+from nahuatl_data_pipeline_spark import registry_round9  # noqa: E402,F401

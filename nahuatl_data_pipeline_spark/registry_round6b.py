@@ -834,13 +834,20 @@ _Q118_SQL = r"""
         FROM documents
       )
     ),
+    tc AS (SELECT term, COUNT(*) AS n_t FROM dt GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY n_t DESC, term ASC) AS rn
+        FROM tc
+      ) WHERE rn <= 1000
+    ),
+    dtc AS (SELECT dt.* FROM dt JOIN vocab USING (term)),
     pairs AS (
       SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
-      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      FROM dtc a JOIN dtc b ON a.doc_id = b.doc_id AND a.term < b.term
       GROUP BY 1, 2
       HAVING COUNT(*) >= 25
     ),
-    tc AS (SELECT term, COUNT(*) AS n_t FROM dt GROUP BY term),
     n AS (SELECT COUNT(*) AS n FROM documents)
     SELECT p.term_a, p.term_b, CAST(p.n_ab AS BIGINT) AS n_ab,
            ROUND(LN(CAST(p.n_ab AS DOUBLE) * (SELECT n FROM n)
@@ -857,12 +864,16 @@ _Q118_SQL = r"""
 def q118_token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top token-pair collocations by document-co-occurrence PMI
     (operators/tfidf.py:pmi_cooccurrence) — unordered complement of
-    q95's transitions and q109's adjacency bigrams; support-floored."""
+    q95's transitions and q109's adjacency bigrams; support-floored.
+    Round 9: ``max_vocab=1000`` is the registered default — the
+    operator-side fan-out cap (top-df vocabulary before the self-join),
+    mirrored in the oracle's ``vocab``/``dtc`` CTEs; marginals stay
+    pre-cut so surviving PMI values are bit-identical to uncapped."""
     from nahuatl_data_pipeline_spark.operators.tfidf import pmi_cooccurrence
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return pmi_cooccurrence(
-        docs, "doc_id", "text", min_pair_docs=25, top_k=15
+        docs, "doc_id", "text", min_pair_docs=25, top_k=15, max_vocab=1000
     )
 
 

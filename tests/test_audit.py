@@ -113,3 +113,24 @@ def test_cli_audit_exit_codes_and_artifact(spark, tmp_path, capsys):
     assert out["score"] == 40
     assert out["metrics"]["exact_duplicates"] == 2499
     assert out["metrics"]["short_targets"] == 2500
+
+
+def test_null_sources_count_pandas_style(spark):
+    # pandas duplicated(subset=[src]).sum() treats NaN == NaN: k null
+    # sources are ONE distinct value → k-1 duplicates, not k (ADVICE
+    # round 8). 3 nulls + 2 distinct non-null → 5 rows, 3 distinct → 2.
+    df = _sft(
+        spark,
+        [
+            (None, "a"),
+            (None, "b"),
+            (None, "c"),
+            ("x", "d"),
+            ("y", "e"),
+        ],
+    )
+    m = audit_metrics(df, "es", "nah")
+    assert m["source_duplicates"] == 2
+    # and with no nulls the count is unchanged from plain countDistinct
+    m2 = audit_metrics(_sft(spark, [("x", "a"), ("x", "b")]), "es", "nah")
+    assert m2["source_duplicates"] == 1

@@ -235,3 +235,25 @@ def test_length_grouped_batches_rejects_bad_params(spark):
         length_grouped_batches(
             _bimodal(spark), "doc_id", "text", batch_size=0
         )
+
+
+def test_length_grouped_batches_null_text_gets_bucket_zero(spark):
+    from nahuatl_data_pipeline_spark.operators.packing import (
+        batch_padding_stats,
+        length_grouped_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    out = length_grouped_batches(df, "doc_id", "text", batch_size=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    # NULL and empty text → 0 tokens → bucket 0 (pack_sequences contract),
+    # never bucket NULL (ADVICE round 8)
+    assert rows[1].n_tokens == 0 and rows[1].bucket == 0
+    assert rows[2].n_tokens == 0 and rows[2].bucket == 0
+    assert rows[3].bucket == 1
+    stats = {r.batch_key: r for r in batch_padding_stats(out).collect()}
+    for r in stats.values():
+        assert r.max_tokens is not None and r.waste_tokens is not None

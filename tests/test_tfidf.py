@@ -186,6 +186,36 @@ def test_pmi_collocation_detects_planted_pair(spark):
     assert by_pair[("alpha", "filler")] == 0.0
 
 
+def test_pmi_max_vocab_caps_pairs_but_not_scores(spark):
+    """max_vocab restricts WHICH pairs are emitted (top-df vocabulary
+    before the self-join — the round-9 fan-out lever), never the PMI
+    values of survivors: marginals/N stay pre-cut."""
+    from nahuatl_data_pipeline_spark.operators.tfidf import pmi_cooccurrence
+
+    # 'big1'/'big2' in 20 docs each (always together); per-doc unique
+    # 'salt<i>' tokens inflate the open vocabulary (the 100 TB failure
+    # shape: unbounded C(d,2) fan-out from rare terms)
+    rows = [(i, f"big1 big2 salt{i}a salt{i}b") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = pmi_cooccurrence(docs, "doc_id", "text", min_pair_docs=5)
+    capped = pmi_cooccurrence(
+        docs, "doc_id", "text", min_pair_docs=5, max_vocab=2
+    )
+    f = {(r["term_a"], r["term_b"]): r["pmi"] for r in full.collect()}
+    c = {(r["term_a"], r["term_b"]): r["pmi"] for r in capped.collect()}
+    # vocabulary rank: big1/big2 (df=20) beat every salt token (df=1)
+    assert set(c) == {("big1", "big2")}
+    assert c[("big1", "big2")] == f[("big1", "big2")]
+    # the capped pair-join input is bounded: salt pairs never emitted
+    # even below the support floor path
+    capped_lowfloor = pmi_cooccurrence(
+        docs, "doc_id", "text", min_pair_docs=1, max_vocab=2
+    ).collect()
+    assert {(r["term_a"], r["term_b"]) for r in capped_lowfloor} == {
+        ("big1", "big2")
+    }
+
+
 def test_pmi_support_floor(spark):
     from nahuatl_data_pipeline_spark.operators.tfidf import pmi_cooccurrence
 

@@ -105,3 +105,30 @@ def test_canonicalize_is_pure_codegen(spark):
         canonicalize_url(F.col("url")).alias("c")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_dedup_passes_null_and_empty_keys_through(spark):
+    # NULL urls and junk urls whose canonical form is '' (whitespace-only,
+    # fragment-only) are NOT one page's crawl variants: every such row
+    # must survive undeduplicated (ADVICE round 8).
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, "   "),
+            (4, "#frag-only"),
+            (5, "https://e.com/a"),
+            (6, "https://e.com/a/"),
+        ],
+        "doc_id long, url string",
+    )
+    out = url_dedup(df).collect()
+    ids = sorted(r.doc_id for r in out)
+    # both NULLs, the whitespace-only and the fragment-only rows all
+    # survive; only the real family (5, 6) collapses
+    assert ids == [1, 2, 3, 4, 5]
+    for r in out:
+        if r.doc_id in (3, 4):
+            assert r.canonical_url == ""
+        if r.doc_id in (1, 2):
+            assert r.canonical_url is None
