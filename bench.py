@@ -104,9 +104,54 @@ def pipeline_main() -> None:
     )
 
 
+# Heavy pair-family queries (shared shingle/band/pair machinery).
+# ``--isolate`` runs them LAST, grouped so the build-once pair-table
+# sharing still works (q38→q97 share one table, q58→q145 the other),
+# with a full state release before the group and again before q31 —
+# the r8 100×-sweep OOM victim, which needs the JVM to itself.
+_PAIR_FAMILY = [
+    "q38", "q97", "q58", "q145", "q25", "q157", "q106", "q108", "q31",
+]
+
+
+def _release_all_state(spark) -> None:
+    """Drop every cross-query cache so the next family starts from a
+    cold JVM (the local-mode stand-in for per-job executor heaps on a
+    real cluster): module-level persisted frames (pair tables, tf-idf
+    postings, similarity/linkage indexes), the SQL cache, Python refs
+    (so ContextCleaner can collect localCheckpoint RDDs), and any
+    still-persisted orphan RDDs."""
+    import gc
+
+    from nahuatl_data_pipeline_spark.operators import (
+        fuzzy_dedup,
+        linkage,
+        similarity,
+        tfidf,
+    )
+
+    fuzzy_dedup.release_pair_tables()
+    fuzzy_dedup.release_fuzzy_caches()
+    tfidf.release_tfidf_caches()
+    similarity.release_similarity_caches()
+    linkage.release_linkage_caches()
+    spark.catalog.clearCache()
+    gc.collect()  # drop py4j refs → ContextCleaner may now unpersist
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jmap.values().toArray():
+            rdd.unpersist()
+    except Exception:
+        pass  # JVM-API shape drift must never fail a bench run
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    isolate = "--isolate" in sys.argv[1:]
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
+    }
     spark = get_spark(app_name="nahuatl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -116,7 +161,26 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     _warm_ml_classes(spark)
 
-    for name in sorted(qs):
+    order = sorted(qs)
+    if isolate:
+        fam_rank = {q: i for i, q in enumerate(_PAIR_FAMILY)}
+        light = [n for n in order if n.split("_")[0] not in fam_rank]
+        heavy = sorted(
+            (n for n in order if n.split("_")[0] in fam_rank),
+            key=lambda n: fam_rank[n.split("_")[0]],
+        )
+        order = light + heavy
+    skipped = []
+    for name in order:
+        key = name.split("_")[0]
+        if key in skip:
+            skipped.append(key)
+            continue
+        if isolate and key in ("q38", "q31"):
+            # q38 opens the pair family; q31 (pyspark.ml LSH) gets a
+            # cold JVM — it owns no shared cache and was the only
+            # mid-sweep OOM at the 100× decade (SCALE.md round 8)
+            _release_all_state(spark)
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -126,21 +190,21 @@ def main() -> None:
         # whole map must fit — ~1 KB with short keys vs ~3 KB with full
         # names. Registry names are `qNN_<slug>`, so the prefix is a
         # unique, stable key across rounds.
-        timings[name.split("_")[0]] = round(time.perf_counter() - t0, 2)
+        timings[key] = round(time.perf_counter() - t0, 2)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    out = {
+        "queries": timings,
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if isolate:
+        out["mode"] = "isolate"
+    if skipped:
+        out["skipped"] = skipped
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
