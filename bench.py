@@ -108,10 +108,36 @@ def pipeline_main() -> None:
 # ``--isolate`` runs them LAST, grouped so the build-once pair-table
 # sharing still works (q38→q97 share one table, q58→q145 the other),
 # with a full state release before the group and again before q31 —
-# the r8 100×-sweep OOM victim, which needs the JVM to itself.
+# the r8 100×-sweep OOM victim.
 _PAIR_FAMILY = [
     "q38", "q97", "q58", "q145", "q25", "q157", "q106", "q108", "q31",
 ]
+
+# Queries that get a FRESH JVM (subprocess) in --isolate mode: q31's
+# pyspark.ml LSH hash UDF OOMs at the 100× decade inside a session worn
+# by ~2,300 prior stages even after a full cache release (measured,
+# SCALE.md round 9) yet passes solo at the same 8 GiB heap — the
+# shared-everything local JVM is the artifact, and a subprocess is the
+# honest local model of the per-job executor heaps a real cluster gives
+# every Spark application.
+_FRESH_JVM = ["q31"]
+
+
+def _run_single(name: str, sf_dir: str) -> None:
+    """--single <prefix>: run one query in this (fresh) process and
+    print its timing JSON line. Used by --isolate via subprocess."""
+    spark = get_spark(app_name=f"nahuatl-bench-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    full = next(n for n in sorted(qs) if n.split("_")[0] == name)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    _warm_ml_classes(spark)
+    t0 = time.perf_counter()
+    qs[full](spark, sf_dir).count()
+    print(
+        json.dumps({name: round(time.perf_counter() - t0, 2)}),
+        flush=True,
+    )
 
 
 def _release_all_state(spark) -> None:
@@ -171,20 +197,42 @@ def main() -> None:
         )
         order = light + heavy
     skipped = []
+    errors: dict[str, str] = {}
     for name in order:
         key = name.split("_")[0]
         if key in skip:
             skipped.append(key)
             continue
-        if isolate and key in ("q38", "q31"):
-            # q38 opens the pair family; q31 (pyspark.ml LSH) gets a
-            # cold JVM — it owns no shared cache and was the only
-            # mid-sweep OOM at the 100× decade (SCALE.md round 8)
+        if isolate and key in _FRESH_JVM:
+            import subprocess
+
+            env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", key],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            line = (res.stdout.strip().splitlines() or [""])[-1]
+            try:
+                timings.update(json.loads(line))
+            except ValueError:
+                errors[key] = f"subprocess rc={res.returncode}"
+            continue
+        if isolate and key == "q38":
+            # q38 opens the pair family — release every cross-query
+            # cache the light queries accumulated
             _release_all_state(spark)
         fn = qs[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()  # force full plan execution; 0 rows is legal (e.g. q07)
+        try:
+            df = fn(spark, sf_dir)
+            df.count()  # force full plan; 0 rows is legal (e.g. q07)
+        except Exception as exc:  # noqa: BLE001
+            if not isolate:
+                raise  # default mode keeps fail-fast driver semantics
+            errors[key] = type(exc).__name__
+            continue
         # Key by the qNN prefix and round to 2 decimals: BENCH_r05.json
         # proved the driver keeps only the TAIL of this line, so the
         # whole map must fit — ~1 KB with short keys vs ~3 KB with full
@@ -204,11 +252,21 @@ def main() -> None:
         out["mode"] = "isolate"
     if skipped:
         out["skipped"] = skipped
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out, separators=(",", ":")))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
-    if "--pipeline" in sys.argv[1:]:
+    argv = sys.argv[1:]
+    if "--pipeline" in argv:
         pipeline_main()
+    elif "--single" in argv:
+        _run_single(
+            argv[argv.index("--single") + 1],
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
     else:
         main()
