@@ -104,40 +104,44 @@ def pipeline_main() -> None:
     )
 
 
-# Heavy pair-family queries (shared shingle/band/pair machinery).
-# ``--isolate`` runs them LAST, grouped so the build-once pair-table
-# sharing still works (q38→q97 share one table, q58→q145 the other),
-# with a full state release before the group and again before q31 —
-# the r8 100×-sweep OOM victim.
-_PAIR_FAMILY = [
-    "q38", "q97", "q58", "q145", "q25", "q157", "q106", "q108", "q31",
+# Query groups that each get a FRESH JVM (subprocess) in --isolate
+# mode. Measured at the 100× decade (SCALE.md round 9): after ~2,100
+# stages of prior work the shared local JVM OOMs spill read-ahead
+# threads inside the pair family (and q31's pyspark.ml LSH UDF outright)
+# even following a full cache release — while every member passes at
+# the same 8 GiB heap in a fresh session. A subprocess per FAMILY GROUP
+# is the honest local model of how a cluster runs these: one Spark
+# application per job, each with its own executor heaps — and grouping
+# keeps the build-once pair-table sharing (q38→q97, q58→q145) inside
+# each JVM, so the measured sharing win is preserved.
+_FRESH_JVM_GROUPS = [
+    ["q38", "q97"],
+    ["q58", "q145"],
+    ["q25"],
+    ["q157"],
+    ["q106"],
+    ["q108"],
+    ["q31"],
 ]
 
-# Queries that get a FRESH JVM (subprocess) in --isolate mode: q31's
-# pyspark.ml LSH hash UDF OOMs at the 100× decade inside a session worn
-# by ~2,300 prior stages even after a full cache release (measured,
-# SCALE.md round 9) yet passes solo at the same 8 GiB heap — the
-# shared-everything local JVM is the artifact, and a subprocess is the
-# honest local model of the per-job executor heaps a real cluster gives
-# every Spark application.
-_FRESH_JVM = ["q31"]
 
-
-def _run_single(name: str, sf_dir: str) -> None:
-    """--single <prefix>: run one query in this (fresh) process and
-    print its timing JSON line. Used by --isolate via subprocess."""
-    spark = get_spark(app_name=f"nahuatl-bench-{name}")
+def _run_single(spec: str, sf_dir: str) -> None:
+    """--single <prefix>[,<prefix>...]: run the named queries in order
+    in this (fresh) process and print one JSON timing map. Used by
+    --isolate via subprocess; order within the group preserves the
+    pair-table build→reuse sequence."""
+    spark = get_spark(app_name=f"nahuatl-bench-{spec}")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
-    full = next(n for n in sorted(qs) if n.split("_")[0] == name)
+    by_prefix = {n.split("_")[0]: n for n in qs}
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     _warm_ml_classes(spark)
-    t0 = time.perf_counter()
-    qs[full](spark, sf_dir).count()
-    print(
-        json.dumps({name: round(time.perf_counter() - t0, 2)}),
-        flush=True,
-    )
+    timings = {}
+    for key in spec.split(","):
+        t0 = time.perf_counter()
+        qs[by_prefix[key]](spark, sf_dir).count()
+        timings[key] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(timings), flush=True)
 
 
 def _release_all_state(spark) -> None:
@@ -188,14 +192,9 @@ def main() -> None:
     _warm_ml_classes(spark)
 
     order = sorted(qs)
+    fresh = {k for g in _FRESH_JVM_GROUPS for k in g} if isolate else set()
     if isolate:
-        fam_rank = {q: i for i, q in enumerate(_PAIR_FAMILY)}
-        light = [n for n in order if n.split("_")[0] not in fam_rank]
-        heavy = sorted(
-            (n for n in order if n.split("_")[0] in fam_rank),
-            key=lambda n: fam_rank[n.split("_")[0]],
-        )
-        order = light + heavy
+        order = [n for n in order if n.split("_")[0] not in fresh]
     skipped = []
     errors: dict[str, str] = {}
     for name in order:
@@ -203,26 +202,6 @@ def main() -> None:
         if key in skip:
             skipped.append(key)
             continue
-        if isolate and key in _FRESH_JVM:
-            import subprocess
-
-            env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", key],
-                env=env,
-                capture_output=True,
-                text=True,
-            )
-            line = (res.stdout.strip().splitlines() or [""])[-1]
-            try:
-                timings.update(json.loads(line))
-            except ValueError:
-                errors[key] = f"subprocess rc={res.returncode}"
-            continue
-        if isolate and key == "q38":
-            # q38 opens the pair family — release every cross-query
-            # cache the light queries accumulated
-            _release_all_state(spark)
         fn = qs[name]
         t0 = time.perf_counter()
         try:
@@ -239,6 +218,28 @@ def main() -> None:
         # names. Registry names are `qNN_<slug>`, so the prefix is a
         # unique, stable key across rounds.
         timings[key] = round(time.perf_counter() - t0, 2)
+
+    if isolate:
+        import subprocess
+
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        for group in _FRESH_JVM_GROUPS:
+            members = [k for k in group if k not in skip]
+            skipped += [k for k in group if k in skip]
+            if not members:
+                continue
+            spec = ",".join(members)
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", spec],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            line = (res.stdout.strip().splitlines() or [""])[-1]
+            try:
+                timings.update(json.loads(line))
+            except ValueError:
+                errors[spec] = f"subprocess rc={res.returncode}"
 
     total = round(sum(timings.values()), 3)
     out = {
