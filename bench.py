@@ -113,15 +113,23 @@ def pipeline_main() -> None:
 # is the honest local model of how a cluster runs these: one Spark
 # application per job, each with its own executor heaps — and grouping
 # keeps the build-once pair-table sharing (q38→q97, q58→q145) inside
-# each JVM, so the measured sharing win is preserved.
+# each JVM, so the measured sharing win is preserved. The optional env
+# map is per-job resource sizing (what a cluster scheduler does):
+# q31 (pyspark.ml approxSimilarityJoin) OOMs a fresh 8 GiB heap at the
+# 100× decade on BOTH replica flavors but completes at 16 GiB
+# (unique 175.7 s / clone 413.3 s — SCALE.md round 9); the env value
+# never LOWERS an explicitly-set SPARK_DRIVER_MEMORY.
 _FRESH_JVM_GROUPS = [
-    ["q38", "q97"],
-    ["q58", "q145"],
-    ["q25"],
-    ["q157"],
-    ["q106"],
-    ["q108"],
-    ["q31"],
+    (["q38", "q97"], {}),
+    # q58's dense-clone pair graph (~23M pairs) is marginal at 8 GiB —
+    # passes standalone, OOMs under sweep-adjacent page-cache pressure
+    # (measured both ways, round 9); sized like q31
+    (["q58", "q145"], {"SPARK_DRIVER_MEMORY": "16g"}),
+    (["q25"], {}),
+    (["q157"], {}),
+    (["q106"], {}),
+    (["q108"], {}),
+    (["q31"], {"SPARK_DRIVER_MEMORY": "16g"}),
 ]
 
 
@@ -192,7 +200,9 @@ def main() -> None:
     _warm_ml_classes(spark)
 
     order = sorted(qs)
-    fresh = {k for g in _FRESH_JVM_GROUPS for k in g} if isolate else set()
+    fresh = (
+        {k for g, _ in _FRESH_JVM_GROUPS for k in g} if isolate else set()
+    )
     if isolate:
         order = [n for n in order if n.split("_")[0] not in fresh]
     skipped = []
@@ -222,12 +232,16 @@ def main() -> None:
     if isolate:
         import subprocess
 
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        for group in _FRESH_JVM_GROUPS:
+        for group, group_env in _FRESH_JVM_GROUPS:
             members = [k for k in group if k not in skip]
             skipped += [k for k in group if k in skip]
             if not members:
                 continue
+            env = dict(os.environ)
+            env.update(
+                {k: v for k, v in group_env.items() if k not in os.environ}
+            )
+            env["SPARK_GRAFT_SF_DIR"] = sf_dir
             spec = ",".join(members)
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", spec],
@@ -235,11 +249,22 @@ def main() -> None:
                 capture_output=True,
                 text=True,
             )
-            line = (res.stdout.strip().splitlines() or [""])[-1]
-            try:
-                timings.update(json.loads(line))
-            except ValueError:
-                errors[spec] = f"subprocess rc={res.returncode}"
+            # the JSON map may not be the LAST stdout line (JVM gc
+            # warnings also reach stdout) — scan from the end
+            parsed = None
+            for line in reversed(res.stdout.strip().splitlines()):
+                try:
+                    parsed = json.loads(line)
+                    break
+                except ValueError:
+                    continue
+            if isinstance(parsed, dict) and parsed:
+                timings.update(parsed)
+            else:
+                tail = res.stderr.strip().splitlines()[-3:]
+                errors[spec] = (
+                    f"subprocess rc={res.returncode}: " + " | ".join(tail)
+                )[:400]
 
     total = round(sum(timings.values()), 3)
     out = {

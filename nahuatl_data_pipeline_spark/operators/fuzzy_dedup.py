@@ -128,12 +128,14 @@ def minhash_lsh_pairs(
 
     Dirty-corpus envelope: approxSimilarityJoin has no hot-bucket cap
     lever, so on a corpus with B-member duplicate families it carries
-    the full Σ C(B,2) candidate volume (the 100× clone replica passes
-    solo at 484 s but OOM'd under accumulated sweep state — SCALE.md
-    round 8). The capped deterministic path (``banded_minhash_pairs``
-    with ``max_bucket_size``) is the production choice for such
-    corpora; this path exists for SparkDedup.scala parity and clean
-    corpora.
+    the full Σ C(B,2) candidate volume. Resource sizing measured at the
+    100× decade (SCALE.md round 9): an 8 GiB heap OOMs on BOTH replica
+    flavors (the MEMORY_AND_DISK columnar cache + 32-way task
+    concurrency); a 16 GiB heap completes — unique 175.7 s, clone
+    413.3 s — which is what ``bench.py --isolate`` provisions for this
+    job. The capped deterministic path (``banded_minhash_pairs`` with
+    ``max_bucket_size``) is the production choice for dirty corpora;
+    this path exists for SparkDedup.scala parity and clean corpora.
     """
     from pyspark.ml.feature import HashingTF
     from pyspark.storagelevel import StorageLevel
