@@ -30,3 +30,27 @@ def test_pipeline_mode_emits_one_json_line(spark, capsys, monkeypatch):
     assert 0 <= stats["output"] <= stats["input"]
     for k in ("failed_c4", "failed_repetition", "near_dups", "contaminated"):
         assert 0 <= stats[k] <= stats["input"]
+
+
+def test_isolate_groups_are_sane():
+    """--isolate's fresh-JVM schedule must stay consistent with the
+    registry: every group member is a real query prefix, no prefix
+    appears in two groups, and the env overrides are driver-memory
+    style strings (per-job sizing, SCALE.md round 9)."""
+    import bench
+    from nahuatl_data_pipeline_spark import registry
+
+    prefixes = {n.split("_")[0] for n in registry.queries()}
+    seen = set()
+    for group, env in bench._FRESH_JVM_GROUPS:
+        assert group, "empty isolate group"
+        for key in group:
+            assert key in prefixes, f"unknown query prefix {key}"
+            assert key not in seen, f"{key} appears in two groups"
+            seen.add(key)
+        for k, v in env.items():
+            assert isinstance(k, str) and isinstance(v, str)
+    # the documented 100x per-job sizing must stay in place
+    sized = {tuple(g) for g, e in bench._FRESH_JVM_GROUPS
+             if e.get("SPARK_DRIVER_MEMORY") == "16g"}
+    assert ("q31",) in sized and ("q58", "q145") in sized
