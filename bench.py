@@ -133,7 +133,97 @@ _FRESH_JVM_GROUPS = [
 ]
 
 
-def _run_single(spec: str, sf_dir: str) -> None:
+# The exact-dedup-first contract (SCALE.md round 8): a ~90 %-duplicate
+# corpus (the dense 100×-clone replica) runs exact dedup BEFORE the
+# quadratic-in-duplicates pair family — these queries' 100×-clone cells
+# are measured on the deduped corpus, everything else on the original.
+_DEDUP_FIRST_KEYS = {"q106", "q108"}
+
+
+def _prepare_dedup(sf_dir: str, out_dir: str) -> None:
+    """--prepare-dedup <out_dir>: materialize the exact-dedup-first
+    corpus — q10's keep-best window dedup (normalized-text key, longest
+    text wins, doc_id tiebreak) over ``documents``, written as parquet
+    to ``out_dir``; every other table is symlinked from ``sf_dir`` so
+    the result is a drop-in SPARK_GRAFT_SF_DIR. Runs in its own
+    subprocess JVM under --isolate --dedup-first (a cluster schedules
+    the dedup job and the pair jobs as separate applications). Prints
+    one JSON line {"dedup_prepare": wall, "rows_in": n, "rows_out": m}.
+    """
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.functions.normalize import dedup_key
+    from nahuatl_data_pipeline_spark.operators.dedup import exact_dedup
+    from nahuatl_data_pipeline_spark.schemas import TESTDATA_TABLES, load_table
+
+    spark = get_spark(app_name="nahuatl-bench-dedup-prepare")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    n_in = docs.count()
+    deduped = exact_dedup(
+        docs,
+        [dedup_key("text")],
+        order_by=[F.desc("n_chars")],
+        tiebreak=["doc_id"],
+    )
+    dst = os.path.join(out_dir, "documents.parquet")
+    deduped.write.mode("overwrite").parquet(dst)
+    n_out = spark.read.parquet(dst).count()
+    wall = round(time.perf_counter() - t0, 2)
+    for t in TESTDATA_TABLES:
+        if t == "documents":
+            continue
+        link = os.path.join(out_dir, f"{t}.parquet")
+        src = os.path.realpath(os.path.join(sf_dir, f"{t}.parquet"))
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    print(
+        json.dumps(
+            {"dedup_prepare": wall, "rows_in": n_in, "rows_out": n_out}
+        ),
+        flush=True,
+    )
+
+
+def _median(walls: list[float]) -> float:
+    """Median of the observed walls (lower-middle for even N — the
+    damped estimate should not average in an outlier)."""
+    s = sorted(walls)
+    return s[(len(s) - 1) // 2]
+
+
+def _time_query(fn, spark, sf_dir: str, repeat: int) -> float:
+    """Wall seconds for one query, median of ``repeat`` full plan
+    executions (build + count each time). Medians damp the cold-plan /
+    machine-load drift that made round-over-round driver benches
+    compare compilation luck instead of plans (BENCH_r08→r09 showed a
+    uniform ~1.2× phantom shift that solo re-runs disproved)."""
+    walls = []
+    for _ in range(max(1, repeat)):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()  # force full plan; 0 rows is legal
+        walls.append(time.perf_counter() - t0)
+    return round(_median(walls), 2)
+
+
+def _parse_timings_map(stdout: str):
+    """Extract the timings JSON map from a --single subprocess's stdout.
+    The map may not be the LAST line (JVM gc warnings also reach
+    stdout), and stray parseable tokens (a bare number, 'null') must
+    not shadow it — only a non-empty dict counts."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and parsed:
+            return parsed
+    return None
+
+
+def _run_single(spec: str, sf_dir: str, repeat: int = 1) -> None:
     """--single <prefix>[,<prefix>...]: run the named queries in order
     in this (fresh) process and print one JSON timing map. Used by
     --isolate via subprocess; order within the group preserves the
@@ -146,9 +236,7 @@ def _run_single(spec: str, sf_dir: str) -> None:
     _warm_ml_classes(spark)
     timings = {}
     for key in spec.split(","):
-        t0 = time.perf_counter()
-        qs[by_prefix[key]](spark, sf_dir).count()
-        timings[key] = round(time.perf_counter() - t0, 2)
+        timings[key] = _time_query(qs[by_prefix[key]], spark, sf_dir, repeat)
     print(json.dumps(timings), flush=True)
 
 
@@ -183,10 +271,52 @@ def _release_all_state(spark) -> None:
         pass  # JVM-API shape drift must never fail a bench run
 
 
+def _spawn_group(
+    spec: str, group_env: dict[str, str], sf_dir: str, repeat: int = 1
+):
+    """Run one fresh-JVM isolate group (``--single`` subprocess) and
+    return ``(timings_map | None, error_string | None)``. The env
+    override (per-job heap sizing) never LOWERS an explicitly-set
+    SPARK_DRIVER_MEMORY. Factored out of main() so the pytest smoke
+    exercises the exact env-merge / rc / stdout-parse plumbing the
+    100× sweeps rely on."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({k: v for k, v in group_env.items() if k not in os.environ})
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    res = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__),
+            "--single", spec, "--repeat", str(repeat),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    parsed = _parse_timings_map(res.stdout)
+    if parsed is not None:
+        return parsed, None
+    tail = res.stderr.strip().splitlines()[-3:]
+    return None, (f"subprocess rc={res.returncode}: " + " | ".join(tail))[:400]
+
+
+def _repeat_arg(argv: list[str], default: int) -> int:
+    """--repeat N (or SPARK_GRAFT_REPEAT) → per-query executions; the
+    reported wall is the median. Default 3 for the plain sf0.1 sweep
+    the driver records (damped round-over-round comparisons), 1 in
+    isolate mode (the 100× decade is too expensive to triple)."""
+    if "--repeat" in argv:
+        return max(1, int(argv[argv.index("--repeat") + 1]))
+    env = os.environ.get("SPARK_GRAFT_REPEAT", "")
+    return max(1, int(env)) if env.isdigit() else default
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     isolate = "--isolate" in sys.argv[1:]
+    repeat = _repeat_arg(sys.argv[1:], default=1 if isolate else 3)
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
     }
@@ -213,58 +343,76 @@ def main() -> None:
             skipped.append(key)
             continue
         fn = qs[name]
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            df.count()  # force full plan; 0 rows is legal (e.g. q07)
+            # Key by the qNN prefix and round to 2 decimals:
+            # BENCH_r05.json proved the driver keeps only the TAIL of
+            # this line, so the whole map must fit — ~1 KB with short
+            # keys vs ~3 KB with full names. Registry names are
+            # `qNN_<slug>`, so the prefix is a unique, stable key.
+            timings[key] = _time_query(fn, spark, sf_dir, repeat)
         except Exception as exc:  # noqa: BLE001
             if not isolate:
                 raise  # default mode keeps fail-fast driver semantics
             errors[key] = type(exc).__name__
             continue
-        # Key by the qNN prefix and round to 2 decimals: BENCH_r05.json
-        # proved the driver keeps only the TAIL of this line, so the
-        # whole map must fit — ~1 KB with short keys vs ~3 KB with full
-        # names. Registry names are `qNN_<slug>`, so the prefix is a
-        # unique, stable key across rounds.
-        timings[key] = round(time.perf_counter() - t0, 2)
 
+    dedup_first = "--dedup-first" in sys.argv[1:]
+    dedup_stats = None
     if isolate:
-        import subprocess
+        # Drop the light phase's cross-query caches BEFORE spawning the
+        # heavy-family JVMs: the parent otherwise sits on a full 8 GiB
+        # heap of pair tables / persisted frames while 16 GiB subprocess
+        # JVMs run beside it — the page-cache-pressure mode SCALE.md
+        # round 9 measured for q58.
+        _release_all_state(spark)
+
+        dedup_dir = None
+        if dedup_first:
+            # Execute the exact-dedup-first contract instead of merely
+            # excluding its queries: one fresh JVM runs q10's keep-best
+            # dedup and materializes the corpus, then the pair-family
+            # groups in _DEDUP_FIRST_KEYS run against it.
+            import subprocess
+
+            out_dir = f"/tmp/{os.path.basename(sf_dir.rstrip('/'))}_dedup"
+            env = dict(os.environ)
+            env["SPARK_GRAFT_SF_DIR"] = sf_dir
+            res = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--prepare-dedup", out_dir,
+                ],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            dedup_stats = _parse_timings_map(res.stdout)
+            if dedup_stats is not None:
+                timings["dedup_prepare"] = dedup_stats["dedup_prepare"]
+                dedup_dir = out_dir
+            else:
+                tail = res.stderr.strip().splitlines()[-3:]
+                errors["dedup_prepare"] = (
+                    f"subprocess rc={res.returncode}: " + " | ".join(tail)
+                )[:400]
 
         for group, group_env in _FRESH_JVM_GROUPS:
             members = [k for k in group if k not in skip]
             skipped += [k for k in group if k in skip]
             if not members:
                 continue
-            env = dict(os.environ)
-            env.update(
-                {k: v for k, v in group_env.items() if k not in os.environ}
-            )
-            env["SPARK_GRAFT_SF_DIR"] = sf_dir
             spec = ",".join(members)
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", spec],
-                env=env,
-                capture_output=True,
-                text=True,
-            )
-            # the JSON map may not be the LAST stdout line (JVM gc
-            # warnings also reach stdout) — scan from the end
-            parsed = None
-            for line in reversed(res.stdout.strip().splitlines()):
-                try:
-                    parsed = json.loads(line)
-                    break
-                except ValueError:
+            group_dir = sf_dir
+            if dedup_first and set(members) <= _DEDUP_FIRST_KEYS:
+                if dedup_dir is None:
+                    errors[spec] = "dedup_prepare failed; contract group skipped"
                     continue
-            if isinstance(parsed, dict) and parsed:
+                group_dir = dedup_dir
+            parsed, err = _spawn_group(spec, group_env, group_dir, repeat)
+            if parsed is not None:
                 timings.update(parsed)
             else:
-                tail = res.stderr.strip().splitlines()[-3:]
-                errors[spec] = (
-                    f"subprocess rc={res.returncode}: " + " | ".join(tail)
-                )[:400]
+                errors[spec] = err
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -274,8 +422,12 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if repeat > 1:
+        out["repeat"] = repeat  # per-query walls are medians of N runs
     if isolate:
         out["mode"] = "isolate"
+    if dedup_stats is not None:
+        out["dedup_first"] = dedup_stats  # contract stage: wall + rows in/out
     if skipped:
         out["skipped"] = skipped
     if errors:
@@ -289,10 +441,16 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if "--pipeline" in argv:
         pipeline_main()
+    elif "--prepare-dedup" in argv:
+        _prepare_dedup(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            argv[argv.index("--prepare-dedup") + 1],
+        )
     elif "--single" in argv:
         _run_single(
             argv[argv.index("--single") + 1],
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            repeat=_repeat_arg(argv, default=1),
         )
     else:
         main()

@@ -113,6 +113,18 @@ def hash64(c: ColumnOrName) -> Column:
     )
 
 
+SIMHASH_PORTABLE_BITS = 60
+
+
+def hash60(c: ColumnOrName) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 parsed as int64,
+    UNREDUCED — 60 independent, engine-identical bits for bit-vote
+    fingerprints (portable SimHash). Max value 2^60−1 < 2^63, so the
+    parse is exact in any 64-bit engine
+    (DuckDB: CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(_col(c)), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature_cols(
     shingles: Column, num_hashes: int = 8, prefix: str = "mh"
 ) -> list[Column]:

@@ -148,9 +148,18 @@ def minhash_lsh_pairs(
     tf = HashingTF(
         inputCol="__tokens", outputCol="__features", numFeatures=num_features
     )
-    # MinHashLSH requires at least one non-zero feature
-    prepared = tf.transform(prepared.filter(F.size("__tokens") > 0)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # MinHashLSH requires at least one non-zero feature. Persist ONLY
+    # (id, features): a .persist() materializes every column of its
+    # plan — Catalyst cannot prune THROUGH a cache — so carrying text +
+    # the shingle array into the cache multiplies its footprint by the
+    # document size for columns no downstream consumer reads (the join
+    # needs __features, the output only the ids). Measured at the 100×
+    # decade: the unpruned cache was the allocation behind the 16 GiB
+    # fresh-JVM floor (SCALE.md round 10).
+    prepared = (
+        tf.transform(prepared.filter(F.size("__tokens") > 0))
+        .select(id_col, "__features")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prepared.count()  # eager: both self-join legs read the cache
     _register_caches(prepared)
@@ -738,6 +747,66 @@ def simhash_groups(
         *[
             F.shiftrightunsigned("simhash", 16 * i)
             .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def simhash_groups_portable(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
+) -> DataFrame:
+    """Engine-portable SimHash: the q32 plan (explode → bit votes in ONE
+    codegen'd hash aggregate → band keys) with the Spark-specific
+    xxhash64 swapped for the md5-derived 60-bit hash
+    (functions/hashing.hash60) — exact integer arithmetic any engine
+    reproduces, so the hamming-bucket path gets a DuckDB hash oracle
+    (the q22/q25 portability move). 60 bits band into 4×15-bit keys;
+    identical band ⇒ hamming candidates, same recall geometry as the
+    64-bit/4×16 variant. Token-less docs keep simhash 0 (the empty-fold
+    value), like ``simhash_groups``.
+    """
+    from nahuatl_data_pipeline_spark.functions.hashing import (
+        SIMHASH_PORTABLE_BITS,
+        hash60,
+        word_shingles,
+    )
+
+    bits = SIMHASH_PORTABLE_BITS
+    sh = word_shingles(text_col, n=shingle_n)
+    tok = df.select(F.col(id_col), F.explode(sh).alias("__s")).withColumn(
+        "__h", hash60("__s")
+    )
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    out = votes.select(F.col(id_col), sim.alias("simhash"))
+    out = (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .withColumn("simhash", F.coalesce("simhash", F.lit(0).cast("long")))
+    )
+    band_bits = bits // 4
+    return out.select(
+        F.col(id_col),
+        "simhash",
+        *[
+            F.shiftright("simhash", band_bits * i)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
             .alias(f"band{i}")
             for i in range(4)
         ],

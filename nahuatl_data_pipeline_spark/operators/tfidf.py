@@ -391,13 +391,19 @@ def pmi_cooccurrence(
     dt = dt.localCheckpoint(eager=True)
     tc = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
     if max_vocab is not None:
-        # rank window runs on the VOCABULARY-sized table (q124 shape),
-        # never the occurrence stream; kept terms' n_t marginals are
-        # unchanged by the cut, so tc is reused below as-is
-        w = Window.orderBy(F.col("n_t").desc(), F.col("term").asc())
+        # Output-identical pre-cut: a term in < min_pair_docs documents
+        # can never be half of a qualifying pair (n_ab <= min(n_a, n_b)),
+        # and under the n_t-desc ranking every such term sorts BELOW
+        # every productive term — dropping them first can't change which
+        # productive terms make the cut. It bounds the ranked set by the
+        # PRODUCTIVE vocabulary instead of the open one (which grows
+        # with the corpus — the rare-term tail this cap exists for).
+        # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+        # top-K merged at the driver, never a single-partition sort.
         vocab = (
-            tc.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= max_vocab)
+            tc.filter(F.col("n_t") >= min_pair_docs)
+            .orderBy(F.col("n_t").desc(), F.col("term").asc())
+            .limit(max_vocab)
             .select("term")
         )
         dt = dt.join(F.broadcast(vocab), "term", "left_semi")

@@ -836,9 +836,12 @@ _Q118_SQL = r"""
     ),
     tc AS (SELECT term, COUNT(*) AS n_t FROM dt GROUP BY term),
     vocab AS (
+      -- n_t >= 25 pre-cut mirrors the operator (output-identical: a
+      -- term in < min_pair_docs docs can never form a qualifying pair,
+      -- and it ranks below every productive term under n_t DESC)
       SELECT term FROM (
         SELECT term, ROW_NUMBER() OVER (ORDER BY n_t DESC, term ASC) AS rn
-        FROM tc
+        FROM tc WHERE n_t >= 25
       ) WHERE rn <= 1000
     ),
     dtc AS (SELECT dt.* FROM dt JOIN vocab USING (term)),

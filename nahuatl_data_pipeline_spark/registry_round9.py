@@ -102,6 +102,18 @@ def q157_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Oracle-parity invariant: the oracle classifies cross pairs purely
+    # by id range (planted train ids = doc_id + 3e6 must stay BELOW the
+    # eval offset 5e6, i.e. every source doc_id < 2e6). A dataset that
+    # outgrows that bound would make the oracle tag planted train docs
+    # as eval and the hashes would SILENTLY diverge — one bounded 1-row
+    # aggregate over the pruned doc_id column fails loudly instead.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id + 3_000_000 >= _Q157_EVAL_OFFSET:
+        raise ValueError(
+            f"q157 id-range invariant violated: max(doc_id)={max_id} "
+            f"but oracle requires doc_id + 3000000 < {_Q157_EVAL_OFFSET}"
+        )
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     planted = ev.select(
         (F.col("doc_id") + 3_000_000).alias("doc_id"),

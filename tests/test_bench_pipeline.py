@@ -32,6 +32,38 @@ def test_pipeline_mode_emits_one_json_line(spark, capsys, monkeypatch):
         assert 0 <= stats[k] <= stats["input"]
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver-generated testdata absent"
+)
+def test_isolate_subprocess_plumbing(monkeypatch):
+    """Spawn ONE real fresh-JVM group subprocess at smoke scale: the
+    env merge (a group heap override must not clobber an explicit
+    SPARK_DRIVER_MEMORY), the --single/--repeat argv contract, rc
+    propagation, and the stdout timings-map scan — so the 100× isolate
+    sweeps' plumbing is exercised by pytest, not only by the decade
+    runs."""
+    import bench
+
+    # explicit env wins over the group override (documented contract)
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "2g")
+    parsed, err = bench._spawn_group(
+        "q26", {"SPARK_DRIVER_MEMORY": "16g"}, SF_SMOKE, repeat=2
+    )
+    assert err is None, err
+    assert set(parsed) == {"q26"} and parsed["q26"] >= 0
+
+
+def test_parse_timings_map_skips_non_dict_json():
+    """A bare number / 'null' emitted after the timings line (JVM
+    warnings reach stdout) must not shadow the real map; no map at all
+    → None (ADVICE round 9)."""
+    import bench
+
+    out = 'WARN gc\n{"q26": 0.5}\nnull\n42\n'
+    assert bench._parse_timings_map(out) == {"q26": 0.5}
+    assert bench._parse_timings_map("null\n42\n{}\n") is None
+
+
 def test_isolate_groups_are_sane():
     """--isolate's fresh-JVM schedule must stay consistent with the
     registry: every group member is a real query prefix, no prefix
@@ -54,3 +86,9 @@ def test_isolate_groups_are_sane():
     sized = {tuple(g) for g, e in bench._FRESH_JVM_GROUPS
              if e.get("SPARK_DRIVER_MEMORY") == "16g"}
     assert ("q31",) in sized and ("q58", "q145") in sized
+    # --dedup-first substitutes the corpus per GROUP, so a contract
+    # query must never share a group with a non-contract query
+    assert bench._DEDUP_FIRST_KEYS <= prefixes
+    for group, _ in bench._FRESH_JVM_GROUPS:
+        overlap = set(group) & bench._DEDUP_FIRST_KEYS
+        assert not overlap or set(group) <= bench._DEDUP_FIRST_KEYS

@@ -84,6 +84,42 @@ def test_simhash_identical_docs_same_hash(docs):
     assert bin(h[1] ^ h[4]).count("1") <= 16
 
 
+def test_simhash_portable_parity_with_xxhash64_variant(docs):
+    """q163's md5-based variant must agree with q32's xxhash64 variant
+    on NEIGHBOR STRUCTURE at the same (scaled) hamming radius: exact
+    dups collide, planted near-dups land inside the radius, distinct
+    docs land far outside it — the hash family changes, the geometry
+    must not. Radii scale by bit width (16/64 ≡ 15/60)."""
+    from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
+        simhash_groups_portable,
+    )
+
+    for fn, bits in ((simhash_groups, 64), (simhash_groups_portable, 60)):
+        rows = {r["doc_id"]: r for r in fn(docs, "doc_id", "text").collect()}
+        h = {k: r["simhash"] for k, r in rows.items()}
+        radius = bits // 4
+        full = (1 << bits) - 1  # mask: 64-bit fingerprints arrive signed
+
+        def ham(a, b):
+            return bin((h[a] ^ h[b]) & full).count("1")
+
+        assert h[2] == h[5]  # exact dup: identical fingerprint
+        assert ham(1, 4) <= radius  # planted near-dup
+        assert ham(1, 2) > radius  # distinct doc
+        assert ham(3, 4) > radius
+        # band decomposition reassembles the fingerprint exactly
+        band_bits = bits // 4
+        for r in rows.values():
+            assembled = sum(
+                (r[f"band{i}"] & ((1 << band_bits) - 1)) << (band_bits * i)
+                for i in range(4)
+            )
+            mask = (1 << (band_bits * 4)) - 1
+            assert assembled == r["simhash"] & mask
+        # exact dup ⇒ every band key collides (the bucket-join guarantee)
+        assert all(rows[2][f"band{i}"] == rows[5][f"band{i}"] for i in range(4))
+
+
 def test_fuzzy_results_stable_across_partitioning(docs):
     a = sorted(map(tuple, banded_minhash_pairs(docs, "doc_id", "text", shingle_n=2).collect()))
     b = sorted(
