@@ -5,7 +5,10 @@ Prints ONE JSON line:
 
 Per-query timing = full plan execution to a count-style action (results are
 materialized but not shipped to the driver — we measure engine throughput,
-not toPandas serialization).
+not toPandas serialization). Caveat: under count() Catalyst may legally
+eliminate row-preserving operators (q32/q163's unique-key left join + vote
+aggregate collapse to the id scan) — fair for a count, but SCALE.md decade
+rows for such ops use sum-forcing probes so the real compute is measured.
 
 ``python bench.py --pipeline`` instead times the end-to-end curation
 pipeline (redact → C4/Gopher gates → cluster near-dup dedup →
@@ -114,22 +117,24 @@ def pipeline_main() -> None:
 # application per job, each with its own executor heaps — and grouping
 # keeps the build-once pair-table sharing (q38→q97, q58→q145) inside
 # each JVM, so the measured sharing win is preserved. The optional env
-# map is per-job resource sizing (what a cluster scheduler does):
-# q31 (pyspark.ml approxSimilarityJoin) OOMs a fresh 8 GiB heap at the
-# 100× decade on BOTH replica flavors but completes at 16 GiB
-# (unique 175.7 s / clone 413.3 s — SCALE.md round 9); the env value
-# never LOWERS an explicitly-set SPARK_DRIVER_MEMORY.
+# map is per-job resource sizing (what a cluster scheduler does); the
+# env value never LOWERS an explicitly-set SPARK_DRIVER_MEMORY.
+# q31's round-9 16 GiB sizing was removed in round 10: pruning the LSH
+# cache to (id, features) — text and the shingle array never reach the
+# cache — restored the 8 GiB posture on BOTH 100× replica flavors
+# (unique 211.7 s / clone 432.4 s at a fresh 8 GiB heap, zero OOM —
+# SCALE.md round 10).
 _FRESH_JVM_GROUPS = [
     (["q38", "q97"], {}),
     # q58's dense-clone pair graph (~23M pairs) is marginal at 8 GiB —
     # passes standalone, OOMs under sweep-adjacent page-cache pressure
-    # (measured both ways, round 9); sized like q31
+    # (measured both ways, round 9)
     (["q58", "q145"], {"SPARK_DRIVER_MEMORY": "16g"}),
     (["q25"], {}),
     (["q157"], {}),
     (["q106"], {}),
     (["q108"], {}),
-    (["q31"], {"SPARK_DRIVER_MEMORY": "16g"}),
+    (["q31"], {}),
 ]
 
 

@@ -129,11 +129,13 @@ def minhash_lsh_pairs(
     Dirty-corpus envelope: approxSimilarityJoin has no hot-bucket cap
     lever, so on a corpus with B-member duplicate families it carries
     the full Σ C(B,2) candidate volume. Resource sizing measured at the
-    100× decade (SCALE.md round 9): an 8 GiB heap OOMs on BOTH replica
-    flavors (the MEMORY_AND_DISK columnar cache + 32-way task
-    concurrency); a 16 GiB heap completes — unique 175.7 s, clone
-    413.3 s — which is what ``bench.py --isolate`` provisions for this
-    job. The capped deterministic path (``banded_minhash_pairs`` with
+    100× decade: round 9 recorded an 8 GiB fresh-JVM OOM on both
+    replica flavors; round 10 root-caused it to the unpruned cache
+    (text + shingle array persisted alongside the features) — with the
+    cache pruned to (id, features) a fresh 8 GiB heap completes both
+    flavors (unique 211.7 s, clone 432.4 s ≈ the old 16 GiB walls), so
+    the isolate schedule runs this job at the default heap again. The
+    capped deterministic path (``banded_minhash_pairs`` with
     ``max_bucket_size``) is the production choice for dirty corpora;
     this path exists for SparkDedup.scala parity and clean corpora.
     """

@@ -103,20 +103,25 @@ def q157_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Oracle-parity invariant: the oracle classifies cross pairs purely
-    # by id range (planted train ids = doc_id + 3e6 must stay BELOW the
-    # eval offset 5e6, i.e. every source doc_id < 2e6). A dataset that
-    # outgrows that bound would make the oracle tag planted train docs
-    # as eval and the hashes would SILENTLY diverge — one bounded 1-row
-    # aggregate over the pruned doc_id column fails loudly instead.
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    if max_id is not None and max_id + 3_000_000 >= _Q157_EVAL_OFFSET:
-        raise ValueError(
-            f"q157 id-range invariant violated: max(doc_id)={max_id} "
-            f"but oracle requires doc_id + 3000000 < {_Q157_EVAL_OFFSET}"
-        )
+    # by id range, which requires planted train ids (doc_id + 3e6) to
+    # stay BELOW the eval offset 5e6 — i.e. every source doc_id < 2e6.
+    # That holds at every certification scale (max 4999 at sf0.01, the
+    # only place the oracle is ever compared). Datasets beyond the
+    # bound (the /tmp scale replicas stride ids by 10M per copy, max
+    # ~990M at 100×) would make the STATIC offsets either collide with
+    # real ids or silently mis-classify oracle pairs — so the plant
+    # offset is derived from the data bound instead: certification
+    # scales take the certified static arm unchanged, scale runs get a
+    # collision-free power-of-10 offset above every real id. One
+    # bounded 1-row aggregate over the pruned doc_id column.
+    max_id = docs.agg(F.max("doc_id")).first()[0] or 0
+    if max_id + 3_000_000 < _Q157_EVAL_OFFSET:
+        plant_offset = 3_000_000  # the oracle-mirrored certified arm
+    else:
+        plant_offset = 10 ** len(str(max_id))
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     planted = ev.select(
-        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        (F.col("doc_id") + plant_offset).alias("doc_id"),
         F.concat(F.lit("alpha beta gamma "), F.col("text")).alias("text"),
     )
     train = docs.filter(F.col("doc_id") % 97 != 0).unionByName(planted)

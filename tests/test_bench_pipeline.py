@@ -82,10 +82,13 @@ def test_isolate_groups_are_sane():
             seen.add(key)
         for k, v in env.items():
             assert isinstance(k, str) and isinstance(v, str)
-    # the documented 100x per-job sizing must stay in place
+    # the documented 100x per-job sizing must stay in place (q31's
+    # 16 GiB sizing was retired in round 10 — LSH cache pruned to
+    # (id, features) restored its 8 GiB posture; q58's pair graph
+    # still needs the headroom)
     sized = {tuple(g) for g, e in bench._FRESH_JVM_GROUPS
              if e.get("SPARK_DRIVER_MEMORY") == "16g"}
-    assert ("q31",) in sized and ("q58", "q145") in sized
+    assert ("q58", "q145") in sized
     # --dedup-first substitutes the corpus per GROUP, so a contract
     # query must never share a group with a non-contract query
     assert bench._DEDUP_FIRST_KEYS <= prefixes
