@@ -145,3 +145,65 @@ def url_dedup(
         .drop("__rn")
     )
     return deduped.unionByName(out.filter(no_key))
+
+
+# Two-label public suffixes recognized by ``url_domain``. A full public
+# suffix list is a runtime data file (publicsuffix.org) a production
+# deployment would broadcast; this compile-time tuple covers the common
+# ccTLD second-level registries and is the ONE definition shared by the
+# Spark expression and every DuckDB oracle (the q22/q25 single-source
+# pattern).
+MULTI_LABEL_SUFFIXES = (
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "co.jp",
+    "com.au",
+    "com.br",
+    "com.mx",
+)
+
+
+def multi_suffix_regex(
+    suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES,
+) -> str:
+    """Anchored regex matching a host whose public suffix spans two
+    labels (so the registered domain spans three). Shared verbatim by
+    ``url_domain`` and the oracle SQL mirrors."""
+    return r"\.(" + "|".join(s.replace(".", r"\.") for s in suffixes) + ")$"
+
+
+def url_domain(
+    canonical: Column,
+    *,
+    suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES,
+) -> Column:
+    """Registered domain (eTLD+1 approximation) of a CANONICAL url.
+
+    Pure column expression (regexp codegen, no Python hop):
+
+    - host = authority of ``canonical`` minus port (``[^/:?#]+`` after
+      ``://``) — ``canonicalize_url`` already lowercased it and
+      stripped ``www.`` for http(s); a leading ``www.`` from any other
+      scheme is stripped here;
+    - registered domain = last two host labels, or last three when the
+      host ends in a two-label public suffix from ``suffixes``
+      (``bbc.co.uk`` stays ``bbc.co.uk``, ``media.example.co.uk`` →
+      ``example.co.uk``);
+    - a dot-less host (``localhost``, a bare IP label) is returned
+      whole; NULL/empty canonical urls yield NULL (junk rows group
+      under one NULL domain — safe for aggregation because every
+      downstream stat is a decomposable partial aggregate, unlike the
+      window key in ``url_dedup``).
+    """
+    host = F.regexp_extract(canonical, r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    sfx = multi_suffix_regex(suffixes)
+    return (
+        F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
+        .when(host.rlike(sfx) & (last3 != ""), last3)
+        .when(last2 != "", last2)
+        .otherwise(host)
+    )

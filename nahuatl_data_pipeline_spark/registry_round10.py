@@ -87,3 +87,146 @@ def q163_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_groups_portable(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q164: domain-level crawl stats (operators/crawl.py:domain_stats)
+# ---------------------------------------------------------------------------
+
+# Synthetic multi-host crawl urls, deterministic in doc_id (the q158
+# pattern, widened to many registered domains): subdomains + WWW +
+# mixed-case hosts, a two-label public suffix (co.uk), a dot-less host
+# (localhost), a default port, tracking-param query variants, fragments,
+# and NULL/whitespace junk rows. Spark twin below is
+# expression-for-expression identical.
+_Q164_URLS_SQL = """
+    SELECT doc_id, n_chars,
+      CASE WHEN doc_id % 89 = 1 THEN NULL
+           WHEN doc_id % 89 = 0 THEN '   '
+           ELSE (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN 'WWW.News.Example.COM'
+                      WHEN doc_id % 7 = 1 THEN 'blog.example.com'
+                      WHEN doc_id % 7 = 2
+                        THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
+                      WHEN doc_id % 7 = 3 THEN 'Media.Example.CO.UK'
+                      WHEN doc_id % 7 = 4 THEN 'example.co.uk'
+                      WHEN doc_id % 7 = 5 THEN 'localhost'
+                      ELSE 'cdn.site' || CAST(doc_id % 3 AS VARCHAR)
+                             || '.net' END)
+             || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+             || '/p/' || CAST(doc_id % 13 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '?b=2&utm_source=x&a=1'
+                      WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+                      WHEN doc_id % 4 = 2 THEN '?utm_campaign=z&ref=home'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)
+      END AS url
+    FROM documents
+"""
+
+
+def _q164_sql() -> str:
+    from nahuatl_data_pipeline_spark.functions.url import multi_suffix_regex
+    from nahuatl_data_pipeline_spark.registry_round9 import _CANON_CTES
+
+    # DuckDB mirror of functions/url.py:url_domain over canonical_url —
+    # regexes shared verbatim with the Spark expression.
+    sfx = multi_suffix_regex()
+    return f"""
+    WITH urls AS ({_Q164_URLS_SQL}),
+    {_CANON_CTES},
+    hosts AS (
+      SELECT doc_id, n_chars, canonical_url,
+             REGEXP_REPLACE(
+               REGEXP_EXTRACT(canonical_url,
+                              '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1),
+               '^www\\.', '') AS host
+      FROM canon
+    ),
+    dom AS (
+      SELECT h.doc_id, h.n_chars, h.canonical_url, d.lang,
+             CASE WHEN h.host IS NULL OR h.host = '' THEN NULL
+                  WHEN REGEXP_MATCHES(h.host, '{sfx}')
+                       AND REGEXP_EXTRACT(h.host,
+                             '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                    THEN REGEXP_EXTRACT(h.host,
+                           '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                  WHEN REGEXP_EXTRACT(h.host, '([^.]+\\.[^.]+)$', 1) <> ''
+                    THEN REGEXP_EXTRACT(h.host, '([^.]+\\.[^.]+)$', 1)
+                  ELSE h.host END AS domain
+      FROM hosts h JOIN documents d USING (doc_id)
+    ),
+    g AS (
+      SELECT domain,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT CASE WHEN canonical_url <> ''
+                                      THEN canonical_url END) AS BIGINT)
+               AS n_pages,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM dom GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_chars) AS grand FROM dom)
+    SELECT domain, n_docs, n_pages,
+           CASE WHEN n_pages > 0
+                THEN ROUND(1 - n_pages * 1.0 / n_docs, 4) END AS dup_frac,
+           n_langs, total_chars,
+           ROUND(total_chars * 1.0 / grand, 6) AS chars_share
+    FROM g CROSS JOIN t
+"""
+
+
+def _q164_url_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_Q164_URLS_SQL`` (expression-for-expression)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://"))
+    host = (
+        F.when(d % 7 == 0, F.lit("WWW.News.Example.COM"))
+        .when(d % 7 == 1, F.lit("blog.example.com"))
+        .when(
+            d % 7 == 2,
+            F.concat(F.lit("site"), (d % 5).cast("string"), F.lit(".ORG")),
+        )
+        .when(d % 7 == 3, F.lit("Media.Example.CO.UK"))
+        .when(d % 7 == 4, F.lit("example.co.uk"))
+        .when(d % 7 == 5, F.lit("localhost"))
+        .otherwise(
+            F.concat(
+                F.lit("cdn.site"), (d % 3).cast("string"), F.lit(".net")
+            )
+        )
+    )
+    port = F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p/"), (d % 13).cast("string"))
+    query = (
+        F.when(d % 4 == 0, F.lit("?b=2&utm_source=x&a=1"))
+        .when(d % 4 == 1, F.lit("?a=1&b=2"))
+        .when(d % 4 == 2, F.lit("?utm_campaign=z&ref=home"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 6 == 0, F.lit("#top")).otherwise(F.lit(""))
+    url = (
+        F.when(d % 89 == 1, F.lit(None).cast("string"))
+        .when(d % 89 == 0, F.lit("   "))
+        .otherwise(F.concat(scheme, host, port, path, query, frag))
+    )
+    return docs.select(url.alias("url"), "n_chars", "lang")
+
+
+@register("q164_domain_stats", _q164_sql())
+def q164_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl profile (operators/crawl.py:domain_stats):
+    canonicalize → registered-domain extract (functions/url.py:
+    url_domain, eTLD+1 with a two-label-suffix table) → ONE hash
+    aggregate per domain (docs, distinct pages, dup rate, langs, char
+    volume + corpus share via a 1-row broadcast crossJoin). The
+    RefinedWeb/FineWeb-style per-domain gate the reference lacks
+    (its ids hash url+ts, manager.py:17-21 — no site-level view)."""
+    from nahuatl_data_pipeline_spark.operators.crawl import domain_stats
+
+    return domain_stats(_q164_url_table(spark, sf_dir), "url")

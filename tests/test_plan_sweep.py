@@ -46,6 +46,7 @@ _BNLJ_OK = {
     "q138_dsir_importance",  # 1-row corpus totals broadcast crossJoin
     "q139_margin_topk",  # broadcast query side, non-equi (q24's shape)
     "q141_perplexity_buckets",  # q109's 1-row vocab + band-cuts broadcasts
+    "q164_domain_stats",  # 1-row corpus-chars total broadcast crossJoin
 }
 
 

@@ -132,3 +132,76 @@ def test_url_dedup_passes_null_and_empty_keys_through(spark):
             assert r.canonical_url == ""
         if r.doc_id in (1, 2):
             assert r.canonical_url is None
+
+
+@pytest.mark.parametrize(
+    "canon, want",
+    [
+        ("https://news.example.com/a", "example.com"),
+        ("https://example.com/a", "example.com"),
+        # two-label public suffix: registered domain keeps three labels
+        ("https://media.example.co.uk/x", "example.co.uk"),
+        ("https://example.co.uk", "example.co.uk"),
+        # 4-label host under a two-label suffix -> last three labels
+        ("https://a.b.co.jp/p", "b.co.jp"),
+        # dot-less host returned whole
+        ("http://localhost:8080/x", "localhost"),
+        # non-http scheme: www. stripped here (canonicalize only strips
+        # it for http/https)
+        ("ftp://www.example.org/f", "example.org"),
+        # junk
+        ("", None),
+        (None, None),
+    ],
+)
+def test_url_domain_hand_values(spark, canon, want):
+    from nahuatl_data_pipeline_spark.functions.url import url_domain
+
+    df = spark.createDataFrame([(canon,)], "c string")
+    assert df.select(url_domain(F.col("c")).alias("d")).collect()[0].d == want
+
+
+def test_domain_stats_values(spark):
+    from nahuatl_data_pipeline_spark.operators.crawl import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            # example.com: 3 docs, 2 pages (tracking variant collapses)
+            (1, "https://example.com/a?utm_source=x", 10, "nah"),
+            (2, "https://example.com/a", 20, "es"),
+            (3, "https://WWW.example.com/b", 30, "nah"),
+            # bbc.co.uk: 1 doc
+            (4, "https://www.bbc.co.uk/news", 40, "en"),
+            # junk rows -> NULL domain, 0 pages, NULL dup_frac
+            (5, None, 50, "en"),
+            (6, "   ", 60, "es"),
+        ],
+        "doc_id long, url string, n_chars long, lang string",
+    )
+    rows = {r.domain: r for r in domain_stats(df, "url").collect()}
+    assert set(rows) == {"example.com", "bbc.co.uk", None}
+    ec = rows["example.com"]
+    assert (ec.n_docs, ec.n_pages, ec.n_langs, ec.total_chars) == (3, 2, 2, 60)
+    assert ec.dup_frac == round(1 - 2 / 3, 4)
+    assert ec.chars_share == round(60 / 210, 6)
+    bbc = rows["bbc.co.uk"]
+    assert (bbc.n_docs, bbc.n_pages, bbc.dup_frac) == (1, 1, 0.0)
+    junk = rows[None]
+    assert (junk.n_docs, junk.n_pages, junk.total_chars) == (2, 0, 110)
+    assert junk.dup_frac is None
+
+
+def test_domain_stats_is_udf_free(spark):
+    from nahuatl_data_pipeline_spark.operators.crawl import domain_stats
+
+    df = spark.createDataFrame(
+        [(1, "https://e.com/a", 5, "nah")],
+        "doc_id long, url string, n_chars long, lang string",
+    )
+    plan = (
+        domain_stats(df, "url")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
