@@ -95,3 +95,35 @@ def test_isolate_groups_are_sane():
     for group, _ in bench._FRESH_JVM_GROUPS:
         overlap = set(group) & bench._DEDUP_FIRST_KEYS
         assert not overlap or set(group) <= bench._DEDUP_FIRST_KEYS
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver-generated testdata absent"
+)
+def test_prepare_dedup_materializes_dropin_sf_dir(tmp_path):
+    """--prepare-dedup's materialize step must produce a drop-in
+    SPARK_GRAFT_SF_DIR: deduped documents parquet (keep-best: fewer or
+    equal rows, longest text per normalized key), every other table
+    symlinked to the source — exercised in-process at smoke scale so
+    the contract stage is covered by pytest, not only the 100× runs."""
+    import bench
+    from nahuatl_data_pipeline_spark.schemas import TESTDATA_TABLES, load_table
+    from nahuatl_data_pipeline_spark.session import get_spark
+
+    out = str(tmp_path / "dedup_sf")
+    bench._prepare_dedup(SF_SMOKE, out)
+
+    spark = get_spark()
+    src_docs = load_table(spark, SF_SMOKE, "documents")
+    dst_docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    assert dst_docs.count() <= src_docs.count()
+    assert set(dst_docs.columns) == set(src_docs.columns)
+    for t in TESTDATA_TABLES:
+        p = os.path.join(out, f"{t}.parquet")
+        assert os.path.exists(p), t
+        if t != "documents":
+            assert os.path.islink(p), t
+    # drop-in: a registered query runs unchanged against the dedup dir
+    from nahuatl_data_pipeline_spark import registry
+
+    assert registry.queries()["q13_doc_length_stats"](spark, out).count() >= 0
