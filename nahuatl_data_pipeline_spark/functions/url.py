@@ -182,8 +182,8 @@ def url_domain(
 
     Pure column expression (regexp codegen, no Python hop):
 
-    - host = authority of ``canonical`` minus port (``[^/:?#]+`` after
-      ``://``) — ``canonicalize_url`` already lowercased it and
+    - host = authority of ``canonical`` minus userinfo (``user:pass@``)
+      and port — ``canonicalize_url`` already lowercased it and
       stripped ``www.`` for http(s); a leading ``www.`` from any other
       scheme is stripped here;
     - registered domain = last two host labels, or last three when the
@@ -196,7 +196,9 @@ def url_domain(
       downstream stat is a decomposable partial aggregate, unlike the
       window key in ``url_dedup``).
     """
-    host = F.regexp_extract(canonical, r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
+    host = F.regexp_extract(canonical, r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")  # userinfo
+    host = F.regexp_replace(host, r":[0-9]*$", "")  # port
     host = F.regexp_replace(host, r"^www\.", "")
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)

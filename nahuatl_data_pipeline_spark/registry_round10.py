@@ -137,10 +137,10 @@ def _q164_sql() -> str:
     {_CANON_CTES},
     hosts AS (
       SELECT doc_id, n_chars, canonical_url,
-             REGEXP_REPLACE(
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
                REGEXP_EXTRACT(canonical_url,
-                              '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1),
-               '^www\\.', '') AS host
+                              '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1),
+               '^[^@]*@', ''), ':[0-9]*$', ''), '^www\\.', '') AS host
       FROM canon
     ),
     dom AS (

@@ -229,3 +229,44 @@ def test_water_fill_properties(spark, avails, budget):
     assert abs(s - min(budget, total)) <= 1e-3 * max(1, len(avails))
     for r in rows:
         assert -1e-9 <= r["alloc"] <= r["avail"] + 1e-9
+
+
+# URL-ish strings: schemes, authorities (userinfo/port), paths, query
+# params (tracking + real), fragments, junk — the shapes a crawl feed
+# actually contains.
+_URLISH = st.lists(
+    st.sampled_from(
+        list("abcXYZ09:/?#&=._-@%~ ")
+        + ["https://", "HTTP://", "www.", "utm_a=1", "co.uk", "?a=1&b=2"]
+    ),
+    min_size=0,
+    max_size=8,
+).map("".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_URLISH, min_size=1, max_size=16))
+def test_canonicalize_url_idempotent_and_domain_stable(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the canonical
+    form must be a fixed point (otherwise two dedup passes disagree on
+    keys); and url_domain of a canonical url must equal url_domain of
+    the re-canonicalized url (domain stats computed before or after URL
+    dedup see the same domains)."""
+    from nahuatl_data_pipeline_spark.functions.url import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    out = once.select(
+        "c",
+        canonicalize_url(F.col("c")).alias("cc"),
+        url_domain(F.col("c")).alias("d"),
+    ).collect()
+    for r in out:
+        assert r.cc == r.c, (r.c, r.cc)
+    twice_dom = once.select(
+        url_domain(canonicalize_url(F.col("c"))).alias("d")
+    ).collect()
+    assert [r.d for r in out] == [r.d for r in twice_dom]

@@ -205,3 +205,17 @@ def test_domain_stats_is_udf_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_domain_strips_userinfo_and_port(spark):
+    from nahuatl_data_pipeline_spark.functions.url import url_domain
+
+    df = spark.createDataFrame(
+        [
+            ("https://user:pw@sub.example.com:8443/a",),
+            ("http://example.com:8080/b",),
+        ],
+        "c string",
+    )
+    got = [r.d for r in df.select(url_domain(F.col("c")).alias("d")).collect()]
+    assert got == ["example.com", "example.com"]
