@@ -214,3 +214,84 @@ def normalize_text(
             raise ValueError(f"unknown lang {lang!r}; expected {sorted(_LANG_RULES)}")
         out = _LANG_RULES[lang](out)
     return empty_to_null(collapse_whitespace(out))
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy-style, single-pass table-driven)
+# ---------------------------------------------------------------------------
+
+# Target characters whose UTF-8-read-as-cp1252 form is repaired: the
+# Latin-script set a Spanish/Nahuatl web corpus actually mis-encodes
+# (accented vowels, eñe/diéresis, inverted punctuation, guillemets,
+# curly quotes, dashes, ellipsis). Characters whose mojibake contains a
+# cp1252-undefined C1 control byte (Á, Í, à, ”) are excluded: they
+# need ftfy's sloppy-cp1252 byte model, and a literal-replace engine
+# should not ship invisible control characters in its table. í IS
+# included (its second byte is the soft hyphen U+00AD — printable-safe
+# and far too common in Spanish to skip).
+_MOJIBAKE_TARGETS = "áéíóúñüÉÓÚÑÜèìòùâêîôûäëïöç¿¡«»“‘’–—…·€°"
+
+
+def _utf8_as_cp1252(ch: str) -> str | None:
+    """How ``ch`` renders when its UTF-8 bytes are read as cp1252
+    (soft hyphen allowed; any other undefined/control byte → None)."""
+    parts = []
+    for b in ch.encode("utf-8"):
+        if b == 0xAD:
+            parts.append("\xad")
+            continue
+        try:
+            p = bytes([b]).decode("cp1252")
+        except UnicodeDecodeError:
+            return None
+        if not p.isprintable():
+            return None
+        parts.append(p)
+    return "".join(parts)
+
+
+# (mojibake, fixed) pairs, longest mojibake first so three-byte
+# sequences (â€œ …) never get clipped by a two-byte rule; the order is
+# part of the contract and is applied identically by fix_mojibake and
+# every SQL mirror built by mojibake_repair_sql.
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = tuple(
+    sorted(
+        ((m, c) for c in _MOJIBAKE_TARGETS if (m := _utf8_as_cp1252(c))),
+        key=lambda mc: (-len(mc[0]), mc[0]),
+    )
+)
+
+
+def fix_mojibake(c: ColumnOrName) -> Column:
+    """Repair UTF-8-read-as-cp1252 mojibake (``CafÃ©`` → ``Café``) as a
+    single-pass chain of literal replaces — pure whole-stage-codegen,
+    no Python hop, no regex. Single-pass means doubly-encoded text is
+    repaired one layer per application (ftfy's iterative model is just
+    calling this until fixed-point). Beyond the reference (its readers
+    trust HF dataset encodings; a crawl feed cannot)."""
+    out = _col(c)
+    for moji, fixed in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(moji), F.lit(fixed))
+    return out
+
+
+def mojibake_repair_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`fix_mojibake` — the same table in the
+    same order as nested REPLACE calls (ONE definition of the repair)."""
+    out = expr
+    for moji, fixed in MOJIBAKE_TABLE:
+        m = moji.replace("'", "''")
+        f = fixed.replace("'", "''")
+        out = f"REPLACE({out}, '{m}', '{f}')"
+    return out
+
+
+_MOJIBAKE_ENCODE = {fixed: moji for moji, fixed in MOJIBAKE_TABLE}
+
+
+def make_mojibake(s: str) -> str:
+    """Encode clean text into its cp1252-mojibake form (test/plant
+    helper: the inverse of one ``fix_mojibake`` pass). Per-character
+    mapping — sequential global replaces would re-encode the ``â``
+    produced by encoding ``—``."""
+    return "".join(_MOJIBAKE_ENCODE.get(ch, ch) for ch in s)

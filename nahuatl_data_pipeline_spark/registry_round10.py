@@ -9,10 +9,16 @@
   stays registered; a parity unit asserts both variants agree on
   neighbor structure at the same hamming radius.
 
-Kept deliberately SHORT: the driver certifies only the first 50
-``queries()`` entries per round and round 10 must let the r06-stale
-q125–q137 block (plus the oldest r07 entries) rotate through the
-window (round-9 verdict #4).
+- q164: domain-level crawl stats (operators/crawl.py:domain_stats) —
+  the RefinedWeb/FineWeb per-domain dup-rate/volume gate.
+- q165: mojibake repair (functions/normalize.py:fix_mojibake) —
+  ftfy-style cp1252 fix as a codegen literal-replace chain.
+
+Kept deliberately SHORT (3 entries): the driver certifies only the
+first 50 ``queries()`` entries per round and round 10 must let the
+r06-stale q125–q137 block (plus the oldest r07 entries) rotate through
+the window (round-9 verdict #4) — 3 new + 13 r06 + 34 r07 fills it
+exactly without displacing any stale-block entry.
 """
 
 from __future__ import annotations
@@ -230,3 +236,70 @@ def q164_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nahuatl_data_pipeline_spark.operators.crawl import domain_stats
 
     return domain_stats(_q164_url_table(spark, sf_dir), "url")
+
+
+# ---------------------------------------------------------------------------
+# q165: mojibake repair (functions/normalize.py:fix_mojibake)
+# ---------------------------------------------------------------------------
+
+def _q165_plant() -> str:
+    from nahuatl_data_pipeline_spark.functions.normalize import make_mojibake
+
+    # Clean Spanish-ish tail covering 2- and 3-byte sequences; encoded
+    # into its cp1252-mojibake form through the SAME table the repair
+    # uses (one definition of the plant).
+    return make_mojibake(" «Café» — ¿qué más? día… ‘ok’ 5€")
+
+
+def _q165_sql() -> str:
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        mojibake_repair_sql,
+    )
+
+    plant = _q165_plant().replace("'", "''")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '{plant}'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    fx AS (
+      SELECT doc_id, t, {mojibake_repair_sql('t')} AS text_fixed FROM aug
+    )
+    SELECT doc_id, text_fixed,
+           CAST(LENGTH(t) - LENGTH(text_fixed) AS BIGINT) AS n_repaired,
+           LENGTH(t) - LENGTH(text_fixed) > 0 AS had_mojibake
+    FROM fx
+"""
+
+
+@register("q165_mojibake_repair", _q165_sql())
+def q165_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair (functions/normalize.py:fix_mojibake):
+    single-pass table-driven literal-replace chain — pure whole-stage
+    codegen, no regex, no Python hop — over docs with a planted
+    cp1252-mojibake tail on every third document. Returns the repaired
+    text plus per-doc repaired-char accounting; the DuckDB oracle
+    applies the SAME table in the SAME order via mojibake_repair_sql
+    (one definition). Beyond the reference: its readers trust curated
+    HF dataset encodings, a crawl feed cannot."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.functions.normalize import fix_mojibake
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    aug = F.when(
+        d % 3 == 0, F.concat(F.col("text"), F.lit(_q165_plant()))
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", aug.alias("t")).withColumn(
+        "text_fixed", fix_mojibake(F.col("t"))
+    )
+    n_rep = F.length("t") - F.length("text_fixed")
+    return base.select(
+        "doc_id",
+        "text_fixed",
+        n_rep.cast("long").alias("n_repaired"),
+        (n_rep > 0).alias("had_mojibake"),
+    )

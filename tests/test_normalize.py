@@ -169,3 +169,63 @@ def test_orthographic_central_handles_canonical_saltillo(spark):
         ["tlaʼtolli", "tla'tolli", "tla’tolli"],
     )
     assert out == ["tlahtolli"] * 3
+
+
+def test_fix_mojibake_roundtrip_and_nop(spark):
+    """make_mojibake → fix_mojibake restores the original (every table
+    entry exercised), clean text passes through untouched, NULL stays
+    NULL, and the repair is pure codegen (no Python hop)."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        MOJIBAKE_TABLE,
+        fix_mojibake,
+        make_mojibake,
+    )
+
+    clean = " ".join(fixed for _, fixed in MOJIBAKE_TABLE) + " plain ascii"
+    broken = make_mojibake(clean)
+    assert broken != clean
+    df = spark.createDataFrame(
+        [(broken,), (clean,), (None,)], "t string"
+    )
+    out = [r.f for r in df.select(fix_mojibake("t").alias("f")).collect()]
+    assert out == [clean, clean, None]
+    plan = (
+        df.select(fix_mojibake("t").alias("f"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mojibake_sql_mirror_matches_spark(spark):
+    """The DuckDB REPLACE chain and the Spark replace chain are the
+    same function (one table, one order)."""
+    import duckdb
+
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        fix_mojibake,
+        make_mojibake,
+        mojibake_repair_sql,
+    )
+    from pyspark.sql import functions as F
+
+    samples = [
+        make_mojibake("«Café» — ¿qué más? día… ‘ok’ 5€ 30°"),
+        "already clean ö text",
+        # double-encoded: one pass peels exactly one layer on BOTH sides
+        make_mojibake(make_mojibake("niño")),
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got_spark = [r.f for r in df.select(fix_mojibake("t").alias("f")).collect()]
+    con = duckdb.connect()
+    got_sql = [
+        con.execute(
+            f"SELECT {mojibake_repair_sql('?::VARCHAR')} AS f", [s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got_spark == got_sql
