@@ -189,8 +189,11 @@ def url_domain(
     - registered domain = last two host labels, or last three when the
       host ends in a two-label public suffix from ``suffixes``
       (``bbc.co.uk`` stays ``bbc.co.uk``, ``media.example.co.uk`` →
-      ``example.co.uk``);
-    - a dot-less host (``localhost``, a bare IP label) is returned
+      ``example.co.uk``); a trailing FQDN dot (``example.com.``) is
+      stripped first;
+    - an IPv4 literal has no registered domain and is returned whole
+      (the last-two-labels cut would yield nonsense like ``0.1``);
+      dot-less hosts (``localhost``, IPv6 brackets) are returned
       whole; NULL/empty canonical urls yield NULL (junk rows group
       under one NULL domain — safe for aggregation because every
       downstream stat is a decomposable partial aggregate, unlike the
@@ -200,11 +203,13 @@ def url_domain(
     host = F.regexp_replace(host, r"^[^@]*@", "")  # userinfo
     host = F.regexp_replace(host, r":[0-9]*$", "")  # port
     host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r"\.$", "")  # FQDN trailing dot
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     sfx = multi_suffix_regex(suffixes)
     return (
         F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
+        .when(host.rlike(r"^[0-9]+(\.[0-9]+){3}$"), host)  # IPv4 literal
         .when(host.rlike(sfx) & (last3 != ""), last3)
         .when(last2 != "", last2)
         .otherwise(host)

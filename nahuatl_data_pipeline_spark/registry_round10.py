@@ -143,15 +143,18 @@ def _q164_sql() -> str:
     {_CANON_CTES},
     hosts AS (
       SELECT doc_id, n_chars, canonical_url,
-             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
                REGEXP_EXTRACT(canonical_url,
                               '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1),
-               '^[^@]*@', ''), ':[0-9]*$', ''), '^www\\.', '') AS host
+               '^[^@]*@', ''), ':[0-9]*$', ''), '^www\\.', ''),
+               '\\.$', '') AS host
       FROM canon
     ),
     dom AS (
       SELECT h.doc_id, h.n_chars, h.canonical_url, d.lang,
              CASE WHEN h.host IS NULL OR h.host = '' THEN NULL
+                  WHEN REGEXP_MATCHES(h.host, '^[0-9]+(\\.[0-9]+){{3}}$')
+                    THEN h.host
                   WHEN REGEXP_MATCHES(h.host, '{sfx}')
                        AND REGEXP_EXTRACT(h.host,
                              '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''

@@ -219,3 +219,21 @@ def test_url_domain_strips_userinfo_and_port(spark):
     )
     got = [r.d for r in df.select(url_domain(F.col("c")).alias("d")).collect()]
     assert got == ["example.com", "example.com"]
+
+
+@pytest.mark.parametrize(
+    "canon, want",
+    [
+        # FQDN trailing dot stripped before the label cut
+        ("https://example.com./a", "example.com"),
+        # IPv4 literal: no registered domain, returned whole
+        ("http://192.168.0.1:8080/x", "192.168.0.1"),
+        # IPv6 bracket literal: dot-less, returned whole
+        ("http://[2001:db8::1]/x", "[2001:db8::1]"),
+    ],
+)
+def test_url_domain_edge_hosts(spark, canon, want):
+    from nahuatl_data_pipeline_spark.functions.url import url_domain
+
+    df = spark.createDataFrame([(canon,)], "c string")
+    assert df.select(url_domain(F.col("c")).alias("d")).collect()[0].d == want
