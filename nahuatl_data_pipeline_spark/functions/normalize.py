@@ -295,3 +295,51 @@ def make_mojibake(s: str) -> str:
     mapping — sequential global replaces would re-encode the ``â``
     produced by encoding ``—``."""
     return "".join(_MOJIBAKE_ENCODE.get(ch, ch) for ch in s)
+
+
+# ---------------------------------------------------------------------------
+# Invisible-character hygiene (crawl text carries format chars that
+# break dedup keys, token counts and fingerprints without rendering)
+# ---------------------------------------------------------------------------
+
+# Deleted outright: BOM/ZWNBSP, zero-widths, word joiner, soft hyphen,
+# bidi controls and isolates. NBSP is NOT here — it renders as a space
+# and is mapped to one instead. Order the caller must respect: run
+# fix_mojibake BEFORE clean_invisible (U+00AD is both the second byte
+# of í's mojibake and an invisible — stripping first would break the
+# repair).
+INVISIBLE_CODEPOINTS: tuple[int, ...] = (
+    0xFEFF,  # BOM / zero-width no-break space
+    0x200B,  # zero-width space
+    0x200C,  # zero-width non-joiner
+    0x200D,  # zero-width joiner
+    0x2060,  # word joiner
+    0x00AD,  # soft hyphen
+    0x200E, 0x200F,  # LRM / RLM
+    0x202A, 0x202B, 0x202C, 0x202D, 0x202E,  # bidi embeddings
+    0x2066, 0x2067, 0x2068, 0x2069,  # bidi isolates
+)
+
+# One regex literal shared by Spark (Java regex) and DuckDB (RE2): a
+# character class of the LITERAL chars, so no engine-specific escape
+# syntax is involved.
+INVISIBLE_CLASS = "[" + "".join(chr(c) for c in INVISIBLE_CODEPOINTS) + "]"
+
+
+def clean_invisible(c: ColumnOrName) -> Column:
+    """Delete invisible format characters and map NBSP to a plain
+    space — pure codegen, zero shuffles. DuckDB mirror:
+    ``REGEXP_REPLACE(x, INVISIBLE_CLASS, '', 'g')`` then
+    ``REPLACE(x, nbsp, ' ')`` (see :func:`invisible_clean_sql`)."""
+    out = F.regexp_replace(_col(c), INVISIBLE_CLASS, "")
+    return F.replace(out, F.lit(" "), F.lit(" "))
+
+
+def invisible_clean_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`clean_invisible` (ONE class, one order;
+    note the 'g' flag — DuckDB replaces only the first match without
+    it, Spark always replaces all)."""
+    return (
+        f"REPLACE(REGEXP_REPLACE({expr}, '{INVISIBLE_CLASS}', '', 'g'),"
+        " ' ', ' ')"
+    )

@@ -13,12 +13,14 @@
   the RefinedWeb/FineWeb per-domain dup-rate/volume gate.
 - q165: mojibake repair (functions/normalize.py:fix_mojibake) —
   ftfy-style cp1252 fix as a codegen literal-replace chain.
+- q166: invisible-character hygiene (functions/normalize.py:
+  clean_invisible) — BOM/zero-width/bidi strip + NBSP→space.
 
-Kept deliberately SHORT (3 entries): the driver certifies only the
+Kept deliberately SHORT (4 entries): the driver certifies only the
 first 50 ``queries()`` entries per round and round 10 must let the
 r06-stale q125–q137 block (plus the oldest r07 entries) rotate through
-the window (round-9 verdict #4) — 3 new + 13 r06 + 34 r07 fills it
-exactly without displacing any stale-block entry.
+the window (round-9 verdict #4) — 4 new + 13 r06 + 33 r07 keeps the
+whole stale block inside it.
 """
 
 from __future__ import annotations
@@ -305,4 +307,79 @@ def q165_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_fixed",
         n_rep.cast("long").alias("n_repaired"),
         (n_rep > 0).alias("had_mojibake"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166: invisible-character hygiene (functions/normalize.py:clean_invisible)
+# ---------------------------------------------------------------------------
+
+def _q166_plant() -> str:
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        INVISIBLE_CODEPOINTS,
+    )
+
+    # Every deletable codepoint appears once, interleaved with visible
+    # anchors, plus an NBSP (mapped to space, not deleted).
+    return (
+        " x"
+        + "".join(chr(c) for c in INVISIBLE_CODEPOINTS)
+        + "y z"
+    )
+
+
+def _q166_sql() -> str:
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        invisible_clean_sql,
+    )
+
+    plant = _q166_plant().replace("'", "''")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text || '{plant}'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    fx AS (
+      SELECT doc_id, t, {invisible_clean_sql('t')} AS text_clean FROM aug
+    )
+    SELECT doc_id, text_clean,
+           CAST(LENGTH(t) - LENGTH(text_clean) AS BIGINT) AS n_stripped,
+           LENGTH(t) - LENGTH(text_clean) > 0 AS had_invisible
+    FROM fx
+"""
+
+
+@register("q166_invisible_clean", _q166_sql())
+def q166_invisible_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character hygiene (functions/normalize.py:
+    clean_invisible): delete BOM/zero-widths/word-joiner/soft-hyphen/
+    bidi controls and map NBSP to plain space — crawl format chars
+    that break dedup keys, token counts and fingerprints without
+    rendering. One shared regex char class of LITERAL chars drives
+    both engines (Spark regexp_replace replaces all matches; the
+    DuckDB mirror passes the 'g' flag, which DuckDB needs and Spark
+    implies). Planted tail on every 4th doc carries each deletable
+    codepoint once plus an NBSP anchor."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        clean_invisible,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    aug = F.when(
+        d % 4 == 0, F.concat(F.col("text"), F.lit(_q166_plant()))
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", aug.alias("t")).withColumn(
+        "text_clean", clean_invisible(F.col("t"))
+    )
+    n_strip = F.length("t") - F.length("text_clean")
+    return base.select(
+        "doc_id",
+        "text_clean",
+        n_strip.cast("long").alias("n_stripped"),
+        (n_strip > 0).alias("had_invisible"),
     )

@@ -229,3 +229,38 @@ def test_mojibake_sql_mirror_matches_spark(spark):
         for s in samples
     ]
     assert got_spark == got_sql
+
+
+def test_clean_invisible_values_and_mirror(spark):
+    """Every deletable codepoint is removed, NBSP maps to space, clean
+    text and NULL pass through; the DuckDB mirror computes the same
+    strings; codegen plan."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.functions.normalize import (
+        INVISIBLE_CODEPOINTS,
+        clean_invisible,
+        invisible_clean_sql,
+    )
+
+    dirty = "a" + "".join(chr(c) for c in INVISIBLE_CODEPOINTS) + "b c"
+    samples = [dirty, "plain text", "", None]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r.c for r in df.select(clean_invisible("t").alias("c")).collect()]
+    assert got == ["ab c", "plain text", "", None]
+    con = duckdb.connect()
+    got_sql = [
+        con.execute(
+            f"SELECT {invisible_clean_sql('?::VARCHAR')} AS c", [s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got == got_sql
+    plan = (
+        df.select(clean_invisible("t").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
