@@ -182,10 +182,12 @@ def url_domain(
 
     Pure column expression (regexp codegen, no Python hop):
 
-    - host = authority of ``canonical`` minus userinfo (``user:pass@``)
-      and port — ``canonicalize_url`` already lowercased it and
-      stripped ``www.`` for http(s); a leading ``www.`` from any other
-      scheme is stripped here;
+    - host = authority of ``canonical`` minus userinfo (everything up
+      to the LAST ``@`` per RFC 3986 — greedy is safe because the
+      authority extract already excludes ``/?#``) and port —
+      ``canonicalize_url`` already lowercased it and stripped ``www.``
+      for http(s); a leading ``www.`` from any other scheme is
+      stripped here;
     - registered domain = last two host labels, or last three when the
       host ends in a two-label public suffix from ``suffixes``
       (``bbc.co.uk`` stays ``bbc.co.uk``, ``media.example.co.uk`` →
@@ -193,14 +195,19 @@ def url_domain(
       stripped first;
     - an IPv4 literal has no registered domain and is returned whole
       (the last-two-labels cut would yield nonsense like ``0.1``);
-      dot-less hosts (``localhost``, IPv6 brackets) are returned
-      whole; NULL/empty canonical urls yield NULL (junk rows group
-      under one NULL domain — safe for aggregation because every
-      downstream stat is a decomposable partial aggregate, unlike the
-      window key in ``url_dedup``).
+      any ``[``-bracketed literal (IPv6, including dotted forms like
+      ``[::ffff:192.168.0.1]``) is returned whole before the label
+      cuts; other dot-less hosts (``localhost``) are returned whole;
+      NULL/empty canonical urls yield NULL (junk rows group under one
+      NULL domain — safe for aggregation because every downstream stat
+      is a decomposable partial aggregate, unlike the window key in
+      ``url_dedup``).
     """
     host = F.regexp_extract(canonical, r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1)
-    host = F.regexp_replace(host, r"^[^@]*@", "")  # userinfo
+    host = F.regexp_replace(host, r"^.*@", "")  # userinfo (to last '@')
+    # Port strip is bracket-safe: '[::1]:8080' → '[::1]', and a bare
+    # bracketed literal ends in ']' so the anchored regex cannot bite
+    # into the address body.
     host = F.regexp_replace(host, r":[0-9]*$", "")  # port
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r"\.$", "")  # FQDN trailing dot
@@ -209,6 +216,7 @@ def url_domain(
     sfx = multi_suffix_regex(suffixes)
     return (
         F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
+        .when(host.rlike(r"^\["), host)  # bracketed IPv6 literal
         .when(host.rlike(r"^[0-9]+(\.[0-9]+){3}$"), host)  # IPv4 literal
         .when(host.rlike(sfx) & (last3 != ""), last3)
         .when(last2 != "", last2)

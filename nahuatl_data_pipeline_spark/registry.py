@@ -139,10 +139,15 @@ def register(name: str, sql: str | None):
 # no-op and can be garbage-collected on sight.
 #   round 8 pins (q25/q108 bucket-cap defaults) recertified green in
 #   CORRECTNESS_r08 → expired, garbage-collected.
-#   round 9: q118 made max_vocab=1000 the registered default (PMI
-#   fan-out cap), mirrored in the oracle's vocab/dtc CTEs.
+#   round 9 pin (q118 max_vocab=1000 default) recertified green in
+#   CORRECTNESS_r09 → expired, garbage-collected.
+#   round 11: q164's url_domain hardened per ADVICE r10 (userinfo strip
+#   greedy to the LAST '@'; '['-bracketed IPv6 literals returned whole
+#   before the label cuts) AND the synthetic URL table gained two rows
+#   exercising exactly those branches — output changes at sf0.01, so
+#   the r10 green row certified a different pair.
 _RECERTIFY_IF_BEFORE: dict[str, int] = {
-    "q118_token_collocations": 9,
+    "q164_domain_stats": 11,
 }
 
 

@@ -111,6 +111,9 @@ _Q164_URLS_SQL = """
     SELECT doc_id, n_chars,
       CASE WHEN doc_id % 89 = 1 THEN NULL
            WHEN doc_id % 89 = 0 THEN '   '
+           WHEN doc_id % 89 = 2 THEN 'https://u@cache@localhost/p'
+           WHEN doc_id % 89 = 3
+             THEN 'http://[::ffff:192.168.0.1]:8080/x'
            ELSE (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
              || (CASE WHEN doc_id % 7 = 0 THEN 'WWW.News.Example.COM'
                       WHEN doc_id % 7 = 1 THEN 'blog.example.com'
@@ -148,13 +151,14 @@ def _q164_sql() -> str:
              REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
                REGEXP_EXTRACT(canonical_url,
                               '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1),
-               '^[^@]*@', ''), ':[0-9]*$', ''), '^www\\.', ''),
+               '^.*@', ''), ':[0-9]*$', ''), '^www\\.', ''),
                '\\.$', '') AS host
       FROM canon
     ),
     dom AS (
       SELECT h.doc_id, h.n_chars, h.canonical_url, d.lang,
              CASE WHEN h.host IS NULL OR h.host = '' THEN NULL
+                  WHEN REGEXP_MATCHES(h.host, '^\\[') THEN h.host
                   WHEN REGEXP_MATCHES(h.host, '^[0-9]+(\\.[0-9]+){{3}}$')
                     THEN h.host
                   WHEN REGEXP_MATCHES(h.host, '{sfx}')
@@ -224,6 +228,8 @@ def _q164_url_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = (
         F.when(d % 89 == 1, F.lit(None).cast("string"))
         .when(d % 89 == 0, F.lit("   "))
+        .when(d % 89 == 2, F.lit("https://u@cache@localhost/p"))
+        .when(d % 89 == 3, F.lit("http://[::ffff:192.168.0.1]:8080/x"))
         .otherwise(F.concat(scheme, host, port, path, query, frag))
     )
     return docs.select(url.alias("url"), "n_chars", "lang")

@@ -230,6 +230,13 @@ def test_url_domain_strips_userinfo_and_port(spark):
         ("http://192.168.0.1:8080/x", "192.168.0.1"),
         # IPv6 bracket literal: dot-less, returned whole
         ("http://[2001:db8::1]/x", "[2001:db8::1]"),
+        # IPv6 with embedded IPv4 tail: bracket guard beats the label cut
+        ("http://[::ffff:192.168.0.1]/x", "[::ffff:192.168.0.1]"),
+        # bracketed literal with port: port stripped, literal kept whole
+        ("http://[::1]:8080/x", "[::1]"),
+        # userinfo extends to the LAST '@' (RFC 3986)
+        ("https://u@cache@localhost/p", "localhost"),
+        ("https://u@p@sub.example.com/a", "example.com"),
     ],
 )
 def test_url_domain_edge_hosts(spark, canon, want):
