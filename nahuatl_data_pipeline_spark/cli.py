@@ -101,6 +101,19 @@ def _build_parser() -> argparse.ArgumentParser:
     curate.add_argument("--jaccard", type=float, default=0.8)
     curate.add_argument("--id-col", default="doc_id")
     curate.add_argument("--text-col", default="text")
+    curate.add_argument(
+        "--fix-encoding", action="store_true",
+        help="repair mojibake + strip invisible chars before the gates",
+    )
+    curate.add_argument(
+        "--url-col", default=None,
+        help="enable URL canonicalize+dedup pre-filter on this column",
+    )
+    curate.add_argument(
+        "--max-docs-per-domain", type=int, default=None,
+        help="cap docs per registered domain after URL dedup "
+        "(requires --url-col)",
+    )
 
     layout = sub.add_parser(
         "layout",
@@ -304,7 +317,11 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             evalset=evalset,
             cfg=CurationConfig(
-                min_words=args.min_words, jaccard_threshold=args.jaccard
+                min_words=args.min_words,
+                jaccard_threshold=args.jaccard,
+                fix_encoding=args.fix_encoding,
+                url_col=args.url_col,
+                max_docs_per_domain=args.max_docs_per_domain,
             ),
             id_col=args.id_col,
             text_col=args.text_col,

@@ -196,13 +196,26 @@ def normalize_text(
     nfc: bool = True,
     strip_urls: bool = False,
     strip_page_artifacts: bool = False,
+    fix_encoding: bool = False,
 ) -> Column:
-    """strip → NFC → language rules → whitespace collapse → empty→NULL.
+    """[encoding hygiene →] strip → NFC → language rules → whitespace
+    collapse → empty→NULL.
+
+    ``fix_encoding=True`` prepends the crawl-feed hygiene pair
+    :func:`fix_mojibake` → :func:`clean_invisible` (that order is a
+    contract — U+00AD is both í's mojibake second byte and an
+    invisible) BEFORE any other rule: mojibake must be repaired on the
+    raw characters, and invisible format chars must be gone before NFC
+    / language rules see the text. Off by default — the reference's HF
+    sources arrive clean, and both stages are pure codegen so the
+    opt-in costs nothing when unused.
 
     ``nfc=False`` keeps the plan 100% JVM-side (useful when input is known
     pre-composed, e.g. re-normalization passes).
     """
     out = _col(c)
+    if fix_encoding:
+        out = clean_invisible(fix_mojibake(out))
     if nfc:
         out = nfc_normalize(out)
     if strip_urls:

@@ -45,6 +45,10 @@ class PipelineConfig:
     nfc: bool = True
     keep: str = "best"
     lang_cols: tuple[str, ...] = ("es", "nah", "myn")
+    # crawl-feed hygiene (functions/normalize.py: fix_mojibake →
+    # clean_invisible, order contract documented there). Off by default:
+    # the reference's HF sources arrive clean.
+    fix_encoding: bool = False
 
 
 def normalize_records(
@@ -57,7 +61,13 @@ def normalize_records(
     for lang in cfg.lang_cols:
         if lang in df.columns:
             out = out.withColumn(
-                lang, normalize_text(F.col(lang), lang=lang, nfc=cfg.nfc)
+                lang,
+                normalize_text(
+                    F.col(lang),
+                    lang=lang,
+                    nfc=cfg.nfc,
+                    fix_encoding=cfg.fix_encoding,
+                ),
             )
     return out
 

@@ -4,8 +4,18 @@ web-scale `documents` corpus the way a pretraining data build does).
 
 One lazy chain:
 
+    [encoding repair → URL dedup → per-domain cap →]
     redact PII → C4 rules → Gopher repetition → cluster-wise near-dup
     dedup → benchmark decontamination → gold parquet write
+
+The bracketed head stages are the crawl-level pre-filters
+(``operators/crawl.py:1-22`` documents why they run BEFORE any content
+work): mojibake repair + invisible-char hygiene fix the bytes, URL
+dedup collapses re-crawl/tracking variants on bytes-of-URL instead of
+bytes-of-document, and the per-domain cap (the RefinedWeb/FineWeb
+site-level gate, hash-ordered like ``mixing.cap_per_group``) stops one
+CDN from dominating the shingle/pair volume downstream. All opt-in —
+the default corpus has no URL column.
 
 Every gate is attached as a BOOLEAN FLAG first and the corpus is
 filtered once at the end, so per-rule drop accounting rides the write
@@ -51,6 +61,15 @@ class CurationConfig:
     # Lee-et-al. span-dedup stage; case-preserving, span accounting
     # rides the same Observation as every other stage
     substring_dedup_n: int | None = None
+    # crawl-level head stages (all opt-in, see module docstring):
+    # fix_encoding repairs mojibake + strips invisibles on text_col
+    # (repair accounting: `repaired_encoding` docs);
+    # url_col enables URL dedup (drop accounting: `url_dups`);
+    # max_docs_per_domain caps each registered domain AFTER url dedup
+    # (requires url_col; drop accounting: `domain_capped`).
+    fix_encoding: bool = False
+    url_col: str | None = None
+    max_docs_per_domain: int | None = None
 
 
 def run_curation_pipeline(
@@ -73,6 +92,102 @@ def run_curation_pipeline(
     from pyspark.sql import Observation
 
     cfg = cfg or CurationConfig()
+    if cfg.max_docs_per_domain is not None and not cfg.url_col:
+        raise ValueError("max_docs_per_domain requires url_col")
+
+    # --- crawl-level head stages (module docstring) --------------------
+    # Encoding repair: fix_mojibake → clean_invisible (order contract,
+    # functions/normalize.py:257-330). Pure codegen; the __repaired flag
+    # rides the main Observation like __sub_removed.
+    if cfg.fix_encoding:
+        from nahuatl_data_pipeline_spark.functions.normalize import (
+            clean_invisible,
+            fix_mojibake,
+        )
+
+        docs = (
+            docs.withColumn(
+                "__fixed", clean_invisible(fix_mojibake(F.col(text_col)))
+            )
+            .withColumn(
+                "__repaired",
+                F.coalesce(F.col("__fixed") != F.col(text_col), F.lit(False)),
+            )
+            .withColumn(text_col, F.col("__fixed"))
+            .drop("__fixed")
+        )
+    else:
+        docs = docs.withColumn("__repaired", F.lit(False))
+
+    # URL dedup + per-domain cap: each is ONE window shuffle keyed on
+    # bytes of URL — strictly cheaper than any content stage, which is
+    # why they run first. Junk rows (NULL/empty canonical key, no
+    # registered domain) get synthetic per-row keys so they pass
+    # through unharmed instead of funnelling one NULL-key task
+    # (functions/url.py:url_dedup's contract, restated flag-wise so the
+    # drop counts ride Observations on the single write action).
+    url_obs = cap_obs = None
+    if cfg.url_col:
+        from pyspark.sql import Window
+
+        from nahuatl_data_pipeline_spark.functions.url import (
+            canonicalize_url,
+            url_domain,
+        )
+        from nahuatl_data_pipeline_spark.operators.mixing import seeded_md5
+
+        docs = docs.withColumn(
+            "__canon", canonicalize_url(F.col(cfg.url_col))
+        )
+        no_key = F.col("__canon").isNull() | (F.col("__canon") == "")
+        junk_key = F.concat(
+            F.lit("\u0000junk:"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+        w = Window.partitionBy(
+            F.when(no_key, junk_key).otherwise(F.col("__canon"))
+        ).orderBy(F.col(cfg.url_col).asc(), F.col(id_col).asc())
+        url_obs = Observation()
+        docs = (
+            docs.withColumn(
+                "__url_dup", (~no_key) & (F.row_number().over(w) > 1)
+            )
+            .observe(
+                url_obs,
+                F.sum(F.col("__url_dup").cast("long")).alias("url_dups"),
+            )
+            .filter(~F.col("__url_dup"))
+            .drop("__url_dup")
+        )
+        if cfg.max_docs_per_domain is not None:
+            docs = docs.withColumn(
+                "__domain", url_domain(F.col("__canon"))
+            )
+            cap_key = F.coalesce(F.col("__domain"), junk_key)
+            # hash order = deterministic uniform sample of each domain,
+            # the mixing.cap_per_group contract (not first-N-by-crawl)
+            w2 = Window.partitionBy(cap_key).orderBy(
+                seeded_md5(F.col(cfg.url_col), 42).asc(),
+                F.col(cfg.url_col).asc(),
+                F.col(id_col).asc(),
+            )
+            cap_obs = Observation()
+            docs = (
+                docs.withColumn(
+                    "__domain_capped",
+                    F.col("__domain").isNotNull()
+                    & (F.row_number().over(w2) > cfg.max_docs_per_domain),
+                )
+                .observe(
+                    cap_obs,
+                    F.sum(F.col("__domain_capped").cast("long")).alias(
+                        "domain_capped"
+                    ),
+                )
+                .filter(~F.col("__domain_capped"))
+                .drop("__domain_capped", "__domain")
+            )
+        docs = docs.drop("__canon")
 
     redacted = docs.withColumn(text_col, redact_pii(F.col(text_col)))
 
@@ -174,12 +289,13 @@ def run_curation_pipeline(
         F.sum(F.coalesce(F.col("__sub_removed"), F.lit(0))).alias(
             "substring_tokens_removed"
         ),
+        F.sum(F.col("__repaired").cast("long")).alias("repaired_encoding"),
     )
     (
         flagged.filter(F.col("__keep"))
         .drop(
             "__keep_c4", "__keep_rep", "__is_dup", "__is_contam", "__keep",
-            "__sub_removed",
+            "__sub_removed", "__repaired",
         )
         .write.mode("overwrite")
         .parquet(out_dir)
@@ -191,6 +307,19 @@ def run_curation_pipeline(
         stats = {
             "input": 0, "failed_c4": 0, "failed_repetition": 0,
             "near_dups": 0, "contaminated": 0, "output": 0,
-            "substring_tokens_removed": 0,
+            "substring_tokens_removed": 0, "repaired_encoding": 0,
         }
-    return {k: int(v or 0) for k, v in stats.items()}
+    out = {k: int(v or 0) for k, v in stats.items()}
+    # URL-stage accounting: the head Observations share the write action
+    # (their nodes are upstream of it), so .get never re-runs the plan.
+    # `input` stays the head-of-pipeline count: rows the URL stages
+    # dropped never reach the main Observation, so add them back.
+    for o, key in ((url_obs, "url_dups"), (cap_obs, "domain_capped")):
+        if o is not None:
+            try:
+                n = int(o.get[key] or 0)
+            except Exception:
+                n = 0
+            out[key] = n
+            out["input"] += n
+    return out

@@ -109,6 +109,111 @@ def test_curation_pipeline_substring_dedup_off_by_default(spark, tmp_path):
     assert stats["substring_tokens_removed"] == 0
 
 
+_PROSE4 = (
+    "merchants counted copper coins beneath awnings of dyed canvas while "
+    "children chased geese between the stalls of the crowded square"
+)
+_PROSE5 = (
+    "the astronomer climbed the tower each clear night to chart the slow "
+    "wheel of stars above the sleeping rooftops of the town"
+)
+_PROSE6 = (
+    "goats grazed along the terraced slopes where farmers repaired stone "
+    "walls loosened by the heavy rains of the previous spring"
+)
+
+
+def test_curation_pipeline_url_stages(spark, tmp_path):
+    """URL dedup + per-domain cap run BEFORE content gates, with drop
+    accounting riding Observations on the single write action."""
+    rows = [
+        # docs 1+2: same page (tracking-param re-crawl) -> 1 url_dup;
+        # survivor = lexically-smallest raw url = doc 2
+        (1, _PROSE + " one.", "https://example.com/a?utm_source=x"),
+        (2, _PROSE2 + " two.", "https://example.com/a"),
+        (3, _PROSE3 + " three.", "https://example.com/b"),
+        (4, _PROSE4 + " four.", "https://example.com/c"),
+        (5, _PROSE5 + " five.", "https://other.org/x"),
+        (6, _PROSE6 + " six.", None),  # junk url: passes through
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = str(tmp_path / "gold_url")
+    cfg = CurationConfig(
+        min_words=10,
+        jaccard_threshold=0.9,
+        url_col="url",
+        max_docs_per_domain=2,
+    )
+    stats = run_curation_pipeline(spark, docs, out, cfg=cfg)
+
+    assert stats["url_dups"] == 1
+    # example.com has 3 pages after url dedup (a,b,c), cap 2 -> 1 capped
+    assert stats["domain_capped"] == 1
+    assert stats["input"] == 6  # head-of-pipeline count, url drops included
+    assert stats["output"] == 4
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 1 not in kept          # lost url dedup to doc 2
+    assert 5 in kept and 6 in kept  # other.org + junk-url doc survive
+    # exactly 2 example.com survivors (hash order picks which)
+    assert len([d for d in kept if d in (2, 3, 4)]) == 2
+    assert len(kept) == 4
+
+
+def test_curation_pipeline_url_dedup_without_cap(spark, tmp_path):
+    rows = [
+        (1, _PROSE + " one.", "https://example.com/a#frag"),
+        (2, _PROSE2 + " two.", "https://example.com/a"),
+        (3, _PROSE3 + " three.", "   "),  # junk url: passes through
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = str(tmp_path / "gold_url2")
+    cfg = CurationConfig(min_words=10, jaccard_threshold=0.9, url_col="url")
+    stats = run_curation_pipeline(spark, docs, out, cfg=cfg)
+    assert stats["url_dups"] == 1
+    assert "domain_capped" not in stats
+    assert stats["input"] == 3 and stats["output"] == 2
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [2, 3]
+
+
+def test_curation_pipeline_fix_encoding(spark, tmp_path):
+    mojibake = "CafÃ© " + _PROSE + " one.​"
+    rows = [
+        (1, mojibake),
+        (2, _PROSE2 + " two."),  # clean: must not count as repaired
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "gold_enc")
+    cfg = CurationConfig(min_words=10, jaccard_threshold=0.9, fix_encoding=True)
+    stats = run_curation_pipeline(spark, docs, out, cfg=cfg)
+    assert stats["repaired_encoding"] == 1
+    assert stats["input"] == 2 and stats["output"] == 2
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert kept[1].startswith("Café ")
+    assert "​" not in kept[1]
+    assert kept[2] == _PROSE2 + " two."
+
+
+def test_curation_pipeline_fix_encoding_off_by_default(spark, tmp_path):
+    out = str(tmp_path / "gold_enc_off")
+    stats = run_curation_pipeline(
+        spark, _docs(spark), out, cfg=CurationConfig(min_words=10)
+    )
+    assert stats["repaired_encoding"] == 0
+
+
+def test_curation_pipeline_domain_cap_requires_url_col(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="url_col"):
+        run_curation_pipeline(
+            spark,
+            _docs(spark),
+            str(tmp_path / "gold_bad"),
+            cfg=CurationConfig(max_docs_per_domain=5),
+        )
+
+
 def test_substring_stage_keeps_untouched_docs_byte_identical(spark, tmp_path):
     """The reassembly is array_join(' '): only docs that actually had
     spans removed may have their whitespace rewritten — a doc with zero

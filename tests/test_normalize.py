@@ -264,3 +264,18 @@ def test_clean_invisible_values_and_mirror(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_text_fix_encoding_stage(spark):
+    """fix_encoding=True prepends mojibake repair + invisible strip
+    BEFORE NFC/lang rules (order contract: normalize.py:257-330)."""
+    dirty = "﻿CafÃ© de la maÃ±ana​  aquÃ­."
+    out = apply_fn(
+        spark,
+        lambda c: normalize_text(c, lang="es", fix_encoding=True),
+        [dirty, None],
+    )
+    assert out == ["Café de la mañana aquí.", None]
+    # off by default: mojibake passes through untouched
+    out_off = apply_fn(spark, lambda c: normalize_text(c, lang="es"), [dirty])
+    assert "Ã" in out_off[0]
