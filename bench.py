@@ -199,18 +199,24 @@ def _median(walls: list[float]) -> float:
     return s[(len(s) - 1) // 2]
 
 
-def _time_query(fn, spark, sf_dir: str, repeat: int) -> float:
-    """Wall seconds for one query, median of ``repeat`` full plan
-    executions (build + count each time). Medians damp the cold-plan /
-    machine-load drift that made round-over-round driver benches
-    compare compilation luck instead of plans (BENCH_r08→r09 showed a
-    uniform ~1.2× phantom shift that solo re-runs disproved)."""
+def _time_query_walls(fn, spark, sf_dir: str, repeat: int) -> list[float]:
+    """Wall seconds of ``repeat`` full plan executions (build + count
+    each time)."""
     walls = []
     for _ in range(max(1, repeat)):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()  # force full plan; 0 rows is legal
         walls.append(time.perf_counter() - t0)
-    return round(_median(walls), 2)
+    return walls
+
+
+def _time_query(fn, spark, sf_dir: str, repeat: int) -> float:
+    """Wall seconds for one query, median of ``repeat`` full plan
+    executions. Medians damp the cold-plan / machine-load drift that
+    made round-over-round driver benches compare compilation luck
+    instead of plans (BENCH_r08→r09 showed a uniform ~1.2× phantom
+    shift that solo re-runs disproved)."""
+    return round(_median(_time_query_walls(fn, spark, sf_dir, repeat)), 2)
 
 
 def _parse_timings_map(stdout: str):
@@ -232,7 +238,11 @@ def _run_single(spec: str, sf_dir: str, repeat: int = 1) -> None:
     """--single <prefix>[,<prefix>...]: run the named queries in order
     in this (fresh) process and print one JSON timing map. Used by
     --isolate via subprocess; order within the group preserves the
-    pair-table build→reuse sequence."""
+    pair-table build→reuse sequence. With repeat > 1, a ``__bands__``
+    entry carries each query's [min, max] wall so decade rows get a
+    variance band by construction (the q108 ±40% lesson — single-shot
+    decade numbers read as points when they are bands); the main map
+    values stay the medians, schema-unchanged."""
     spark = get_spark(app_name=f"nahuatl-bench-{spec}")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -240,8 +250,14 @@ def _run_single(spec: str, sf_dir: str, repeat: int = 1) -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     _warm_ml_classes(spark)
     timings = {}
+    bands = {}
     for key in spec.split(","):
-        timings[key] = _time_query(qs[by_prefix[key]], spark, sf_dir, repeat)
+        walls = _time_query_walls(qs[by_prefix[key]], spark, sf_dir, repeat)
+        timings[key] = round(_median(walls), 2)
+        if repeat > 1:
+            bands[key] = [round(min(walls), 2), round(max(walls), 2)]
+    if bands:
+        timings["__bands__"] = bands
     print(json.dumps(timings), flush=True)
 
 
@@ -322,6 +338,16 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     isolate = "--isolate" in sys.argv[1:]
     repeat = _repeat_arg(sys.argv[1:], default=1 if isolate else 3)
+    # --repeat-heavy N: repeats for the fresh-JVM family groups only
+    # (isolate mode's expensive decades). Default = --repeat, so plain
+    # runs are unchanged; N=2 buys a [min,max] band per heavy query for
+    # one extra execution — SCALE.md decade rows are bands, not points.
+    argv = sys.argv[1:]
+    repeat_heavy = (
+        max(1, int(argv[argv.index("--repeat-heavy") + 1]))
+        if "--repeat-heavy" in argv
+        else repeat
+    )
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
     }
@@ -342,6 +368,7 @@ def main() -> None:
         order = [n for n in order if n.split("_")[0] not in fresh]
     skipped = []
     errors: dict[str, str] = {}
+    bands: dict[str, list[float]] = {}
     for name in order:
         key = name.split("_")[0]
         if key in skip:
@@ -413,8 +440,11 @@ def main() -> None:
                     errors[spec] = "dedup_prepare failed; contract group skipped"
                     continue
                 group_dir = dedup_dir
-            parsed, err = _spawn_group(spec, group_env, group_dir, repeat)
+            parsed, err = _spawn_group(
+                spec, group_env, group_dir, repeat_heavy
+            )
             if parsed is not None:
+                bands.update(parsed.pop("__bands__", {}))
                 timings.update(parsed)
             else:
                 errors[spec] = err
@@ -433,6 +463,8 @@ def main() -> None:
         out["mode"] = "isolate"
     if dedup_stats is not None:
         out["dedup_first"] = dedup_stats  # contract stage: wall + rows in/out
+    if bands:
+        out["bands"] = bands  # [min, max] walls for --repeat-heavy queries
     if skipped:
         out["skipped"] = skipped
     if errors:

@@ -244,3 +244,104 @@ def bloom_prefilter(
             "left_semi",
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (md5 registers — the oracle-checkable twin of
+# Spark's built-in approx_count_distinct, exactly the q163/CMS/minwise
+# move applied to q63's HLL)
+# ---------------------------------------------------------------------------
+
+# hash60 supplies 60 uniform, engine-identical bits: low ``p`` bits pick
+# the register, the remaining 60-p bits feed the leading-zero rank.
+HLL_BITS = 60
+HLL_P_DEFAULT = 9  # m = 512 registers → rsd ≈ 1.04/√512 ≈ 4.6%
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    p: int = HLL_P_DEFAULT,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Portable HLL register grid of ``key_col``'s distinct-set, one row
+    per NON-ZERO register: ``(*group_cols, register, max_rho)`` —
+    ``register`` = low ``p`` bits of hash60(key), ``max_rho`` = MAX over
+    keys of (leading zeros of the remaining 60-p bits) + 1. Untouched
+    registers are implicitly 0 (the sparse form both engines emit
+    identically).
+
+    Every step is exact integer arithmetic shared verbatim with the
+    DuckDB oracle: md5 → first-15-hex-chars int64 (hash60), ``%`` /
+    ``>>`` for the bit split, and bit_length via LENGTH of the base-2
+    string (Spark ``CONV(w,10,2)`` / DuckDB ``TO_BASE(w,2)``) — no
+    floating point anywhere, so the whole grid is hash-certifiable,
+    unlike the engine-internal registers of approx_count_distinct (q63).
+
+    Scale shape: ONE map-side-combined aggregate — each task folds its
+    rows into ≤ m partial maxima, the shuffle carries ≤ m rows per task
+    no matter the corpus size, and grids of disjoint corpus parts MERGE
+    by cell-wise MAX (registers are maxima — the same mergeability as
+    the CMS's sums and minwise's minima). Duplicates cannot bias it:
+    MAX over a multiset equals MAX over its support, so no distinct
+    pre-pass is needed. NULL keys are excluded (a set has no NULL
+    member).
+    """
+    from nahuatl_data_pipeline_spark.functions.hashing import hash60
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    key = F.col(key_col)
+    h = hash60(key.cast("string"))
+    m = 1 << p
+    tail_bits = HLL_BITS - p
+    w = F.shiftrightunsigned(h, p)
+    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(
+            *group_cols,
+            (h % m).cast("long").alias("register"),
+            rho.cast("long").alias("__rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    p: int = HLL_P_DEFAULT,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cardinality estimate from a :func:`hll_registers` grid (floating
+    math — NOT part of the certified surface; certify the integer grid,
+    derive the estimate): the classic HLL harmonic mean
+    ``α_m·m²/Σ2^−M_j`` (zero registers contribute 2⁰ = 1 each) with the
+    linear-counting small-range correction ``m·ln(m/V)`` when the raw
+    estimate ≤ 2.5m and V > 0 zero registers remain. Runs on the
+    ≤ m-per-group grid only — the data is never touched."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__inv"),
+    )
+    v = F.lit(m) - F.col("__nz")  # zero registers
+    raw = F.lit(alpha * m * m) / (F.col("__inv") + v.cast("double"))
+    # m·ln(m/V) written as −m·ln(V/m) to keep one log call
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * -F.log(v.cast("double") / F.lit(float(m))),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 4).alias("hll_estimate"),
+        v.cast("long").alias("zero_registers"),
+    )

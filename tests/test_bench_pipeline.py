@@ -39,9 +39,10 @@ def test_isolate_subprocess_plumbing(monkeypatch):
     """Spawn ONE real fresh-JVM group subprocess at smoke scale: the
     env merge (a group heap override must not clobber an explicit
     SPARK_DRIVER_MEMORY), the --single/--repeat argv contract, rc
-    propagation, and the stdout timings-map scan — so the 100× isolate
-    sweeps' plumbing is exercised by pytest, not only by the decade
-    runs."""
+    propagation, the stdout timings-map scan, and the repeat>1
+    variance-band contract (__bands__ carries [min, max] per query;
+    the median stays the map value) — so the 100× isolate sweeps'
+    plumbing is exercised by pytest, not only by the decade runs."""
     import bench
 
     # explicit env wins over the group override (documented contract)
@@ -50,7 +51,10 @@ def test_isolate_subprocess_plumbing(monkeypatch):
         "q26", {"SPARK_DRIVER_MEMORY": "16g"}, SF_SMOKE, repeat=2
     )
     assert err is None, err
+    bands = parsed.pop("__bands__")
     assert set(parsed) == {"q26"} and parsed["q26"] >= 0
+    lo, hi = bands["q26"]
+    assert lo <= parsed["q26"] <= hi
 
 
 def test_parse_timings_map_skips_non_dict_json():

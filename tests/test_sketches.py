@@ -251,3 +251,84 @@ def test_minwise_exact_audit_rides_the_same_aggregate(spark):
     df = _mk_docs(spark, [1, 1, 2, 3, 3, 3])
     rows = minwise_sketch(df, "k", k=4, exact=True).collect()
     assert all(r["n_exact"] == 3 for r in rows)
+
+
+def test_portable_hll_estimate_within_rsd_of_exact_and_builtin(spark):
+    """The q167 grid's derived estimate lands within HLL error bounds of
+    the exact distinct count AND agrees with the built-in
+    approx_count_distinct (q63) — the two estimates bracket the same
+    truth. p=9 → rsd ≈ 4.6%; 4×rsd belt-and-braces (deterministic data,
+    so the margin is reproducible, not flaky)."""
+    from nahuatl_data_pipeline_spark.operators.sketches import hll_estimate
+
+    grid = registry.queries()["q167_hll_portable"](spark, SF_ORACLE)
+    est = {
+        r["lang"]: r["hll_estimate"]
+        for r in hll_estimate(grid, p=9, group_cols=("lang",)).collect()
+    }
+    builtin = {
+        r["lang"]: r["approx_types"]
+        for r in registry.queries()["q63_hll_cardinality"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    exact = duckdb.sql(
+        f"""
+        SELECT lang, COUNT(DISTINCT t) AS n
+        FROM (
+          SELECT lang, UNNEST(LIST_FILTER(
+            REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'), x -> x <> '')) AS t
+          FROM read_parquet('{SF_ORACLE}/documents.parquet')
+        ) GROUP BY lang
+        """
+    ).df()
+    assert len(est) == len(exact)
+    for _, row in exact.iterrows():
+        lang, n = row["lang"], row["n"]
+        assert abs(est[lang] - n) <= max(2, 4 * 0.046 * n), (lang, est[lang], n)
+        # portable vs built-in: both inside their bounds around n
+        assert abs(est[lang] - builtin[lang]) <= max(
+            2, (4 * 0.046 + 0.05) * n
+        ), (lang, est[lang], builtin[lang])
+
+
+def test_portable_hll_merges_by_cellwise_max(spark):
+    """Grids of disjoint corpus halves merged by cell-wise MAX equal the
+    grid of the union bit-for-bit — the mergeability that makes the
+    portable HLL a 100 TB primitive (and the exact analogue of the CMS
+    sum-merge / minwise min-merge invariants)."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 97}") for i in range(400)], "i long, k string"
+    )
+    whole = hll_registers(df, "k", p=5).collect()
+    a = hll_registers(df.filter(F.col("i") % 2 == 0), "k", p=5)
+    b = hll_registers(df.filter(F.col("i") % 2 == 1), "k", p=5)
+    merged = (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    )
+    as_map = lambda rows: {r["register"]: r["max_rho"] for r in rows}
+    assert as_map(whole) == as_map(merged)
+
+
+def test_portable_hll_duplicate_invariance_and_null_exclusion(spark):
+    from nahuatl_data_pipeline_spark.operators.sketches import hll_registers
+
+    base = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "k string"
+    )
+    dup = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), (None,)], "k string"
+    )
+    as_map = lambda df: {
+        r["register"]: r["max_rho"] for r in df.collect()
+    }
+    assert as_map(hll_registers(base, "k", p=6)) == as_map(
+        hll_registers(dup, "k", p=6)
+    )
