@@ -80,8 +80,20 @@ def pipeline_main() -> None:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
     )
-    evalset = docs.filter(F.col("doc_id") % 97 == 0)
-    train = docs.filter(F.col("doc_id") % 97 != 0)
+    # A mixed-realism replica (make_scale_data.py --mixed) carries its
+    # own HELD-OUT evalset.parquet — eval disjoint from train by
+    # construction, so decontamination measures real overlap instead of
+    # marking the whole corpus contaminated (the clone-replica collapse,
+    # SCALE.md round 10). Without one, fall back to the id-sliced split.
+    eval_path = os.path.join(sf_dir, "evalset.parquet")
+    if os.path.exists(eval_path):
+        evalset = spark.read.parquet(eval_path).select(
+            "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
+        )
+        train = docs
+    else:
+        evalset = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
     n_input = train.count()  # also warms JVM + parquet footers
 
     out = tempfile.mkdtemp(prefix="bench_curation_")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nahuatl_data_pipeline_spark.functions.hashing import hash64, word_shingles
+from nahuatl_data_pipeline_spark.functions.hashing import hash60, word_shingles
 
 _WS = r"\s+"
 
@@ -125,16 +125,25 @@ def contamination_flags(
     shuffle is the per-doc count, keyed by doc id. Docs shorter than
     ``n`` tokens produce no shingles and cannot be flagged (matches the
     published 13-gram protocol).
+
+    The join key is the UNREDUCED 60-bit md5 hash (``hash60``), not the
+    31-bit mod-P ``hash64`` the MinHash family uses: a membership join
+    on 31 bits false-flags at rate |train grams|·|eval grams|/2³¹ —
+    measured at the mixed 3× replica (one false contamination in 1.5M
+    grams, round 11), and wholesale at corpus scale. At 60 bits the
+    expectation stays < 1 even for 10¹² train grams against a 10⁶-gram
+    eval suite; a byte-exact protocol would join the full md5 string at
+    2× the shuffle width.
     """
     sh = word_shingles(text_col, n=n)
     tr = (
         train.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
-        .select("id", hash64(F.col("s")).alias("h"))
+        .select("id", hash60(F.col("s")).alias("h"))
         .distinct()
     )
     ev = (
         evalset.select(F.explode(sh).alias("s"))
-        .select(hash64(F.col("s")).alias("h"))
+        .select(hash60(F.col("s")).alias("h"))
         .distinct()
     )
     return (

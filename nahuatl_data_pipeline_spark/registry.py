@@ -146,8 +146,13 @@ def register(name: str, sql: str | None):
 #   before the label cuts) AND the synthetic URL table gained two rows
 #   exercising exactly those branches — output changes at sf0.01, so
 #   the r10 green row certified a different pair.
+#   round 11: q61's contamination join key widened from the 31-bit
+#   mod-P hash to the unreduced 60-bit md5 hash (a membership join on
+#   31 bits false-flags at |train|·|eval|/2³¹ — measured on the mixed
+#   replica), mirrored in the oracle's trsh/evsh CTEs.
 _RECERTIFY_IF_BEFORE: dict[str, int] = {
     "q164_domain_stats": 11,
+    "q61_decontamination": 11,
 }
 
 

@@ -162,8 +162,7 @@ _Q61_SQL = """
     ),
     trsh AS (
       SELECT DISTINCT doc_id,
-             CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
-               % 2147483647 AS h
+             CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT) AS h
       FROM (
         SELECT doc_id,
                UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 11),
@@ -178,8 +177,7 @@ _Q61_SQL = """
     ),
     evsh AS (
       SELECT DISTINCT
-             CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT)
-               % 2147483647 AS h
+             CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT) AS h
       FROM (
         SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 11),
                       i -> ARRAY_TO_STRING(tk[i:i+12], ' '))) AS s

@@ -124,3 +124,17 @@ def test_c4_flags(spark):
     assert not out[3]["keep_doc"] and out[3]["has_bad_phrase"]
     assert not out[4]["keep_doc"] and not out[4]["ends_with_punct"]
     assert not out[5]["keep_doc"] and out[5]["n_words"] == 2
+
+
+def test_contamination_join_key_is_collision_safe(spark):
+    """Regression (round 11, found on the mixed 3x replica): the
+    membership join must key on the UNREDUCED 60-bit md5 hash, not the
+    31-bit mod-P MinHash reduction — 'tok28384' and 'tok64101' collide
+    mod 2147483647 (both 1419028374) but differ at 60 bits, so under
+    the old key this false-flagged an unrelated doc."""
+    train = spark.createDataFrame(
+        [(1, "tok28384"), (2, "tok64101")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "tok64101")], "doc_id long, text string")
+    out = {r["doc_id"] for r in contamination_flags(train, ev, n=1).collect()}
+    assert out == {2}  # the true match only; no mod-P false positive

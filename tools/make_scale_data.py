@@ -12,6 +12,44 @@ prefix token: texts stay NEAR-duplicates (not byte-exact), which is the
 honest stress for LSH/banded candidate growth and cluster dedup.
 
 Usage: python tools/make_scale_data.py [src_sf_dir] [out_dir] [factor]
+
+MIXED mode (round-10 verdict #2 — a replica whose curation-gate
+decisions are non-degenerate AND predictable from a one-replica probe):
+
+    python tools/make_scale_data.py --mixed SRC_SF01 CLONE_DIR OUT FACTOR
+
+Writes a documents.parquet where per-source-doc flavor is deterministic:
+
+- HELD-OUT eval (``doc_id % 101 == 0``): excluded from every replica,
+  written as ``OUT/evalset.parquet`` with original text — the eval set
+  is disjoint from train by construction (the clone replica's
+  everything-contaminated collapse cannot happen);
+- PLANTED LEAK (``doc_id % 1000 == 500`` — always clone flavor, never
+  held out): these five source docs' texts ALSO appear in the eval
+  set while their byte-identical copies stay in train, so the
+  decontamination gate fires a predictable, nonzero number of times
+  (f × the one-replica overlap) instead of measuring a degenerate 0;
+- CLONE flavor (``doc_id % 10 == 0``): replica text = source text,
+  BYTE-IDENTICAL (the re-crawl model) — every source doc yields one
+  FACTOR-member duplicate family with cross-replica jaccard exactly 1,
+  so family structure at factor f is exactly the probe's component
+  structure (a glued marker variant was considered and rejected: it
+  perturbs cross-SOURCE jaccards near the 0.8 threshold, which breaks
+  exact predictability for borderline 1x pairs), and every per-doc
+  gate outcome is replica-invariant trivially;
+- UNIQUE flavor (the rest): EVERY token gets an ``x{i}`` suffix —
+  within-doc token/bigram relative frequencies, word counts and
+  within-replica jaccard structure are preserved exactly, while NO
+  shingle is shared across replicas (and none with the clone flavor's
+  unsuffixed vocabulary).
+
+Consequently each gate's expected count at factor f is an exact
+function of one-replica probes (tools/predict_mixed_gates.py computes
+them): c4/repetition scale by f; near-dups are f·(n_u − comp_u) +
+f·n_c − comp_c (component counts of the two 1× flavor subgraphs);
+contamination is f × the clone-subset overlap with the held-out docs.
+Non-document tables symlink to CLONE_DIR (the same-factor clone
+replica), like make_unique_docs.py.
 """
 
 from __future__ import annotations
@@ -75,9 +113,71 @@ def replicate(src: str, out: str, factor: int = 10) -> None:
         print(t, n, flush=True)
 
 
+# Flavor predicates + transforms shared with tools/predict_mixed_gates.py
+# (ONE definition of the mixed-replica construction).
+HELDOUT_MOD = 101
+CLONE_MOD = 10
+LEAK_MOD, LEAK_REM = 1000, 500  # % CLONE_MOD == 0 and never held out
+
+
+def mixed_eval_select(src: str) -> str:
+    """SQL for the eval set: held-out docs + the planted leak docs."""
+    return (
+        f"SELECT * FROM read_parquet('{src}/documents.parquet') "
+        f"WHERE doc_id % {HELDOUT_MOD} = 0 "
+        f"OR doc_id % {LEAK_MOD} = {LEAK_REM}"
+    )
+
+
+def mixed_doc_select(src: str, i: int) -> str:
+    """SQL for replica ``i``'s documents (held-out rows excluded)."""
+    suffix = f"x{i}"
+    unique_text = (
+        f"REGEXP_REPLACE(text, '(\\S+)', '\\1{suffix}', 'g')"
+    )
+    return (
+        f"SELECT doc_id + {i * OFFSET} AS doc_id, "
+        f"CASE WHEN doc_id % {CLONE_MOD} = 0 THEN text "
+        f"ELSE {unique_text} END AS text, "
+        f"lang, source, n_chars "
+        f"FROM read_parquet('{src}/documents.parquet') "
+        f"WHERE doc_id % {HELDOUT_MOD} <> 0"
+    )
+
+
+def make_mixed(src: str, clone_dir: str, out: str, factor: int) -> None:
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    selects = [mixed_doc_select(src, i) for i in range(factor)]
+    con.sql(
+        f"COPY ({' UNION ALL '.join(selects)}) "
+        f"TO '{out}/documents.parquet' (FORMAT parquet)"
+    )
+    con.sql(
+        f"COPY ({mixed_eval_select(src)}) "
+        f"TO '{out}/evalset.parquet' (FORMAT parquet)"
+    )
+    for t in list(_PLAN) + list(_DIMS):
+        if t == "documents":
+            continue
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{clone_dir}/{t}.parquet", dst)
+    for name in ("documents", "evalset"):
+        n = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{name}.parquet')"
+        ).fetchone()[0]
+        print(name, n, flush=True)
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    src = argv[0] if argv else "/root/testdata/sf0.1"
-    out = argv[1] if len(argv) > 1 else "/tmp/scale_sf1"
-    factor = int(argv[2]) if len(argv) > 2 else 10
-    replicate(src, out, factor)
+    if argv and argv[0] == "--mixed":
+        make_mixed(argv[1], argv[2], argv[3], int(argv[4]))
+    else:
+        src = argv[0] if argv else "/root/testdata/sf0.1"
+        out = argv[1] if len(argv) > 1 else "/tmp/scale_sf1"
+        factor = int(argv[2]) if len(argv) > 2 else 10
+        replicate(src, out, factor)
