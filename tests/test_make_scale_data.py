@@ -59,3 +59,87 @@ def test_replication_preserves_counts_and_fks(tmp_path):
         ).fetchone()[0]
 
     assert distinct_texts(out) == 2 * distinct_texts(SF_SMOKE)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver-generated testdata absent"
+)
+def test_mixed_mode_construction_invariants(tmp_path):
+    """Mixed mode (round-10 verdict #2): held-out docs excluded from
+    every replica; clone-flavor members byte-identical across replicas;
+    unique-flavor docs share NO token across replicas (suffix bijection)
+    while preserving per-doc word counts; eval = held-out + planted
+    leak docs whose byte-identical copies stay in train."""
+    from make_scale_data import (
+        CLONE_MOD,
+        HELDOUT_MOD,
+        LEAK_MOD,
+        LEAK_REM,
+        OFFSET,
+        make_mixed,
+    )
+
+    clone_dir = str(tmp_path / "clone")
+    os.makedirs(clone_dir)
+    # cheap stand-in clone dir: symlink targets only need to exist
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{clone_dir}/{t}.parquet")
+    out = str(tmp_path / "mixed")
+    make_mixed(SF_SMOKE, clone_dir, out, factor=3)
+    con = duckdb.connect()
+    docs = f"read_parquet('{out}/documents.parquet')"
+    ev = f"read_parquet('{out}/evalset.parquet')"
+    src = f"read_parquet('{SF_SMOKE}/documents.parquet')"
+
+    n_src, n_held, n_leak = con.sql(
+        f"SELECT COUNT(*), "
+        f"COUNT(*) FILTER (doc_id % {HELDOUT_MOD} = 0), "
+        f"COUNT(*) FILTER (doc_id % {LEAK_MOD} = {LEAK_REM}) FROM {src}"
+    ).fetchone()
+    assert con.sql(f"SELECT COUNT(*) FROM {docs}").fetchone()[0] == 3 * (
+        n_src - n_held
+    )
+    assert con.sql(f"SELECT COUNT(*) FROM {ev}").fetchone()[0] == (
+        n_held + n_leak
+    )
+    # no held-out doc in any replica
+    assert con.sql(
+        f"SELECT COUNT(*) FROM {docs} "
+        f"WHERE (doc_id % {OFFSET}) % {HELDOUT_MOD} = 0"
+    ).fetchone()[0] == 0
+    # clone flavor: replicas byte-identical to source
+    assert con.sql(
+        f"SELECT COUNT(*) FROM {docs} d JOIN {src} s "
+        f"ON d.doc_id % {OFFSET} = s.doc_id "
+        f"WHERE d.doc_id % {CLONE_MOD} = 0 AND d.text <> s.text"
+    ).fetchone()[0] == 0
+    # unique flavor: zero shared tokens across replicas, word count kept
+    shared = con.sql(f"""
+        WITH tok AS (
+          SELECT doc_id // {OFFSET} AS rep, UNNEST(
+            REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS t
+          FROM {docs} WHERE doc_id % {CLONE_MOD} <> 0
+        )
+        SELECT COUNT(*) FROM (
+          SELECT t FROM tok GROUP BY t HAVING COUNT(DISTINCT rep) > 1
+        )
+    """).fetchone()[0]
+    assert shared == 0
+    words_kept = con.sql(f"""
+        SELECT COUNT(*) FROM {docs} d JOIN {src} s
+          ON d.doc_id % {OFFSET} = s.doc_id
+        WHERE d.doc_id % {CLONE_MOD} <> 0
+          AND ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(d.text), '\\s+'))
+           <> ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(s.text), '\\s+'))
+    """).fetchone()[0]
+    assert words_kept == 0
+    # planted leak: eval texts byte-present in train (clone flavor)
+    leaked_in_train = con.sql(f"""
+        SELECT COUNT(DISTINCT e.doc_id) FROM {ev} e JOIN {docs} d
+          ON e.text = d.text
+        WHERE e.doc_id % {LEAK_MOD} = {LEAK_REM}
+    """).fetchone()[0]
+    assert leaked_in_train == n_leak
