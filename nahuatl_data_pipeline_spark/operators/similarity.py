@@ -906,3 +906,101 @@ def mahalanobis_outliers(
     return top.withColumn(
         "rank", F.row_number().over(rw).cast("int")
     )
+
+
+def srp_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    probe_hamming: int = 2,
+    round_to: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """SRP-bucketed approximate cosine top-k — the ORACLE-PORTABLE twin
+    of :func:`lsh_topk` (q33's seeded pyspark.ml BRP-LSH), exactly the
+    q163/q167 move applied to the ANN family: corpus vectors bucket by
+    their deterministic sign-random-projection cell
+    (``semantic_dedup.srp_cell`` — md5-derived ±1 hyperplanes, so any
+    engine recomputes every cell id bit-for-bit), and each query probes
+    its own cell plus every cell within hamming distance
+    ``probe_hamming`` (classic multi-probe LSH: for a neighbor at angle
+    θ each bit flips independently with probability θ/π, so the
+    high-cosine neighbors concentrate within a small hamming radius).
+
+    Scale shape: celling is a shuffle-free projection; the corpus
+    shuffles ONCE on the cell key; queries explode ×Σ C(n_bits, r≤probe)
+    (37 for 8 bits / radius 2) and join key-partitioned on the cell —
+    candidate work is Σ_cell |Q(cell)|·|C(cell)|, bucketed, never the
+    |Q|·|C| brute-force matrix, and a hot cell costs reducer time, not
+    memory. Raise ``n_bits`` with corpus size to hold cells small
+    (2^20 cells for ~1e9 vectors), keeping probes ∝ n_bits².
+
+    Scoring and ranking are the shared portable contract: rounded
+    double-precision sequential-fold cosine + neighbor-id tiebreak
+    (``cosine_cols``), so the WHOLE operator — cells, probes,
+    candidates, scores, ranks — is hash-certifiable against DuckDB,
+    unlike the engine-internal hash family of pyspark.ml.
+
+    Recall contract (invariant legs in test_similarity.py): planted
+    high-cosine neighbors (the near-dup retrieval case, cosine ≈ 0.98
+    → bit-flip prob θ/π ≈ 0.04) are recovered at ≥ 0.9; every returned
+    cosine equals the exactly-computed one; probe widening is monotone.
+    On a DIFFUSE corpus (top-5 angles near 60°) any single-table LSH
+    carries little signal — recall there is ~0.35 and is asserted as a
+    documented band, not quality; q33's multi-table pyspark.ml path
+    remains the high-recall choice for diffuse data, this operator is
+    its oracle-certifiable twin for the high-cosine regime.
+    """
+    from nahuatl_data_pipeline_spark.operators.semantic_dedup import srp_cell
+
+    masks = [0] + [1 << j for j in range(n_bits)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << j) | (1 << m)
+            for j in range(n_bits)
+            for m in range(j + 1, n_bits)
+        ]
+    if probe_hamming >= 3:
+        raise ValueError("probe_hamming > 2 not supported (probe blowup)")
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    c = corpus.filter(ok).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        srp_cell(F.col(vec_col), n_bits, dim).alias("__cell"),
+    )
+    q = (
+        queries.filter(ok)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            srp_cell(F.col(vec_col), n_bits, dim).alias("__qcell"),
+        )
+        .withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            "query_id",
+            "__qv",
+            F.col("__qcell").bitwiseXOR(F.col("__m")).alias("__cell"),
+        )
+    )
+    cand = q.join(c, "__cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_cols(F.col("__qv"), F.col("__cv")), round_to).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

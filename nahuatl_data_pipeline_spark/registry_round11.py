@@ -12,11 +12,19 @@
   lacking any hash-certified formulation drop to q44/q45/q56/q57 + the
   two seeded pyspark.ml paths.
 
-Kept deliberately SHORT (1 entry): round 11 must let the r07-stale
+- q168: portable SRP-bucketed ANN top-k (operators/similarity.py:
+  srp_topk) — the same move applied to the ANN family: deterministic
+  md5-derived hyperplane cells (q140's certified signs formula) +
+  hamming-radius-2 multi-probe + the portable rounded-cosine ranking,
+  every candidate and score recomputed by DuckDB bit-for-bit. With it,
+  q33's seeded pyspark.ml BRP-LSH gains a hash-certified formulation
+  of its bucketed-candidates/exact-rescoring structure.
+
+Kept deliberately SHORT (2 entries): round 11 must let the r07-stale
 q141–q156 block rotate through the 50-slot certification window
-(round-10 verdict #3) — 1 new + 1 recertify-pinned (q164) + 16 r07 +
-32 oldest-r08 fills it exactly, clearing the union staleness floor to
-r08.
+(round-10 verdict #3) — 2 new + 1 recertify-pinned (q164) + 16 r07
+still leaves 31 slots for the oldest-r08 tail, clearing the union
+staleness floor to r08.
 """
 
 from __future__ import annotations
@@ -85,3 +93,84 @@ def q167_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     )
     return hll_registers(tok, "token", p=_Q167_P, group_cols=("lang",))
+
+
+# ---------------------------------------------------------------------------
+# q168: portable SRP-bucketed ANN top-k (oracle twin of q33's LSH path)
+# ---------------------------------------------------------------------------
+
+_Q168_BITS = 8
+_Q168_DIM = 64
+_Q168_K = 5
+
+
+def _q168_sql() -> str:
+    # Probe masks shared with similarity.srp_topk (radius ≤ 2 over 8
+    # bits = 37 cells); the signs CTE is the q140 formula verbatim.
+    bits, dim, k = _Q168_BITS, _Q168_DIM, _Q168_K
+    masks = [0] + [1 << j for j in range(bits)] + [
+        (1 << j) | (1 << m) for j in range(bits) for m in range(j + 1, bits)
+    ]
+    return f"""
+    WITH signs AS (
+      SELECT j,
+             LIST(CASE WHEN CAST('0x' || SUBSTRING(
+                          MD5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                          1, 15) AS BIGINT) % 2147483647 % 2 = 0
+                       THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+      FROM range(0, {bits}) t1(j), range(0, {dim}) t2(d)
+      GROUP BY j
+    ),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(
+                             CAST(e.embedding AS DOUBLE[]), s.sv) > 0
+                           THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
+      FROM embeddings e CROSS JOIN signs s
+      WHERE e.embedding IS NOT NULL AND LEN(e.embedding) = {dim}
+      GROUP BY e.vec_id, e.embedding
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qemb,
+             XOR(q.cell, m.mask) AS cell
+      FROM b q CROSS JOIN (SELECT UNNEST({masks}) AS mask) m
+      WHERE q.vec_id < 10
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(
+               CAST(p.qemb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4)
+               AS cosine
+      FROM probes p JOIN b c USING (cell)
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+"""
+
+
+@register("q168_srp_ann_portable", _q168_sql())
+def q168_srp_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SRP-bucketed ANN (operators/similarity.py:srp_topk) —
+    the oracle-certified twin of q33's seeded pyspark.ml BRP-LSH, same
+    move as q163 (SimHash) and q167 (HLL): deterministic md5-derived
+    hyperplane cells + hamming-radius-2 multi-probe + the portable
+    rounded-cosine ranking, every candidate and score recomputed by
+    DuckDB bit-for-bit. Corpus shuffles once on the cell key; probes
+    are Σ C(8, r≤2) = 37 cells per query; candidate work is bucketed
+    (Σ|Q(cell)|·|C(cell)|), never the brute |Q|·|C| matrix (q24 is the
+    exact baseline; recall invariant in test_similarity.py)."""
+    from nahuatl_data_pipeline_spark.operators.similarity import srp_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=_Q168_K,
+        n_bits=_Q168_BITS,
+        dim=_Q168_DIM,
+        probe_hamming=2,
+    ).withColumn("rank", F.col("rank").cast("int"))
