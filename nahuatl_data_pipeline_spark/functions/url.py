@@ -51,7 +51,12 @@ def canonicalize_url(
 
     Rules (each a standard crawl-dedup normalization):
 
-    - trim surrounding whitespace; strip the ``#fragment``;
+    - trim surrounding whitespace, then TRUNCATE at the first interior
+      whitespace character (raw whitespace cannot occur in a URL — RFC
+      3986 — so everything after it is crawl junk; keeping it would
+      also break idempotence: a later rule can expose new edge
+      whitespace, e.g. ``'a /'`` → ``'a '``, found by hypothesis);
+      strip the ``#fragment``;
     - lowercase the ``scheme://host[:port]`` prefix (path/query case is
       preserved — it is significant on most servers);
     - strip a leading ``www.`` and the scheme-default port
@@ -70,7 +75,8 @@ def canonicalize_url(
     and are skipped — document ingestion should prepend one if its
     source emits bare authorities.
     """
-    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    u = F.regexp_extract(F.trim(url), r"^(\S*)", 1)
+    u = F.regexp_replace(u, r"#.*$", "")
     base = F.regexp_extract(u, r"^([^?]*)", 1)
     query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
 

@@ -170,7 +170,8 @@ _URLS_SQL = """
 # tuple as the Spark expression (ONE definition).
 _CANON_CTES = f"""c1 AS (
       SELECT doc_id, n_chars, url,
-             REGEXP_REPLACE(TRIM(url), '#.*$', '') AS u
+             REGEXP_REPLACE(
+               REGEXP_EXTRACT(TRIM(url), '^(\\S*)', 1), '#.*$', '') AS u
       FROM urls
     ),
     c2 AS (

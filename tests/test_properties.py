@@ -4,7 +4,7 @@ one Spark DataFrame per example to keep runtime sane."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from nahuatl_data_pipeline_spark.functions.normalize import normalize_text
@@ -246,6 +246,8 @@ _URLISH = st.lists(
 
 @settings(max_examples=12, deadline=None)
 @given(st.lists(_URLISH, min_size=1, max_size=16))
+@example(["a /"])  # r11: slash-strip exposed edge whitespace
+@example(["http://a.com:80 /x", "a / / /"])  # authority-space variants
 def test_canonicalize_url_idempotent_and_domain_stable(spark, urls):
     """canonicalize(canonicalize(u)) == canonicalize(u) — the canonical
     form must be a fixed point (otherwise two dedup passes disagree on

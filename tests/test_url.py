@@ -42,6 +42,13 @@ def _canon(spark, urls, **kw):
         ),
         # whitespace trim
         ("  https://example.com/a  ", "https://example.com/a"),
+        # interior whitespace truncates (raw whitespace can't occur in
+        # a URL; keeping the tail breaks idempotence — hypothesis-found
+        # 'a /' -> 'a ' -> 'a', r11)
+        ("a /", "a"),
+        ("a / / /", "a"),
+        ("http://Example.com /path", "http://example.com"),
+        ("http://example.com:80 /x", "http://example.com"),
         # scheme-less: query/slash rules only, authority untouched
         ("Example.com/a/?utm_source=x", "Example.com/a"),
     ],
