@@ -49,16 +49,24 @@ from nahuatl_data_pipeline_spark.operators.similarity import (
 )
 
 
-def srp_signs(n_bits: int, dim: int) -> list[list[float]]:
+def srp_signs(n_bits: int, dim: int, bit_offset: int = 0) -> list[list[float]]:
     """The deterministic ±1 hyperplane matrix, bit-major: row j is the
     64-dim hyperplane for bit j. Entry (j, d) is +1 iff
     hash64(f"{j}:{d}") is even — byte-identical to the SQL mirror
     ``CAST('0x' || SUBSTRING(MD5(j || ':' || d), 1, 15) AS BIGINT)
-    % P % 2 = 0`` because md5 is md5 everywhere."""
+    % P % 2 = 0`` because md5 is md5 everywhere.
+
+    ``bit_offset`` shifts the md5 seed index (row j seeds as
+    ``j + bit_offset``) so OR-amplified multi-table callers
+    (similarity.srp_topk n_tables > 1) draw INDEPENDENT hyperplane
+    sets; the default 0 leaves every existing seed unchanged."""
     return [
         [
             1.0
-            if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:15], 16)
+            if int(
+                hashlib.md5(f"{j + bit_offset}:{d}".encode()).hexdigest()[:15],
+                16,
+            )
             % MINHASH_P
             % 2
             == 0
@@ -69,17 +77,19 @@ def srp_signs(n_bits: int, dim: int) -> list[list[float]]:
     ]
 
 
-def srp_cell(vec_col, n_bits: int, dim: int) -> F.Column:
+def srp_cell(vec_col, n_bits: int, dim: int, bit_offset: int = 0) -> F.Column:
     """Sign-random-projection cell id (0 .. 2^n_bits - 1) of a
     fixed-``dim`` array<float/double> column, as one shuffle-free
     expression: Σ_j [ <v, r_j> > 0 ] · 2^j with literal ±1 hyperplanes
-    (no hyperplane table, no join)."""
+    (no hyperplane table, no join). ``bit_offset`` selects an
+    independent hyperplane set (see srp_signs); 0 = the certified
+    q140/q168 planes."""
     v = F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: x.cast("double"),
     )
     cell = F.lit(0).cast("long")
-    for j, row in enumerate(srp_signs(n_bits, dim)):
+    for j, row in enumerate(srp_signs(n_bits, dim, bit_offset)):
         plane = F.array(*[F.lit(s) for s in row])
         cell = cell + F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(
             F.lit(0)

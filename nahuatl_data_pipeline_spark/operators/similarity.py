@@ -908,6 +908,158 @@ def mahalanobis_outliers(
     )
 
 
+def ivf_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    round_to: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate cosine top-k with a DETERMINISTIC coarse
+    quantizer — the ORACLE-PORTABLE twin of :func:`ivf_topk` (q57's
+    seeded driver-sample k-means), completing the q163/q167/q168
+    certified-twin program: centroids are the ``n_centroids`` corpus
+    vectors with the lexicographically smallest ``md5(cast(id as
+    string))`` (a content-hash sample any engine reproduces — md5 hex
+    ordering is byte ordering everywhere), so cells, probes,
+    candidates, scores, and ranks are all recomputable bit-for-bit by
+    DuckDB. No k-means: hash-selected centroids quantize worse per
+    cell than fitted ones (compensate with a larger ``n_probe``), but
+    the inverted-file plan shape — the thing the twin certifies — is
+    identical.
+
+    Scale shape: the centroid table is a bounded driver collect
+    (n_centroids rows — exactly how FAISS ships an IVF quantizer) and
+    is inlined as LITERAL arrays, so cell assignment is a shuffle-free
+    projection (n_centroids rounded-cosine expressions per row, argmax
+    by struct max — no ml pipeline, no per-vector window). The corpus
+    shuffles ONCE on the cell key; queries explode ×n_probe; candidate
+    work is n_probe/n_centroids of brute force and degrades to EXACT
+    brute force when n_probe == n_centroids (asserted in
+    test_similarity.py against cosine_topk, same rounding and
+    tie-break). Raise n_centroids ∝ √corpus to hold cells small.
+
+    Tie contract (both engines): assignment and probe ranking order by
+    (rounded cosine DESC, centroid index ASC); the final rank by
+    (rounded cosine DESC, neighbor_id ASC).
+    """
+    import hashlib
+
+    ok = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    base = corpus.filter(ok)
+    md5key = F.md5(F.col(id_col).cast("string"))
+    rows = (
+        base.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(md5key.asc(), F.col("__id").asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    # re-sort driver-side (defensive: collect order is plan-defined)
+    rows.sort(
+        key=lambda r: (hashlib.md5(str(r["__id"]).encode()).hexdigest(),
+                       r["__id"])
+    )
+    cvecs = [[float(x) for x in r["__v"]] for r in rows]
+    if not cvecs:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    n_probe = min(n_probe, len(cvecs))
+
+    # Driver-precomputed centroid norms: math.sqrt over the same
+    # left-to-right x² fold _norm uses — bit-identical to evaluating
+    # _norm(centroid_literal) on the JVM, so hoisting them (and the
+    # per-row |v| below) out of the 16-way cosine fan preserves every
+    # rounded value while cutting the norm folds per row from
+    # 2·n_centroids to 1.
+    import math
+
+    def _fold_norm(xs: list[float]) -> float:
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    cnorms = [_fold_norm(cj) for cj in cvecs]
+
+    def cent_scores(vcol, nv):
+        """array<struct<c: rounded cosine, nj: -centroid index>> — max
+        of the struct IS (best cosine, tie → smallest index). ``nv`` is
+        the hoisted |v| column (evaluated once per row)."""
+        ad = F.transform(vcol, lambda x: x.cast("double"))
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _dot(ad, F.array(*[F.lit(x) for x in cj]))
+                        / (nv * F.lit(cn)),
+                        round_to,
+                    ).alias("c"),
+                    F.lit(-j).alias("nj"),
+                )
+                for j, (cj, cn) in enumerate(zip(cvecs, cnorms))
+            ]
+        )
+
+    def with_norm(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__nv",
+            _norm(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+        )
+
+    c = with_norm(base).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        (
+            -F.array_max(cent_scores(F.col(vec_col), F.col("__nv")))["nj"]
+        ).alias("__cell"),
+    )
+    q = (
+        with_norm(queries.filter(ok))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.slice(
+                F.reverse(
+                    F.array_sort(cent_scores(F.col(vec_col), F.col("__nv")))
+                ),
+                1,
+                n_probe,
+            ).alias("__top"),
+        )
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.transform(F.col("__top"), lambda s: -s["nj"])
+            ).alias("__cell"),
+        )
+    )
+    cand = q.join(c, "__cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_cols(F.col("__qv"), F.col("__cv")), round_to).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def srp_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -917,6 +1069,7 @@ def srp_topk(
     n_bits: int = 8,
     dim: int = 64,
     probe_hamming: int = 2,
+    n_tables: int = 1,
     round_to: int = 4,
     exclude_self: bool = True,
 ) -> DataFrame:
@@ -950,10 +1103,16 @@ def srp_topk(
     → bit-flip prob θ/π ≈ 0.04) are recovered at ≥ 0.9; every returned
     cosine equals the exactly-computed one; probe widening is monotone.
     On a DIFFUSE corpus (top-5 angles near 60°) any single-table LSH
-    carries little signal — recall there is ~0.35 and is asserted as a
-    documented band, not quality; q33's multi-table pyspark.ml path
-    remains the high-recall choice for diffuse data, this operator is
-    its oracle-certifiable twin for the high-cosine regime.
+    carries little signal — single-table recall there is ~0.35 and is
+    asserted as a documented band, not quality. ``n_tables`` > 1 is the
+    standard OR-amplification fix (exactly what q33's pyspark.ml path
+    does with its seeded tables): each table t buckets by an
+    INDEPENDENT hyperplane set (``bit_offset = t·n_bits`` shifts the
+    md5 seeds) and candidates union across tables before the exact
+    rescore — a neighbor missed with prob (1−p) per table survives L
+    tables with only (1−p)^L; candidate work and the corpus-side cell
+    rows scale ×L. The default 1 leaves the certified q168 plan
+    byte-identical (single-table, no cross-table dedup step).
     """
     from nahuatl_data_pipeline_spark.operators.semantic_dedup import srp_cell
 
@@ -966,27 +1125,81 @@ def srp_topk(
         ]
     if probe_hamming >= 3:
         raise ValueError("probe_hamming > 2 not supported (probe blowup)")
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    c = corpus.filter(ok).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        srp_cell(F.col(vec_col), n_bits, dim).alias("__cell"),
-    )
-    q = (
-        queries.filter(ok)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            srp_cell(F.col(vec_col), n_bits, dim).alias("__qcell"),
+
+    def tagged(t: int, cell: F.Column) -> F.Column:
+        # table-disjoint key space: high bits carry the table index
+        return F.lit(t << n_bits).cast("long") + cell
+
+    if n_tables == 1:
+        c = corpus.filter(ok).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            srp_cell(F.col(vec_col), n_bits, dim).alias("__cell"),
         )
-        .withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
-        .select(
-            "query_id",
-            "__qv",
-            F.col("__qcell").bitwiseXOR(F.col("__m")).alias("__cell"),
+        q = (
+            queries.filter(ok)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                srp_cell(F.col(vec_col), n_bits, dim).alias("__qcell"),
+            )
+            .withColumn(
+                "__m", F.explode(F.array(*[F.lit(m) for m in masks]))
+            )
+            .select(
+                "query_id",
+                "__qv",
+                F.col("__qcell").bitwiseXOR(F.col("__m")).alias("__cell"),
+            )
         )
-    )
-    cand = q.join(c, "__cell")
+        cand = q.join(c, "__cell")
+    else:
+        c = corpus.filter(ok).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.explode(
+                F.array(
+                    *[
+                        tagged(
+                            t,
+                            srp_cell(
+                                F.col(vec_col), n_bits, dim, t * n_bits
+                            ),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("__cell"),
+        )
+        q = (
+            queries.filter(ok)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                F.explode(
+                    F.array(
+                        *[
+                            tagged(
+                                t,
+                                srp_cell(
+                                    F.col(vec_col), n_bits, dim, t * n_bits
+                                ).bitwiseXOR(F.lit(m)),
+                            )
+                            for t in range(n_tables)
+                            for m in masks
+                        ]
+                    )
+                ).alias("__cell"),
+            )
+        )
+        # the same (query, neighbor) pair can collide in several tables
+        # — dedupe BEFORE the exact rescore so each pair is scored once
+        cand = q.join(c, "__cell").dropDuplicates(
+            ["query_id", "neighbor_id"]
+        )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(

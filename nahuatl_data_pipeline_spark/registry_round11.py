@@ -20,11 +20,22 @@
   q33's seeded pyspark.ml BRP-LSH gains a hash-certified formulation
   of its bucketed-candidates/exact-rescoring structure.
 
-Kept deliberately SHORT (2 entries): round 11 must let the r07-stale
+- q169: portable IVF ANN top-k (operators/similarity.py:
+  ivf_topk_portable) — deterministic md5-selected centroids replace
+  q57's seeded driver-sample k-means; assignment, probing, and
+  rescoring all follow the shared portable rounded-cosine contract,
+  so DuckDB recomputes the whole inverted file bit-for-bit. Completes
+  the certified-twin program: every bucketed-candidates algorithm
+  family (SimHash, HLL, SRP-LSH, IVF) now has a hash-certified
+  formulation; only the model/library-defined ops (q44 alignment,
+  q45 sacrebleu, q56 zlib) and q31's seeded end-to-end dedup (whose
+  banded scheme q25 certifies) remain oracle-free.
+
+Kept deliberately SHORT (3 entries): round 11 must let the r07-stale
 q141–q156 block rotate through the 50-slot certification window
-(round-10 verdict #3) — 2 new + 1 recertify-pinned (q164) + 16 r07
-still leaves 31 slots for the oldest-r08 tail, clearing the union
-staleness floor to r08.
+(round-10 verdict #3) — 3 new + 2 recertify-pinned (q164, q61) +
+16 r07 still leaves 29 slots for the oldest-r08 tail, clearing the
+union staleness floor to r08.
 """
 
 from __future__ import annotations
@@ -173,4 +184,94 @@ def q168_srp_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=_Q168_BITS,
         dim=_Q168_DIM,
         probe_hamming=2,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q169: portable IVF ANN top-k (oracle twin of q57's seeded k-means path)
+# ---------------------------------------------------------------------------
+
+_Q169_NC = 16
+_Q169_NPROBE = 4
+_Q169_DIM = 64
+_Q169_K = 5
+
+
+def _q169_sql() -> str:
+    nc, np_, dim, k = _Q169_NC, _Q169_NPROBE, _Q169_DIM, _Q169_K
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) = {dim}
+    ),
+    cent AS (
+      SELECT v AS cv,
+             ROW_NUMBER() OVER (
+               ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+      FROM base
+      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {nc}
+    ),
+    asgn AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT b.vec_id, b.v, c.j AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY ROUND(LIST_COSINE_SIMILARITY(b.v, c.cv), 4) DESC,
+                          c.j ASC) AS rn
+        FROM base b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT b.vec_id AS query_id, b.v AS qv, c.j AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY ROUND(LIST_COSINE_SIMILARITY(b.v, c.cv), 4) DESC,
+                          c.j ASC) AS rn
+        FROM base b CROSS JOIN cent c
+        WHERE b.vec_id < 10
+      ) WHERE rn <= {np_}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) AS cosine
+      FROM probes p JOIN asgn a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+"""
+
+
+@register("q169_ivf_ann_portable", _q169_sql())
+def q169_ivf_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable IVF ANN (operators/similarity.py:ivf_topk_portable) —
+    the oracle-certified twin of q57's seeded driver-sample k-means
+    IVF, completing the certified-twin program (q163 SimHash, q167
+    HLL, q168 SRP-LSH): centroids are the 16 corpus vectors with the
+    smallest md5(id) (content-hash sample, reproducible anywhere),
+    assignment/probing order by (rounded cosine DESC, centroid ASC),
+    rescoring is the shared portable rounded-cosine ranking — DuckDB
+    recomputes centroids, cells, probes, and every score bit-for-bit.
+    Corpus shuffles once on the cell key; assignment is a shuffle-free
+    literal-centroid argmax projection; candidate work is
+    n_probe/n_centroids of brute force (exact when n_probe == n_c,
+    asserted vs q24's cosine_topk in test_similarity.py)."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        ivf_topk_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_portable(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=_Q169_K,
+        n_centroids=_Q169_NC,
+        n_probe=_Q169_NPROBE,
+        dim=_Q169_DIM,
     ).withColumn("rank", F.col("rank").cast("int"))

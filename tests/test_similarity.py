@@ -137,6 +137,23 @@ def test_srp_never_invents_better_neighbors(spark):
         assert abs(r["cosine"] - r["exact_cos"]) <= 1e-9
 
 
+def test_srp_multi_table_amplification_reaches_lsh_bar(spark, emb):
+    """n_tables > 1 is the OR-amplification leg: independent hyperplane
+    sets (bit_offset-shifted md5 seeds) must lift diffuse-corpus recall
+    monotonically, reaching q33's 0.9 bar at 8 tables (measured 0.94 at
+    sf0.001 / 0.96 at sf0.01 — deterministic data, no rand)."""
+    from nahuatl_data_pipeline_spark.operators.similarity import srp_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(cosine_topk(q, emb, k=5))
+    r1 = len(exact & _pairs(srp_topk(q, emb, k=5, n_tables=1)))
+    r8 = len(exact & _pairs(srp_topk(q, emb, k=5, n_tables=8)))
+    assert r8 >= r1, "more tables must not lose recall"
+    assert r8 / len(exact) >= 0.9, f"L=8 recall {r8 / len(exact):.2f}"
+    with pytest.raises(ValueError):
+        srp_topk(q, emb, k=5, n_tables=0)
+
+
 def test_srp_probe_radius_monotone_on_diffuse_corpus(spark, emb):
     from nahuatl_data_pipeline_spark.operators.similarity import srp_topk
 
@@ -150,6 +167,47 @@ def test_srp_probe_radius_monotone_on_diffuse_corpus(spark, emb):
     assert r2 / len(exact) >= 0.2
     with pytest.raises(ValueError):
         srp_topk(q, emb, k=5, probe_hamming=3)
+
+
+def test_ivf_portable_exact_when_probing_all_cells(spark, emb):
+    """ivf_topk_portable (q169) with n_probe == n_centroids probes every
+    cell — results must EQUAL the exact baseline row-for-row (same
+    rounding, same tie-break): the strongest invariant the inverted
+    file admits."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        ivf_topk_portable,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(map(tuple, cosine_topk(q, emb, k=3).collect()))
+    full = sorted(
+        map(
+            tuple,
+            ivf_topk_portable(
+                q, emb, k=3, n_centroids=8, n_probe=8
+            ).collect(),
+        )
+    )
+    assert full == exact
+
+
+def test_ivf_portable_recovers_planted_and_probe_monotone(spark):
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        ivf_topk_portable,
+    )
+
+    df = _planted_corpus(spark)
+    q = df.filter(F.col("vec_id") < 20)
+    planted = {(i, 1000 + i) for i in range(20)}
+    approx = _pairs(ivf_topk_portable(q, df, k=1, n_probe=4))
+    recall = len(planted & approx) / len(planted)
+    assert recall >= 0.9, f"IVF planted recall regressed to {recall:.2f}"
+    # a cosine≈0.98 twin shares its base's nearest centroid essentially
+    # always, so even n_probe=1 must find most planted pairs
+    n1 = len(planted & _pairs(ivf_topk_portable(q, df, k=1, n_probe=1)))
+    n4 = len(planted & approx)
+    assert n4 >= n1, "wider probing must not lose recall"
+    assert n1 / len(planted) >= 0.8
 
 
 def test_ivf_exact_when_probing_all_cells(spark, emb):
