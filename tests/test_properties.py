@@ -236,8 +236,14 @@ def test_water_fill_properties(spark, avails, budget):
 # actually contains.
 _URLISH = st.lists(
     st.sampled_from(
-        list("abcXYZ09:/?#&=._-@%~ ")
-        + ["https://", "HTTP://", "www.", "utm_a=1", "co.uk", "?a=1&b=2"]
+        list("abcXYZ09:/?#&=._-@%~ []")
+        + [
+            "https://", "HTTP://", "www.", "utm_a=1", "co.uk", "?a=1&b=2",
+            # hostile-authority shapes the r11 hardening targets:
+            # userinfo (incl. double-@), bracket literals, ports
+            "u@", "u@x@", "[::1]", "[::ffff:192.168.0.1]", ":80", ":8080",
+            "192.168.0.1",
+        ]
     ),
     min_size=0,
     max_size=8,
