@@ -94,12 +94,45 @@ def pipeline_main() -> None:
     else:
         evalset = docs.filter(F.col("doc_id") % 97 == 0)
         train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    # SPARK_GRAFT_PIPELINE_URL_STAGES=1 additionally exercises the
+    # opt-in crawl head stages (encoding repair, URL dedup, per-domain
+    # cap) with a deterministic synthetic URL column whose url_dups /
+    # domain_capped ground truth is EXACTLY computable from the ids —
+    # tools/predict_url_stages.py mirrors the formula (doc_id % 100 == 1
+    # shares ONE canonical URL; everyone else gets a unique page on host
+    # ex{doc_id % 499}.com, capped at 100 docs/domain).
+    cfg = None
+    if os.environ.get("SPARK_GRAFT_PIPELINE_URL_STAGES") == "1":
+        from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+            CurationConfig,
+        )
+
+        d = F.col("doc_id")
+        train = train.withColumn(
+            "url",
+            F.when(
+                d % 100 == 1, F.lit("https://dupsite.com/shared")
+            ).otherwise(
+                F.concat(
+                    F.lit("https://ex"),
+                    (d % 499).cast("string"),
+                    F.lit(".com/p/"),
+                    d.cast("string"),
+                )
+            ),
+        )
+        cfg = CurationConfig(
+            fix_encoding=True, url_col="url", max_docs_per_domain=100
+        )
     n_input = train.count()  # also warms JVM + parquet footers
 
     out = tempfile.mkdtemp(prefix="bench_curation_")
     try:
         t0 = time.perf_counter()
-        stats = run_curation_pipeline(spark, train, out, evalset=evalset)
+        stats = run_curation_pipeline(
+            spark, train, out, evalset=evalset, cfg=cfg
+        )
         wall = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -131,3 +131,38 @@ def test_prepare_dedup_materializes_dropin_sf_dir(tmp_path):
     from nahuatl_data_pipeline_spark import registry
 
     assert registry.queries()["q13_doc_length_stats"](spark, out).count() >= 0
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver-generated testdata absent"
+)
+def test_pipeline_url_stages_match_exact_ground_truth(
+    spark, capsys, monkeypatch
+):
+    """SPARK_GRAFT_PIPELINE_URL_STAGES=1 runs the crawl head stages on a
+    deterministic synthetic URL column; url_dups and domain_capped must
+    equal tools/predict_url_stages.py's set-exact recomputation (the
+    r11 decade rows' ground-truth contract, SCALE.md round 11)."""
+    import sys as _sys
+
+    import bench
+
+    _sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from predict_url_stages import predict
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", SF_SMOKE)
+    monkeypatch.setenv("SPARK_GRAFT_PIPELINE_URL_STAGES", "1")
+    bench.pipeline_main()
+    out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    stats = json.loads(out[-1])["stats"]
+    want = predict(SF_SMOKE)
+    assert stats["url_dups"] == want["url_dups"]
+    assert stats["domain_capped"] == want["domain_capped"]
+    # head-stage drops are part of input, not double-counted in output
+    assert stats["output"] <= stats["input"]
