@@ -367,13 +367,26 @@ def _spawn_group(
     return None, (f"subprocess rc={res.returncode}: " + " | ".join(tail))[:400]
 
 
+def _int_after(argv: list[str], flag: str, default: int) -> int:
+    """Value of ``flag N`` in argv, clamped ≥ 1 — with a usage message
+    instead of a bare IndexError/ValueError traceback when the value is
+    missing or not an integer (an expensive decade sweep should die
+    with a diagnosis, not an argv stack trace)."""
+    if flag not in argv:
+        return default
+    i = argv.index(flag)
+    if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+        raise SystemExit(f"usage: {flag} N (got: {argv[i + 1:i + 2] or 'nothing'})")
+    return max(1, int(argv[i + 1]))
+
+
 def _repeat_arg(argv: list[str], default: int) -> int:
     """--repeat N (or SPARK_GRAFT_REPEAT) → per-query executions; the
     reported wall is the median. Default 3 for the plain sf0.1 sweep
     the driver records (damped round-over-round comparisons), 1 in
     isolate mode (the 100× decade is too expensive to triple)."""
     if "--repeat" in argv:
-        return max(1, int(argv[argv.index("--repeat") + 1]))
+        return _int_after(argv, "--repeat", default)
     env = os.environ.get("SPARK_GRAFT_REPEAT", "")
     return max(1, int(env)) if env.isdigit() else default
 
@@ -388,11 +401,7 @@ def main() -> None:
     # runs are unchanged; N=2 buys a [min,max] band per heavy query for
     # one extra execution — SCALE.md decade rows are bands, not points.
     argv = sys.argv[1:]
-    repeat_heavy = (
-        max(1, int(argv[argv.index("--repeat-heavy") + 1]))
-        if "--repeat-heavy" in argv
-        else repeat
-    )
+    repeat_heavy = _int_after(argv, "--repeat-heavy", repeat)
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
     }

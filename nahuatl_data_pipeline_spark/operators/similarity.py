@@ -1116,15 +1116,20 @@ def srp_topk(
     """
     from nahuatl_data_pipeline_spark.operators.semantic_dedup import srp_cell
 
-    masks = [0] + [1 << j for j in range(n_bits)]
+    if not 0 <= probe_hamming <= 2:
+        raise ValueError(
+            "probe_hamming must be 0, 1, or 2 (wider radii blow up the "
+            "probe count combinatorially)"
+        )
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_bits)]
     if probe_hamming >= 2:
         masks += [
             (1 << j) | (1 << m)
             for j in range(n_bits)
             for m in range(j + 1, n_bits)
         ]
-    if probe_hamming >= 3:
-        raise ValueError("probe_hamming > 2 not supported (probe blowup)")
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)

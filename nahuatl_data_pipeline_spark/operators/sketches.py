@@ -319,8 +319,9 @@ def hll_estimate(
     group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cardinality estimate from a :func:`hll_registers` grid (floating
-    math — NOT part of the certified surface; certify the integer grid,
-    derive the estimate): the classic HLL harmonic mean
+    math, hash-certified separately from the integer grid — oracle
+    q170 recomputes it from its own grid CTE, rounded to 4 in both
+    engines): the classic HLL harmonic mean
     ``α_m·m²/Σ2^−M_j`` (zero registers contribute 2⁰ = 1 each) with the
     linear-counting small-range correction ``m·ln(m/V)`` when the raw
     estimate ≤ 2.5m and V > 0 zero registers remain. Runs on the

@@ -5,12 +5,9 @@
   approx_count_distinct, exactly the q163/CMS/minwise move: a fixed
   md5-derived register grid (low p bits pick the register, leading
   zeros of the remaining 60−p bits rank it, cell-wise MAX merge) whose
-  every register the DuckDB oracle recomputes bit-for-bit. The derived
-  floating estimate (hll_estimate) is NOT certified — the
+  every register the DuckDB oracle recomputes bit-for-bit. The
   within-rsd-of-exact and agrees-with-built-in invariants live in
-  tests/test_sketches.py. With this twin, the ``no_oracle`` algorithms
-  lacking any hash-certified formulation drop to q44/q45/q56/q57 + the
-  two seeded pyspark.ml paths.
+  tests/test_sketches.py.
 
 - q168: portable SRP-bucketed ANN top-k (operators/similarity.py:
   srp_topk) — the same move applied to the ANN family: deterministic
@@ -31,10 +28,17 @@
   q45 sacrebleu, q56 zlib) and q31's seeded end-to-end dedup (whose
   banded scheme q25 certifies) remain oracle-free.
 
-Kept deliberately SHORT (3 entries): round 11 must let the r07-stale
+- q170: the HLL cardinality estimate derived from the q167 grid
+  (operators/sketches.py:hll_estimate) — harmonic mean + linear
+  counting, rounded to 4 in both engines (the 2^-rho terms are exact
+  dyadics, so cross-engine float noise is orders below the rounding
+  ulp). Added after the r11 self-review flagged the estimate leg as
+  the one SQL-expressible operator without a queries() entry.
+
+Kept deliberately SMALL (4 entries): round 11 must let the r07-stale
 q141–q156 block rotate through the 50-slot certification window
-(round-10 verdict #3) — 3 new + 2 recertify-pinned (q164, q61) +
-16 r07 still leaves 29 slots for the oldest-r08 tail, clearing the
+(round-10 verdict #3) — 4 new + 2 recertify-pinned (q164, q61) +
+16 r07 still leaves 28 slots for the oldest-r08 tail, clearing the
 union staleness floor to r08.
 """
 
@@ -275,3 +279,65 @@ def q169_ivf_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_Q169_NPROBE,
         dim=_Q169_DIM,
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q170: HLL cardinality estimate derived from the q167 portable grid
+# ---------------------------------------------------------------------------
+
+# alpha_m * m^2 for p=9 (m=512), precomputed once in Python and inlined
+# as the SAME double literal in both engines so neither recomputes
+# 0.7213/(1 + 1.079/m) with its own operation order.
+_Q170_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / (1 << _Q167_P)) * (1 << _Q167_P) ** 2
+
+_Q170_SQL = f"""
+    WITH grid AS ({_Q167_SQL}),
+    agg AS (
+      SELECT lang, COUNT(*) AS nz,
+             SUM(POWER(2.0, -max_rho)) AS inv
+      FROM grid GROUP BY lang
+    )
+    SELECT lang,
+           ROUND(CASE WHEN {_Q170_ALPHA_M2!r}
+                           / (inv + CAST({1 << _Q167_P} - nz AS DOUBLE))
+                           <= 1280.0
+                       AND ({1 << _Q167_P} - nz) > 0
+                      THEN 512.0 * -LN(CAST({1 << _Q167_P} - nz AS DOUBLE)
+                                       / 512.0)
+                      ELSE {_Q170_ALPHA_M2!r}
+                           / (inv + CAST({1 << _Q167_P} - nz AS DOUBLE))
+                 END, 4) AS hll_estimate,
+           CAST({1 << _Q167_P} - nz AS BIGINT) AS zero_registers
+    FROM agg
+"""
+
+
+@register("q170_hll_estimate", _Q170_SQL)
+def q170_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate derived from the q167 portable register
+    grid (operators/sketches.py:hll_estimate): harmonic mean
+    alpha_m*m^2 / (SUM 2^-M_j + V) with the linear-counting correction
+    m*ln(m/V) when raw <= 2.5m and V zero registers remain — the
+    floating leg that q167 deliberately left out of the certified
+    surface, now hash-certified too (rounded to 4 both engines; the
+    2^-rho terms are exact dyadics, so cross-engine noise is ~1e-9
+    against a 1e-4 rounding ulp). Runs on the <= m-per-group grid only
+    — one map-side-combined aggregate over at most 512 rows per lang,
+    the data itself is never rescanned."""
+    from nahuatl_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    grid = hll_registers(tok, "token", p=_Q167_P, group_cols=("lang",))
+    return hll_estimate(grid, p=_Q167_P, group_cols=("lang",))
