@@ -30,6 +30,148 @@ from nahuatl_data_pipeline_spark import registry
 from nahuatl_data_pipeline_spark.session import get_spark
 
 
+def _md5_burn(seconds: float) -> tuple[int, float]:
+    """Chained md5 of a 64-byte payload for ~``seconds``; returns
+    (hashes, elapsed). Chaining (digest feeds the next hash) defeats any
+    caching so the loop measures raw per-core hash throughput — the same
+    workload SCALE.md round 11 used to quantify the co-tenant swing
+    (36 vs 52 Mhash/s aggregate on identical work)."""
+    import hashlib
+
+    payload = b"calibration-probe-payload-64-bytes-of-deterministic-filler!!!!!"
+    n = 0
+    t0 = time.perf_counter()
+    deadline = t0 + seconds
+    while True:
+        for _ in range(2048):
+            payload = hashlib.md5(payload).digest() * 4
+            n += 1
+        now = time.perf_counter()
+        if now >= deadline:
+            return n, now - t0
+
+
+def _calibration_probe(
+    seconds: float | None = None, workers: int | None = None
+) -> dict:
+    """Host-throughput calibration (~2 s): single-thread + all-core md5
+    Mhash/s, stamped into bench output so cross-round wall-clock
+    comparisons can separate co-tenant host drift from engine
+    regressions ARITHMETICALLY (three straight rounds lost forensic
+    time to phantom regressions the guest cannot control but can
+    measure — SCALE.md rounds 9-11). Disable with
+    SPARK_GRAFT_CALIBRATE=0; duration via SPARK_GRAFT_CALIBRATE_SEC."""
+    import multiprocessing as mp
+
+    if seconds is None:
+        seconds = float(os.environ.get("SPARK_GRAFT_CALIBRATE_SEC", "0.4"))
+    if workers is None:
+        workers = mp.cpu_count()
+    n1, e1 = _md5_burn(seconds)
+    # fork (linux default) keeps spawn cost out of the measured burst;
+    # each worker times itself, so pool startup skew cannot deflate rates
+    with mp.get_context("fork").Pool(workers) as pool:
+        parts = pool.map(_md5_burn, [seconds] * workers)
+    return {
+        "mhash_1t": round(n1 / e1 / 1e6, 1),
+        "mhash_allw": round(sum(n / e for n, e in parts) / 1e6, 1),
+        "workers": workers,
+    }
+
+
+def _calibration_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_CALIBRATE", "1") != "0"
+
+
+def _merge_calibration(start: dict | None, end: dict | None) -> dict | None:
+    """{"mhash_1t": [start, end], "mhash_allw": [start, end], ...} — the
+    bracket makes intra-run drift visible (a busy half-hour mid-sweep
+    shows up as a start/end gap)."""
+    if start is None and end is None:
+        return None
+    s, e = start or end, end or start
+    return {
+        "mhash_1t": [s["mhash_1t"], e["mhash_1t"]],
+        "mhash_allw": [s["mhash_allw"], e["mhash_allw"]],
+        "workers": s["workers"],
+    }
+
+
+def _load_bench(path: str) -> tuple[dict, float | None]:
+    """(queries_map, mean all-core Mhash/s) from a bench artifact in ANY
+    of its shapes: the full stdout JSON ({"queries": ..., "cal": [...]
+    or "calibration": {...}}), or the driver's BENCH_rN.json wrapper,
+    which keeps only the LAST 2000 chars of the stdout line as "tail" —
+    query entries and the trailing "cal" stamp are regex-recovered from
+    the fragment (head-truncated entries are simply absent)."""
+    import re
+
+    with open(path) as f:
+        d = json.load(f)
+    if "tail" in d and "queries" not in d:
+        frag = d["tail"]
+        queries = {
+            k: float(v)
+            for k, v in re.findall(r'"(q\d+)":([0-9]+(?:\.[0-9]+)?)', frag)
+        }
+        m = re.search(r'"cal":\[([0-9.,\-eE ]+)\]', frag)
+        cal_vals = (
+            [float(x) for x in m.group(1).split(",")] if m else None
+        )
+    else:
+        queries = d.get("queries", {})
+        cal_vals = d.get("cal")
+    if cal_vals is not None and len(cal_vals) >= 4:
+        mhash = (cal_vals[2] + cal_vals[3]) / 2
+    elif isinstance(d.get("calibration"), dict):
+        aw = d["calibration"]["mhash_allw"]
+        mhash = sum(aw) / len(aw)
+    else:
+        mhash = None
+    return queries, mhash
+
+
+def _compare_benches(path_a: str, path_b: str) -> dict:
+    """--compare PRIOR CURRENT: drift-normalized common-set ratio.
+
+    raw_ratio   = Σ walls_B / Σ walls_A over common query keys;
+    host_ratio  = B's md5 throughput / A's (mean of the all-core
+                  start/end bracket) — < 1 means B ran on a slower
+                  effective host;
+    normalized_ratio = raw_ratio × host_ratio — the engine-attributable
+    movement (equal engines on a 1.44×-slower host: raw 1.44 ×
+    host 0.69 = 1.0). Requires calibration stamps in BOTH files for the
+    normalized figure; otherwise only the raw ratio is reported."""
+    qa, ma = _load_bench(path_a)
+    qb, mb = _load_bench(path_b)
+    common = sorted(
+        k
+        for k in qa
+        if k in qb
+        and isinstance(qa[k], (int, float))
+        and isinstance(qb[k], (int, float))
+        and qa[k] > 0
+    )
+    ta = sum(qa[k] for k in common)
+    tb = sum(qb[k] for k in common)
+    out: dict = {
+        "common_queries": len(common),
+        "total_a": round(ta, 2),
+        "total_b": round(tb, 2),
+        "raw_ratio": round(tb / ta, 3) if ta else None,
+        "top_deviations": {
+            k: round(qb[k] / qa[k], 2)
+            for k in sorted(
+                common, key=lambda k: qb[k] / qa[k], reverse=True
+            )[:5]
+        },
+    }
+    if ma is not None and mb is not None and ta:
+        out["host_ratio"] = round(mb / ma, 3)
+        out["normalized_ratio"] = round((tb / ta) * (mb / ma), 3)
+    return out
+
+
 def _warm_ml_classes(spark) -> None:
     """One-time pyspark.ml class loading (MinHashLSH / BRP-LSH JARs +
     codegen), ~2-3 s of session setup that would otherwise land inside
@@ -70,6 +212,7 @@ def pipeline_main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    cal_start = _calibration_probe() if _calibration_enabled() else None
     spark = get_spark(app_name="nahuatl-bench-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -137,19 +280,21 @@ def pipeline_main() -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "curation_pipeline_rows_per_sec",
-                "value": round(n_input / wall, 1),
-                "unit": "rows/sec",
-                "wall_sec": wall,
-                "input_rows": n_input,
-                "stats": stats,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    out = {
+        "metric": "curation_pipeline_rows_per_sec",
+        "value": round(n_input / wall, 1),
+        "unit": "rows/sec",
+        "wall_sec": wall,
+        "input_rows": n_input,
+        "stats": stats,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    cal = _merge_calibration(
+        cal_start, _calibration_probe() if _calibration_enabled() else None
     )
+    if cal is not None:
+        out["calibration"] = cal
+    print(json.dumps(out))
 
 
 # Query groups that each get a FRESH JVM (subprocess) in --isolate
@@ -288,6 +433,7 @@ def _run_single(spec: str, sf_dir: str, repeat: int = 1) -> None:
     variance band by construction (the q108 ±40% lesson — single-shot
     decade numbers read as points when they are bands); the main map
     values stay the medians, schema-unchanged."""
+    cal_start = _calibration_probe() if _calibration_enabled() else None
     spark = get_spark(app_name=f"nahuatl-bench-{spec}")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -303,6 +449,11 @@ def _run_single(spec: str, sf_dir: str, repeat: int = 1) -> None:
             bands[key] = [round(min(walls), 2), round(max(walls), 2)]
     if bands:
         timings["__bands__"] = bands
+    cal = _merge_calibration(
+        cal_start, _calibration_probe() if _calibration_enabled() else None
+    )
+    if cal is not None:
+        timings["__calibration__"] = cal  # per-group host bracket
     print(json.dumps(timings), flush=True)
 
 
@@ -394,6 +545,7 @@ def _repeat_arg(argv: list[str], default: int) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    cal_start = _calibration_probe() if _calibration_enabled() else None
     isolate = "--isolate" in sys.argv[1:]
     repeat = _repeat_arg(sys.argv[1:], default=1 if isolate else 3)
     # --repeat-heavy N: repeats for the fresh-JVM family groups only
@@ -423,6 +575,7 @@ def main() -> None:
     skipped = []
     errors: dict[str, str] = {}
     bands: dict[str, list[float]] = {}
+    cal_groups: dict[str, dict] = {}
     for name in order:
         key = name.split("_")[0]
         if key in skip:
@@ -499,6 +652,9 @@ def main() -> None:
             )
             if parsed is not None:
                 bands.update(parsed.pop("__bands__", {}))
+                group_cal = parsed.pop("__calibration__", None)
+                if group_cal is not None:
+                    cal_groups[spec] = group_cal
                 timings.update(parsed)
             else:
                 errors[spec] = err
@@ -511,6 +667,21 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    cal = _merge_calibration(
+        cal_start, _calibration_probe() if _calibration_enabled() else None
+    )
+    if cal is not None:
+        # COMPACT form — the driver records only the LAST 2000 chars of
+        # this line, so the stamp must cost ~30 chars, not ~100:
+        # [mhash_1t_start, mhash_1t_end, mhash_allw_start, mhash_allw_end,
+        #  workers], md5 Mhash/s (see _calibration_probe)
+        out["cal"] = [
+            cal["mhash_1t"][0],
+            cal["mhash_1t"][1],
+            cal["mhash_allw"][0],
+            cal["mhash_allw"][1],
+            cal["workers"],
+        ]
     if repeat > 1:
         out["repeat"] = repeat  # per-query walls are medians of N runs
     if isolate:
@@ -519,6 +690,8 @@ def main() -> None:
         out["dedup_first"] = dedup_stats  # contract stage: wall + rows in/out
     if bands:
         out["bands"] = bands  # [min, max] walls for --repeat-heavy queries
+    if cal_groups:
+        out["cal_groups"] = cal_groups  # per-fresh-JVM-group host brackets
     if skipped:
         out["skipped"] = skipped
     if errors:
@@ -530,7 +703,14 @@ def main() -> None:
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if "--pipeline" in argv:
+    if "--compare" in argv:
+        i = argv.index("--compare")
+        try:
+            prior, current = argv[i + 1], argv[i + 2]
+        except IndexError:
+            raise SystemExit("usage: bench.py --compare PRIOR.json CURRENT.json")
+        print(json.dumps(_compare_benches(prior, current), separators=(",", ":")))
+    elif "--pipeline" in argv:
         pipeline_main()
     elif "--prepare-dedup" in argv:
         _prepare_dedup(

@@ -59,6 +59,32 @@ def _fits(df: DataFrame, max_rows: int) -> bool:
     return df.limit(max_rows + 1).count() <= max_rows
 
 
+def _empty_topk_result(corpus: DataFrame, id_col: str) -> DataFrame:
+    """Empty (query_id, neighbor_id, cosine, rank) frame whose id
+    columns inherit ``corpus``'s ACTUAL id type — the empty-corpus early
+    return must not hand a non-long ``id_col`` caller a different schema
+    than the populated path does (ADVICE r11)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    id_type = corpus.schema[id_col].dataType
+    return corpus.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("neighbor_id", id_type),
+                StructField("cosine", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]
+        ),
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -293,9 +319,7 @@ def lsh_topk(
     # (a date-filtered corpus partition can legitimately be empty)
     if cn.isEmpty():
         release_similarity_caches()
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
+        return _empty_topk_result(corpus, id_col)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -400,9 +424,7 @@ def ivf_topk(
     _register_caches(cn)
     if n_rows == 0:
         release_similarity_caches()
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
+        return _empty_topk_result(corpus, id_col)
 
     # deterministic content-hash sample, capped ~fit_cap rows; sorting by
     # id on the driver makes the fit independent of partition order
@@ -966,9 +988,7 @@ def ivf_topk_portable(
     )
     cvecs = [[float(x) for x in r["__v"]] for r in rows]
     if not cvecs:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
+        return _empty_topk_result(corpus, id_col)
     n_probe = min(n_probe, len(cvecs))
 
     # Driver-precomputed centroid norms: math.sqrt over the same

@@ -300,10 +300,11 @@ _Q170_SQL = f"""
     SELECT lang,
            ROUND(CASE WHEN {_Q170_ALPHA_M2!r}
                            / (inv + CAST({1 << _Q167_P} - nz AS DOUBLE))
-                           <= 1280.0
+                           <= {2.5 * (1 << _Q167_P)!r}
                        AND ({1 << _Q167_P} - nz) > 0
-                      THEN 512.0 * -LN(CAST({1 << _Q167_P} - nz AS DOUBLE)
-                                       / 512.0)
+                      THEN {float(1 << _Q167_P)!r}
+                           * -LN(CAST({1 << _Q167_P} - nz AS DOUBLE)
+                                 / {float(1 << _Q167_P)!r})
                       ELSE {_Q170_ALPHA_M2!r}
                            / (inv + CAST({1 << _Q167_P} - nz AS DOUBLE))
                  END, 4) AS hll_estimate,

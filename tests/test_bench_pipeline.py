@@ -52,6 +52,9 @@ def test_isolate_subprocess_plumbing(monkeypatch):
     )
     assert err is None, err
     bands = parsed.pop("__bands__")
+    cal = parsed.pop("__calibration__", None)
+    if cal is not None:  # SPARK_GRAFT_CALIBRATE=0 disables the stamp
+        assert cal["mhash_allw"][0] > 0
     assert set(parsed) == {"q26"} and parsed["q26"] >= 0
     lo, hi = bands["q26"]
     assert lo <= parsed["q26"] <= hi

@@ -73,9 +73,8 @@ def test_mixed_mode_construction_invariants(tmp_path):
     from make_scale_data import (
         CLONE_MOD,
         HELDOUT_MOD,
-        LEAK_MOD,
-        LEAK_REM,
         OFFSET,
+        leak_where,
         make_mixed,
     )
 
@@ -97,7 +96,7 @@ def test_mixed_mode_construction_invariants(tmp_path):
     n_src, n_held, n_leak = con.sql(
         f"SELECT COUNT(*), "
         f"COUNT(*) FILTER (doc_id % {HELDOUT_MOD} = 0), "
-        f"COUNT(*) FILTER (doc_id % {LEAK_MOD} = {LEAK_REM}) FROM {src}"
+        f"COUNT(*) FILTER ({leak_where()}) FROM {src}"
     ).fetchone()
     assert con.sql(f"SELECT COUNT(*) FROM {docs}").fetchone()[0] == 3 * (
         n_src - n_held
@@ -140,6 +139,60 @@ def test_mixed_mode_construction_invariants(tmp_path):
     leaked_in_train = con.sql(f"""
         SELECT COUNT(DISTINCT e.doc_id) FROM {ev} e JOIN {docs} d
           ON e.text = d.text
-        WHERE e.doc_id % {LEAK_MOD} = {LEAK_REM}
+        WHERE {leak_where('e.doc_id')}
     """).fetchone()[0]
     assert leaked_in_train == n_leak
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.01"),
+    reason="driver-generated testdata absent",
+)
+def test_predict_mixed_gates_exact_at_factor_3(tmp_path, spark):
+    """Round-11 verdict #2: EVERY predicted gate count — including
+    near_dups and output, previously a ±0.2% banding-recall band — must
+    match the measured pipeline EXACTLY. The predictor enumerates the
+    band-collision set via the shared banded_candidates_ctes scheme +
+    union-find instead of the 1−(1−J²)³ recall model."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+        run_curation_pipeline,
+    )
+    from make_scale_data import make_mixed
+    from predict_mixed_gates import predict
+
+    src = "/root/testdata/sf0.01"
+    clone_dir = str(tmp_path / "clone")
+    os.makedirs(clone_dir)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        os.symlink(f"{src}/{t}.parquet", f"{clone_dir}/{t}.parquet")
+    out = str(tmp_path / "mixed")
+    make_mixed(src, clone_dir, out, factor=3)
+
+    dot = lambda df: df.select(
+        "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
+    )
+    train = dot(spark.read.parquet(f"{out}/documents.parquet"))
+    evalset = dot(spark.read.parquet(f"{out}/evalset.parquet"))
+    measured = run_curation_pipeline(
+        spark, train, str(tmp_path / "gold"), evalset=evalset
+    )
+    predicted = predict(src, 3)
+    assert predicted["exact"] is True
+    for k in (
+        "input",
+        "failed_c4",
+        "failed_repetition",
+        "near_dups",
+        "contaminated",
+        "output",
+    ):
+        assert measured[k] == predicted["predicted"][k], (
+            k,
+            measured[k],
+            predicted["predicted"][k],
+        )

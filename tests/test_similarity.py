@@ -621,3 +621,35 @@ def test_merge_covariance_moments_requires_parts(spark):
 
     with pytest.raises(ValueError):
         merge_covariance_moments()
+
+
+def test_empty_corpus_schema_inherits_id_type(spark):
+    """ADVICE r11: the empty-corpus early return must carry the SAME id
+    type the populated path would (string ids here), not hardcoded long."""
+    from nahuatl_data_pipeline_spark.operators.similarity import (
+        ivf_topk_portable,
+        srp_topk,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id string, embedding array<float>"
+    )
+    populated = spark.createDataFrame(
+        [(f"v{i}", [float(i == j) for j in range(4)]) for i in range(6)],
+        "vec_id string, embedding array<float>",
+    )
+    out_empty = ivf_topk_portable(populated, empty, dim=4, n_centroids=2)
+    out_full = ivf_topk_portable(
+        populated.limit(1), populated, dim=4, n_centroids=2
+    )
+    # names + types must match (nullability legitimately differs: the
+    # populated path's row_number rank is non-nullable)
+    assert [(f.name, f.dataType) for f in out_empty.schema.fields] == [
+        (f.name, f.dataType) for f in out_full.schema.fields
+    ]
+    assert out_empty.count() == 0
+    # srp_topk's empty path flows through the same helper
+    srp_empty = srp_topk(populated, empty, dim=4, n_bits=2)
+    assert [f.dataType for f in srp_empty.schema.fields[:2]] == [
+        populated.schema["vec_id"].dataType
+    ] * 2

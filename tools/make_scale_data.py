@@ -24,8 +24,9 @@ Writes a documents.parquet where per-source-doc flavor is deterministic:
   written as ``OUT/evalset.parquet`` with original text — the eval set
   is disjoint from train by construction (the clone replica's
   everything-contaminated collapse cannot happen);
-- PLANTED LEAK (``doc_id % 1000 == 500`` — always clone flavor, never
-  held out): these five source docs' texts ALSO appear in the eval
+- PLANTED LEAK (``doc_id % 1000 == 500 AND doc_id % 101 != 0`` — always
+  clone flavor, disjoint from held-out BY DEFINITION, see
+  ``leak_where``): these five source docs' texts ALSO appear in the eval
   set while their byte-identical copies stay in train, so the
   decontamination gate fires a predictable, nonzero number of times
   (f × the one-replica overlap) instead of measuring a degenerate 0;
@@ -43,11 +44,13 @@ Writes a documents.parquet where per-source-doc flavor is deterministic:
   shingle is shared across replicas (and none with the clone flavor's
   unsuffixed vocabulary).
 
-Consequently each gate's expected count at factor f is an exact
-function of one-replica probes (tools/predict_mixed_gates.py computes
-them): c4/repetition scale by f; near-dups are f·(n_u − comp_u) +
-f·n_c − comp_c (component counts of the two 1× flavor subgraphs);
-contamination is f × the clone-subset overlap with the held-out docs.
+Consequently EVERY gate count at factor f is exactly predictable
+(tools/predict_mixed_gates.py): the per-doc gates (c4/repetition/
+contamination) scale by f because their flags are replica-invariant,
+and the near-dup/output cells — whose banded-minhash collisions are
+deterministic md5 functions of the replica bytes — are ENUMERATED via
+the shared banded_candidates_ctes scheme + union-find rather than
+modeled with the 1−(1−J²)³ recall curve (round-11 verdict #2).
 Non-document tables symlink to CLONE_DIR (the same-factor clone
 replica), like make_unique_docs.py.
 """
@@ -117,7 +120,22 @@ def replicate(src: str, out: str, factor: int = 10) -> None:
 # (ONE definition of the mixed-replica construction).
 HELDOUT_MOD = 101
 CLONE_MOD = 10
-LEAK_MOD, LEAK_REM = 1000, 500  # % CLONE_MOD == 0 and never held out
+LEAK_MOD, LEAK_REM = 1000, 500  # % CLONE_MOD == 0; leak_where() excludes held-out
+
+
+def leak_where(col: str = "doc_id") -> str:
+    """Leak predicate — EXPLICITLY disjoint from the held-out predicate.
+    By CRT a doc_id ≡ 50500 (mod 101000) satisfies both %1000==500 and
+    %101==0; without the exclusion such a doc would sit in the eval set
+    as a leak while its train copies are held out of every replica —
+    silently un-planting the leak and breaking the n_held + n_leak
+    eval-count invariant (ADVICE r11). No row changes at current sf0.1
+    ids (max 4999 < 50500); the eval SET is identical either way because
+    the OR in mixed_eval_select already absorbed the overlap."""
+    return (
+        f"({col} % {LEAK_MOD} = {LEAK_REM} "
+        f"AND {col} % {HELDOUT_MOD} <> 0)"
+    )
 
 
 def mixed_eval_select(src: str) -> str:
@@ -125,12 +143,77 @@ def mixed_eval_select(src: str) -> str:
     return (
         f"SELECT * FROM read_parquet('{src}/documents.parquet') "
         f"WHERE doc_id % {HELDOUT_MOD} = 0 "
-        f"OR doc_id % {LEAK_MOD} = {LEAK_REM}"
+        f"OR {leak_where()}"
+    )
+
+
+def mixed_url_sql(i: int, col: str = "doc_id") -> str:
+    """Native URL expression over SOURCE ids for replica ``i`` (round-11
+    verdict #3 — the replica carries its own ``url`` column instead of a
+    bench-side synthetic attach). The re-crawl model:
+
+    - CLONE flavor: every replica copy is a tracking-param variant of
+      ONE page (``?utm_source=r{i}``) — canonicalization collapses the
+      whole f-member family to ``https://clone{s}.com/page``, so URL
+      dedup removes the re-crawls BEFORE any content stage;
+    - UNIQUE flavor: each copy is its OWN page (replica id in the PATH)
+      on host ``ex{s % 499}.com``, decorated with a variant that
+      canonicalizes away (utm param / ``#fragment`` / nothing, cycling
+      on ``(s + i) % 3``) plus a ``www.`` prefix for even ``s`` — urls
+      differ, canonicals stay distinct, and the per-domain cap gets
+      ~f·9 docs per ``ex`` host to bite on at decade factors.
+
+    The canonical/domain each URL reduces to is ``mixed_canonical_sql``
+    / ``mixed_domain_sql`` — asserted equal to the ENGINE's
+    ``canonicalize_url``/``url_domain`` output row-for-row in
+    test_make_scale_data.py, so the predictor's formulas cannot drift
+    from what the pipeline actually computes."""
+    clone = (
+        f"'https://clone' || CAST({col} AS VARCHAR) || "
+        f"'.com/page?utm_source=r{i}'"
+    )
+    deco = (
+        f"CASE ({col} + {i}) % 3 WHEN 0 THEN '?utm_source=feed' "
+        f"WHEN 1 THEN '#sec2' ELSE '' END"
+    )
+    www = f"CASE WHEN {col} % 2 = 0 THEN 'https://www.' ELSE 'https://' END"
+    unique = (
+        f"({www}) || 'ex' || CAST({col} % 499 AS VARCHAR) || '.com/p/' || "
+        f"CAST({col} AS VARCHAR) || '/r{i}' || ({deco})"
+    )
+    return f"CASE WHEN {col} % {CLONE_MOD} = 0 THEN {clone} ELSE {unique} END"
+
+
+def mixed_canonical_sql(col: str = "doc_id") -> str:
+    """Canonical URL of a SHIFTED mixed doc_id (s = %OFFSET, i =
+    //OFFSET) — what ``canonicalize_url`` produces on ``mixed_url_sql``
+    strings (engine-asserted, see mixed_url_sql docstring)."""
+    s = f"({col} % {OFFSET})"
+    i = f"({col} // {OFFSET})"
+    clone = f"'https://clone' || CAST({s} AS VARCHAR) || '.com/page'"
+    unique = (
+        f"'https://ex' || CAST({s} % 499 AS VARCHAR) || '.com/p/' || "
+        f"CAST({s} AS VARCHAR) || '/r' || CAST({i} AS VARCHAR)"
+    )
+    return f"CASE WHEN {col} % {CLONE_MOD} = 0 THEN {clone} ELSE {unique} END"
+
+
+def mixed_domain_sql(col: str = "doc_id") -> str:
+    """Registered domain of a SHIFTED mixed doc_id — what ``url_domain``
+    produces on the canonical (engine-asserted alongside the above)."""
+    s = f"({col} % {OFFSET})"
+    return (
+        f"CASE WHEN {col} % {CLONE_MOD} = 0 "
+        f"THEN 'clone' || CAST({s} AS VARCHAR) || '.com' "
+        f"ELSE 'ex' || CAST({s} % 499 AS VARCHAR) || '.com' END"
     )
 
 
 def mixed_doc_select(src: str, i: int) -> str:
-    """SQL for replica ``i``'s documents (held-out rows excluded)."""
+    """SQL for replica ``i``'s documents (held-out rows excluded).
+    References to raw ``doc_id`` inside the projection bind to the BASE
+    column, not the shifted alias (DuckDB table-column precedence), so
+    the url/text expressions see SOURCE ids."""
     suffix = f"x{i}"
     unique_text = (
         f"REGEXP_REPLACE(text, '(\\S+)', '\\1{suffix}', 'g')"
@@ -139,7 +222,8 @@ def mixed_doc_select(src: str, i: int) -> str:
         f"SELECT doc_id + {i * OFFSET} AS doc_id, "
         f"CASE WHEN doc_id % {CLONE_MOD} = 0 THEN text "
         f"ELSE {unique_text} END AS text, "
-        f"lang, source, n_chars "
+        f"lang, source, n_chars, "
+        f"{mixed_url_sql(i)} AS url "
         f"FROM read_parquet('{src}/documents.parquet') "
         f"WHERE doc_id % {HELDOUT_MOD} <> 0"
     )

@@ -1,42 +1,47 @@
-"""Predict the mixed-replica curation-gate counts from a ONE-replica
-probe (round-10 verdict #2: the scale run must have per-gate drop
-counts that match planted ground truth — this computes that ground
-truth, independently of the scale run itself).
+"""EXACT ground truth for the mixed-replica curation-gate counts
+(round-10 verdict #2, upgraded per round-11 verdict #2: every cell is
+now exact — including near_dups and output, whose banded-minhash
+collisions are deterministic md5 functions of the replica bytes and are
+ENUMERATED here instead of modeled with the 1−(1−J²)³ recall curve).
 
-Why one replica suffices (see make_scale_data.py's mixed-mode
-docstring): every per-doc gate outcome is replica-invariant by
-construction, the two flavors share no shingle (so the pair graph
-never crosses flavors and the pipeline is exactly additive over flavor
-subsets), cross-replica pairs exist ONLY inside clone families, and
-``duplicate_clusters``' canonical is the min-id member — which in the
-mixed corpus is always the replica-0 copy of the probe component's
-min-id doc, i.e. a doc with the probe canonical's exact flags.
+Two independent ingredients, composed in plain Python:
 
-Per-gate predictions at factor f, from probe-subset pipeline stats
-(u = unique flavor, c = clone flavor, both run against the HELD-OUT
-evalset with the same "." append bench.py --pipeline uses):
+1. **Per-source-doc gate flags** (replica-invariant by construction —
+   the unique flavor's ``x{i}`` token suffix preserves word counts and
+   within-doc token/bigram relative frequencies exactly; the clone
+   flavor is byte-identical): one Spark run of the three gate operators
+   (``c4_rule_flags``, ``repetition_signals``, ``contamination_flags``
+   at the pipeline's config) over probe replica 1, collected per doc
+   (≈5k bounded rows).
 
-    input       = f·(n_u + n_c)
-    failed_c4   = f·(c4_u + c4_c)          (per-doc, replica-invariant)
-    failed_rep  = f·(rep_u + rep_c)
-    contaminated= f·(ct_u + ct_c)          (eval overlap is 1x-internal)
-    near_dups   = f·nd_u + f·n_c − (n_c − nd_c)
-                  [unique: per-replica graphs are isomorphic to the
-                   probe's; clone: each probe component becomes ONE
-                   f·size family — drops = f·n_c − comp_c]
-    output      = f·out_u + out_c          (clone families collapse to
-                   one canonical TOTAL, not one per replica)
+2. **The exact near-dup pair graph of the FULL factor-f corpus**,
+   enumerated by DuckDB through ``banded_pairs_oracle_sql`` — the ONE
+   definition of the banded candidate scheme (CLAUDE.md rule; the same
+   CTE chain the q25/q38/q58 oracles hash-certify against the engine's
+   ``ngram_jaccard_pairs``) at the pipeline's parameters (shingle_n=3,
+   6 hashes × 2-per-band, threshold 0.8), then union-find + min-id
+   canonicals in Python (``duplicate_clusters``' contract). Cross-
+   replica/cross-flavor band-key coincidences are harmless: their
+   exact-Jaccard verify is 0 < 0.8; byte-identical clone copies collide
+   with probability 1 (equal signatures), which is exactly the family
+   gluing the pipeline performs.
+
+PII-redaction preamble: the pipeline shingles REDACTED text, but the
+mixed corpus provably contains no redactable span (emails need ``@``,
+phones need ``+``, IPv4 needs dotted quads; texts are lowercase word
+tokens + ``x{i}`` suffixes + one trailing ``.``) — asserted below over
+the full corpus, so raw text feeds the pair enumeration.
 
 Usage:
     python tools/predict_mixed_gates.py SRC_SF01 FACTOR
-prints one JSON line {"factor": f, "probe": {...}, "predicted": {...}}.
+prints one JSON line {"factor": f, "flags": {...}, "predicted": {...}};
+every ``predicted`` value is exact, no bands.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import tempfile
 
@@ -45,25 +50,134 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb
 
-from make_scale_data import (
-    CLONE_MOD,
-    OFFSET,
-    mixed_doc_select,
-    mixed_eval_select,
+from make_scale_data import CLONE_MOD, OFFSET, mixed_doc_select, mixed_eval_select
+
+# The pipeline's CurationConfig defaults (plans/curation_pipeline.py) —
+# restated here because the predictor must pin the config it predicts.
+MIN_WORDS = 20
+MAX_TOP_BIGRAM_FRAC = 0.18
+MAX_TOP_TOKEN_FRAC = 0.30
+JACCARD_THRESHOLD = 0.8
+NUM_HASHES = 6
+BAND_SIZE = 2
+DECONTAM_N = 13
+
+_PII_PATTERNS = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}(?:[ -][0-9]{2,4})?",
+    r"\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b",
 )
 
 
-def main(src: str, factor: int) -> None:
+def _mixed_corpus_sql(src: str, factor: int) -> str:
+    """(doc_id, text) of the full factor-f mixed corpus with the same
+    '.' append bench.py --pipeline applies before curating."""
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, text FROM ({mixed_doc_select(src, i)})"
+        for i in range(factor)
+    )
+    return f"SELECT doc_id, text || '.' AS text FROM ({union})"
+
+
+def _exact_dup_sets(
+    con: duckdb.DuckDBPyConnection, src: str, factor: int
+) -> tuple[set[int], set[int]]:
+    """(non_canonical_doc_ids, all_clustered_doc_ids) of the full mixed
+    corpus — DuckDB enumerates the banded pairs, Python union-find
+    assigns min-id canonicals (duplicate_clusters' contract)."""
+    from nahuatl_data_pipeline_spark.registry import banded_pairs_oracle_sql
+
+    base = _mixed_corpus_sql(src, factor)
+    # redaction-identity assert (module docstring): zero redactable spans
+    pii_or = " OR ".join(
+        f"REGEXP_MATCHES(text, '{p}')" for p in _PII_PATTERNS
+    )
+    n_pii = con.sql(
+        f"SELECT COUNT(*) FROM ({base}) WHERE {pii_or}"
+    ).fetchone()[0]
+    assert n_pii == 0, (
+        f"{n_pii} docs carry redactable spans; pair enumeration must run "
+        "on redacted text — pipe the corpus through redact_pii first"
+    )
+    pairs_sql = banded_pairs_oracle_sql(
+        base,
+        threshold=JACCARD_THRESHOLD,
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+    )
+    tbl = con.sql(f"SELECT id_a, id_b FROM ({pairs_sql})").fetchnumpy()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set[int] = set()
+    for a, b in zip(tbl["id_a"].tolist(), tbl["id_b"].tolist()):
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: every root is its
+            # component's min id by induction, so the canonical IS the root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    non_canonical = {x for x in nodes if find(x) != x}
+    return non_canonical, nodes
+
+
+def _probe_flags(src: str, tmp: str) -> dict[int, dict[str, bool]]:
+    """Per-SOURCE-doc gate flags from probe replica 1 (replica-invariant
+    by the mixed construction). Keys are source doc_ids."""
     from pyspark.sql import functions as F
 
-    from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
-        run_curation_pipeline,
+    from nahuatl_data_pipeline_spark.operators.curation import (
+        c4_rule_flags,
+        contamination_flags,
+        repetition_signals,
     )
     from nahuatl_data_pipeline_spark.session import get_spark
 
-    tmp = tempfile.mkdtemp(prefix="mixed_probe_")
+    spark = get_spark(app_name="nahuatl-predict-mixed")
+    spark.sparkContext.setLogLevel("ERROR")
+    dot = lambda df: df.select(
+        "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
+    )
+    probe = dot(spark.read.parquet(f"{tmp}/probe.parquet"))
+    evalset = dot(spark.read.parquet(f"{tmp}/evalset.parquet"))
+
+    flags: dict[int, dict[str, bool]] = {}
+    for r in probe.select("doc_id").collect():
+        flags[int(r["doc_id"]) % OFFSET] = {
+            "c4": False,  # c4/rep default-fail: absent row = gate fails
+            "rep": False,
+            "contam": False,
+        }
+    c4 = c4_rule_flags(probe, min_words=MIN_WORDS).select(
+        "doc_id", "keep_doc"
+    )
+    for r in c4.collect():
+        flags[int(r["doc_id"]) % OFFSET]["c4"] = bool(r["keep_doc"])
+    rep = repetition_signals(
+        probe,
+        max_top_bigram_frac=MAX_TOP_BIGRAM_FRAC,
+        max_top_token_frac=MAX_TOP_TOKEN_FRAC,
+    ).select("doc_id", "keep_doc")
+    for r in rep.collect():
+        flags[int(r["doc_id"]) % OFFSET]["rep"] = bool(r["keep_doc"])
+    contam = contamination_flags(probe, evalset, n=DECONTAM_N)
+    for r in contam.select("doc_id").collect():
+        flags[int(r["doc_id"]) % OFFSET]["contam"] = True
+    return flags
+
+
+def predict(src: str, factor: int) -> dict:
     con = duckdb.connect()
-    # probe replica i=1: any single replica has the same gate outcomes
+    tmp = tempfile.mkdtemp(prefix="mixed_probe_")
     con.sql(
         f"COPY ({mixed_doc_select(src, 1)}) "
         f"TO '{tmp}/probe.parquet' (FORMAT parquet)"
@@ -73,51 +187,52 @@ def main(src: str, factor: int) -> None:
         f"TO '{tmp}/evalset.parquet' (FORMAT parquet)"
     )
 
-    spark = get_spark(app_name="nahuatl-predict-mixed")
-    spark.sparkContext.setLogLevel("ERROR")
-    dot = lambda df: df.select(
-        "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
-    )
-    probe = dot(spark.read.parquet(f"{tmp}/probe.parquet"))
-    evalset = dot(spark.read.parquet(f"{tmp}/evalset.parquet"))
-    # flavor split survives the id shift: OFFSET % CLONE_MOD == 0
+    flags = _probe_flags(src, tmp)
+    non_canonical, clustered = _exact_dup_sets(con, src, factor)
+
+    # enumerate every doc of the factor-f corpus: src id s in replica i
+    # has doc_id = s + i*OFFSET; flavor split survives the shift because
+    # OFFSET % CLONE_MOD == 0
     assert OFFSET % CLONE_MOD == 0
-    is_clone = F.col("doc_id") % CLONE_MOD == 0
-
-    stats = {}
-    for flavor, subset in (
-        ("u", probe.filter(~is_clone)),
-        ("c", probe.filter(is_clone)),
-    ):
-        out_dir = os.path.join(tmp, f"gold_{flavor}")
-        stats[flavor] = run_curation_pipeline(
-            spark, subset, out_dir, evalset=evalset
-        )
-    shutil.rmtree(tmp, ignore_errors=True)
-
-    u, c = stats["u"], stats["c"]
-    f_ = factor
-    predicted = {
-        "input": f_ * (u["input"] + c["input"]),
-        "failed_c4": f_ * (u["failed_c4"] + c["failed_c4"]),
-        "failed_repetition": f_
-        * (u["failed_repetition"] + c["failed_repetition"]),
-        "contaminated": f_ * (u["contaminated"] + c["contaminated"]),
-        "near_dups": f_ * u["near_dups"]
-        + f_ * c["input"]
-        - (c["input"] - c["near_dups"]),
-        "output": f_ * u["output"] + c["output"],
+    counts = {
+        "input": 0,
+        "failed_c4": 0,
+        "failed_repetition": 0,
+        "near_dups": 0,
+        "contaminated": 0,
+        "output": 0,
     }
-    print(
-        json.dumps(
-            {"factor": f_, "probe": stats, "predicted": predicted},
-            separators=(",", ":"),
-        )
-    )
+    for s, fl in flags.items():
+        for i in range(factor):
+            doc = s + i * OFFSET
+            counts["input"] += 1
+            counts["failed_c4"] += not fl["c4"]
+            counts["failed_repetition"] += not fl["rep"]
+            counts["contaminated"] += fl["contam"]
+            is_dup = doc in non_canonical
+            counts["near_dups"] += is_dup
+            counts["output"] += (
+                fl["c4"] and fl["rep"] and not fl["contam"] and not is_dup
+            )
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "factor": factor,
+        "exact": True,
+        "clustered_docs": len(clustered),
+        "predicted": counts,
+    }
 
 
 if __name__ == "__main__":
-    main(
-        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
-        int(sys.argv[2]) if len(sys.argv) > 2 else 30,
+    print(
+        json.dumps(
+            predict(
+                sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
+                int(sys.argv[2]) if len(sys.argv) > 2 else 30,
+            ),
+            separators=(",", ":"),
+        )
     )
