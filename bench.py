@@ -220,9 +220,14 @@ def pipeline_main() -> None:
     # would fail C4's sentence rule for every row and the gold write
     # would be empty. Append a period (q62's planting convention) so the
     # bench exercises the realistic mixed keep/drop path end to end.
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
-    )
+    base = load_table(spark, sf_dir, "documents")
+    url_stages = os.environ.get("SPARK_GRAFT_PIPELINE_URL_STAGES") == "1"
+    native_url = url_stages and "url" in base.columns
+    keep_cols = [
+        F.col("doc_id"),
+        F.concat(F.col("text"), F.lit(".")).alias("text"),
+    ] + ([F.col("url")] if native_url else [])
+    docs = base.select(*keep_cols)
     # A mixed-realism replica (make_scale_data.py --mixed) carries its
     # own HELD-OUT evalset.parquet — eval disjoint from train by
     # construction, so decontamination measures real overlap instead of
@@ -240,31 +245,36 @@ def pipeline_main() -> None:
 
     # SPARK_GRAFT_PIPELINE_URL_STAGES=1 additionally exercises the
     # opt-in crawl head stages (encoding repair, URL dedup, per-domain
-    # cap) with a deterministic synthetic URL column whose url_dups /
-    # domain_capped ground truth is EXACTLY computable from the ids —
-    # tools/predict_url_stages.py mirrors the formula (doc_id % 100 == 1
-    # shares ONE canonical URL; everyone else gets a unique page on host
-    # ex{doc_id % 499}.com, capped at 100 docs/domain).
+    # cap). A mixed replica built by make_scale_data.py --mixed carries
+    # its own NATIVE url column (re-crawl clone families share canonical
+    # URLs; unique docs get per-host pages with tracking/fragment
+    # variants) — used as-is, with tools/predict_mixed_gates.py
+    # --url-stages as the full-stack exact ground truth. Replicas
+    # without one fall back to the legacy deterministic synthetic attach
+    # (doc_id % 100 == 1 shares ONE canonical URL; everyone else a
+    # unique page on host ex{doc_id % 499}.com), mirrored set-exactly by
+    # tools/predict_url_stages.py. Cap 100 docs/domain either way.
     cfg = None
-    if os.environ.get("SPARK_GRAFT_PIPELINE_URL_STAGES") == "1":
+    if url_stages:
         from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
             CurationConfig,
         )
 
-        d = F.col("doc_id")
-        train = train.withColumn(
-            "url",
-            F.when(
-                d % 100 == 1, F.lit("https://dupsite.com/shared")
-            ).otherwise(
-                F.concat(
-                    F.lit("https://ex"),
-                    (d % 499).cast("string"),
-                    F.lit(".com/p/"),
-                    d.cast("string"),
-                )
-            ),
-        )
+        if not native_url:
+            d = F.col("doc_id")
+            train = train.withColumn(
+                "url",
+                F.when(
+                    d % 100 == 1, F.lit("https://dupsite.com/shared")
+                ).otherwise(
+                    F.concat(
+                        F.lit("https://ex"),
+                        (d % 499).cast("string"),
+                        F.lit(".com/p/"),
+                        d.cast("string"),
+                    )
+                ),
+            )
         cfg = CurationConfig(
             fix_encoding=True, url_col="url", max_docs_per_domain=100
         )

@@ -39,6 +39,16 @@ def _build_parser() -> argparse.ArgumentParser:
     run.add_argument("--keep", default="best",
                      choices=["first", "last", "best", "longest-target"])
     run.add_argument("--metadata-dir", default=None)
+    run.add_argument(
+        "--url-col", default=None,
+        help="enable crawl URL head stages on this column (e.g. url): "
+        "canonical-URL dedup before any content stage",
+    )
+    run.add_argument(
+        "--max-docs-per-domain", type=int, default=None,
+        help="cap docs per registered domain after URL dedup "
+        "(requires --url-col)",
+    )
 
     stats = sub.add_parser("stats", help="one-pass corpus stats report")
     stats.add_argument("--input", required=True, help="parquet path")
@@ -167,7 +177,12 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             layer_dirs,
             args.out,
-            PipelineConfig(seed=args.seed, keep=args.keep),
+            PipelineConfig(
+                seed=args.seed,
+                keep=args.keep,
+                url_col=args.url_col,
+                max_docs_per_domain=args.max_docs_per_domain,
+            ),
             metadata_store=store,
         )
         print(json.dumps(stats))

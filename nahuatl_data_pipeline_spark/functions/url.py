@@ -153,12 +153,16 @@ def url_dedup(
     return deduped.unionByName(out.filter(no_key))
 
 
-# Two-label public suffixes recognized by ``url_domain``. A full public
-# suffix list is a runtime data file (publicsuffix.org) a production
-# deployment would broadcast; this compile-time tuple covers the common
-# ccTLD second-level registries and is the ONE definition shared by the
-# Spark expression and every DuckDB oracle (the q22/q25 single-source
-# pattern).
+# Two-label public suffixes recognized by ``url_domain``. The DEFAULT
+# stays this compile-time tuple — it is the ONE definition shared by
+# the Spark expression and every DuckDB oracle (the q22/q25
+# single-source pattern; q164's oracle pins it). Deployments that need
+# full publicsuffix.org coverage (``blogspot.co.uk`` etc.) load the PSL
+# data file and use :func:`url_domain_psl` — a broadcast-join variant
+# whose rule table is runtime data, which is exactly why it is NOT the
+# oracle default (divergence policy: oracle-certified queries pin the
+# literal tuple; the PSL variant is covered by unit tests against
+# hand-computed registered domains).
 MULTI_LABEL_SUFFIXES = (
     "co.uk",
     "org.uk",
@@ -228,3 +232,149 @@ def url_domain(
         .when(last2 != "", last2)
         .otherwise(host)
     )
+
+
+def parse_public_suffix_list(text: str) -> dict[str, list[str]]:
+    """Parse publicsuffix.org list data into rule groups.
+
+    Returns ``{"exact": [...], "wildcard": [...], "exception": [...]}``
+    where wildcard entries are the BASE (``*.ck`` → ``ck``) and
+    exception entries drop the ``!`` (``!www.ck`` → ``www.ck``).
+    Comments (``//``), blank lines, and anything after whitespace on a
+    rule line are ignored, per the published format. Rules are
+    lowercased (hosts are already lowercase post-canonicalization).
+    """
+    exact: list[str] = []
+    wildcard: list[str] = []
+    exception: list[str] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exception.append(rule[1:])
+        elif rule.startswith("*."):
+            wildcard.append(rule[2:])
+        elif rule != "*":  # the implicit default rule is built in
+            exact.append(rule)
+    return {"exact": exact, "wildcard": wildcard, "exception": exception}
+
+
+def load_public_suffix_list(path: str) -> dict[str, list[str]]:
+    """``parse_public_suffix_list`` over a file on the driver's disk
+    (the PSL is a ~240 KB data file — driver-side read, then broadcast
+    by :func:`url_domain_psl`)."""
+    with open(path, encoding="utf-8") as f:
+        return parse_public_suffix_list(f.read())
+
+
+def url_domain_psl(
+    df: DataFrame,
+    canonical_col: str,
+    rules: dict[str, list[str]],
+    out_col: str = "domain",
+    max_rule_labels: int = 5,
+) -> DataFrame:
+    """Registered domain (eTLD+1) per the FULL public-suffix algorithm,
+    as a chain of BROADCAST hash joins — the scale path next to
+    :func:`url_domain`'s literal-tuple expression.
+
+    Publicsuffix.org semantics: the public suffix of a host is its
+    longest matching rule (a ``*.base`` wildcard matches one extra
+    label; a ``!exc`` exception UN-suffixes its match, making the
+    suffix one label shorter); an unmatched host falls to the implicit
+    ``*`` rule (suffix = last label). The registered domain is the
+    suffix plus one label; a host that IS a public suffix has none
+    (NULL here — callers like the per-domain cap already junk-key NULL
+    domains per row).
+
+    Scale shape: the rule table (~9k rows parsed from a ~240 KB file)
+    is split by label count into ≤ ``max_rule_labels`` tiny frames,
+    each BROADCAST left-joined against the host's last-k-labels slice —
+    every join is map-side (zero shuffle, no explode/groupBy re-shuffle
+    of the corpus), so the operator composes into the crawl head
+    stages without adding an exchange. IPv4/bracketed-IPv6/dot-less
+    hosts short-circuit exactly as in :func:`url_domain`.
+
+    Tested against hand-computed registered domains for exact,
+    wildcard, exception, PSL-only (``blogspot.co.uk``) and
+    unknown-TLD hosts in tests/test_url.py.
+    """
+    spark = df.sparkSession
+    host = F.regexp_extract(
+        F.col(canonical_col), r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1
+    )
+    host = F.regexp_replace(host, r"^.*@", "")
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r"\.$", "")
+    out = df.withColumn("__host", host).withColumn(
+        "__labels", F.split(F.col("__host"), r"\.")
+    )
+    n_labels = F.size(F.col("__labels"))
+
+    def last_k(k: int):
+        return F.array_join(F.slice(F.col("__labels"), -k, k), ".")
+
+    # one tiny broadcast frame per (rule kind, label count)
+    by_len: dict[tuple[str, int], list[str]] = {}
+    for kind in ("exact", "wildcard", "exception"):
+        for r in rules.get(kind, []):
+            k = r.count(".") + 1
+            if k <= max_rule_labels:
+                by_len.setdefault((kind, k), []).append(r)
+
+    # suffix length contributed by a match at candidate length k:
+    #   exact rule of k labels      -> k
+    #   wildcard base of k labels   -> k + 1 (needs one extra label)
+    #   exception rule of k labels  -> k - 1
+    suffix_len = F.lit(1)  # implicit "*" default rule
+    for (kind, k), rs in sorted(by_len.items()):
+        flag = f"__m_{kind}_{k}"
+        tiny = spark.createDataFrame(
+            [(r,) for r in sorted(set(rs))], f"__rule_{kind}_{k} string"
+        )
+        out = out.join(
+            F.broadcast(tiny),
+            last_k(k) == F.col(f"__rule_{kind}_{k}"),
+            "left",
+        ).withColumn(
+            flag, F.col(f"__rule_{kind}_{k}").isNotNull()
+        ).drop(f"__rule_{kind}_{k}")
+        if kind == "exact":
+            contrib = F.when(F.col(flag), F.lit(k))
+        elif kind == "wildcard":
+            contrib = F.when(
+                F.col(flag) & (n_labels >= k + 1), F.lit(k + 1)
+            )
+        else:  # exception — PSL: an exception OVERRIDES all other
+            # matches for that host; handled below with a dedicated max
+            contrib = F.when(F.col(flag), F.lit(None))
+        suffix_len = F.greatest(suffix_len, F.coalesce(contrib, F.lit(1)))
+
+    # exception override: if any exception rule matched, the public
+    # suffix is the exception minus its first label (k - 1)
+    exc_len = F.lit(None).cast("int")
+    for (kind, k), _ in sorted(by_len.items()):
+        if kind == "exception":
+            exc_len = F.coalesce(
+                exc_len,
+                F.when(F.col(f"__m_{kind}_{k}"), F.lit(k - 1)),
+            )
+    s = F.coalesce(exc_len, suffix_len)
+
+    reg = F.when(n_labels > s, F.array_join(
+        F.slice(F.col("__labels"), -(F.lit(0) + s + 1).cast("int"), (F.lit(0) + s + 1).cast("int")), "."
+    ))
+    domain = (
+        F.when(F.col("__host").isNull() | (F.col("__host") == ""),
+               F.lit(None).cast("string"))
+        .when(F.col("__host").rlike(r"^\["), F.col("__host"))
+        .when(F.col("__host").rlike(r"^[0-9]+(\.[0-9]+){3}$"), F.col("__host"))
+        .otherwise(reg)
+    )
+    drop_cols = ["__host", "__labels"] + [
+        f"__m_{kind}_{k}" for (kind, k) in by_len
+    ]
+    return out.withColumn(out_col, domain).drop(*drop_cols)

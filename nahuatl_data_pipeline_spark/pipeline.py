@@ -49,6 +49,18 @@ class PipelineConfig:
     # clean_invisible, order contract documented there). Off by default:
     # the reference's HF sources arrive clean.
     fix_encoding: bool = False
+    # crawl-level URL head stages (plans/curation_pipeline.py:
+    # url_head_stages — the same opt-in block the curate pipeline runs,
+    # round-11 verdict #7). Off by default: the reference's curated HF
+    # feeds carry no URL column — but its id construction is
+    # sha256(url+ts) (manager.py:17-21), i.e. crawl-era feeds DO carry
+    # urls, and every tracked variant would otherwise unify as a
+    # distinct record. When ``url_col`` is set and present in the
+    # unioned layers, re-crawl/tracking variants collapse BEFORE the
+    # pair filter and content dedup; ``max_docs_per_domain``
+    # additionally caps each registered domain (requires url_col).
+    url_col: str | None = None
+    max_docs_per_domain: int | None = None
 
 
 def normalize_records(
@@ -120,6 +132,38 @@ def run_corpus_pipeline(
         obs = Observation()
         raw = raw.observe(obs, F.count(F.lit(1)).alias("n_input"))
 
+        # opt-in crawl head stages, BEFORE any content work (the
+        # bytes-of-URL pre-filter posture, curation_pipeline module
+        # docstring). Records have no id column, so the deterministic
+        # tiebreak/junk key is a content hash over the text + provenance
+        # columns — identical rows tie harmlessly (any winner is the
+        # same row), differing rows never tie.
+        url_obs = cap_obs = None
+        if cfg.url_col and cfg.url_col in raw.columns:
+            from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+                url_head_stages,
+            )
+
+            key_cols = [
+                c
+                for c in (*cfg.lang_cols, "source", "source_file",
+                          "layer", "origin_file")
+                if c in raw.columns
+            ]
+            row_key = F.md5(
+                F.concat_ws(
+                    "\u0001",  # separator: column splits cannot alias
+                    *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                      for c in key_cols],
+                )
+            )
+            raw, url_obs, cap_obs = url_head_stages(
+                raw,
+                cfg.url_col,
+                row_key,
+                max_docs_per_domain=cfg.max_docs_per_domain,
+            )
+
         normalized = normalize_records(raw, cfg)
         valid = length_bounds_filter(
             translation_pair_filter(normalized),
@@ -156,6 +200,15 @@ def run_corpus_pipeline(
             "filtered": n_input - n_output,
             "splits": per_split,
         }
+        # URL head-stage accounting: the Observations are upstream of
+        # the write action, so .get never re-runs the plan; their drops
+        # are a subset of `filtered`, broken out for visibility.
+        for o, key in ((url_obs, "url_dups"), (cap_obs, "domain_capped")):
+            if o is not None:
+                try:
+                    stats[key] = int(o.get[key] or 0)
+                except Exception:
+                    stats[key] = 0
         if metadata_store is not None:
             metadata_store.complete_run(run_id, "unify", started_at, stats)
             metadata_store.log_metrics(

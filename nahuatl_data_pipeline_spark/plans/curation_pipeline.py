@@ -48,6 +48,92 @@ from nahuatl_data_pipeline_spark.operators.curation import (
 from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import ngram_jaccard_pairs
 
 
+def url_head_stages(
+    docs: DataFrame,
+    url_col: str,
+    row_key,
+    max_docs_per_domain: int | None = None,
+    seed: int = 42,
+):
+    """The crawl-level URL head stages as a reusable block (shared by
+    this pipeline and ``pipeline.run_corpus_pipeline`` — round-11
+    verdict #7): URL dedup (keep rank 1 per canonical, ordered by raw
+    url then ``row_key``) and the optional per-domain cap (hash-ordered
+    by ``seeded_md5(url, seed)`` — a deterministic uniform sample per
+    domain, the ``mixing.cap_per_group`` contract). Each is ONE window
+    shuffle keyed on bytes of URL — strictly cheaper than any content
+    stage, which is why they run first.
+
+    ``row_key`` is a deterministic per-row Column used for junk keys
+    and the final tiebreak (an id column where one exists, a content
+    hash otherwise). Junk rows (NULL/empty canonical, no registered
+    domain) get synthetic per-row keys so they pass through unharmed
+    instead of funnelling one NULL-key task (functions/url.py:url_dedup
+    contract, restated flag-wise so drop counts ride Observations on
+    the single downstream write action).
+
+    Returns ``(docs, url_obs, cap_obs)``; read the observations AFTER
+    an action has run the plan (``url_dups`` / ``domain_capped``).
+    """
+    from pyspark.sql import Observation, Window
+
+    from nahuatl_data_pipeline_spark.functions.url import (
+        canonicalize_url,
+        url_domain,
+    )
+    from nahuatl_data_pipeline_spark.operators.mixing import seeded_md5
+
+    docs = docs.withColumn("__canon", canonicalize_url(F.col(url_col)))
+    no_key = F.col("__canon").isNull() | (F.col("__canon") == "")
+    junk_key = F.concat(
+        F.lit("\u0000junk:"),
+        F.coalesce(row_key.cast("string"), F.lit("")),
+    )
+    w = Window.partitionBy(
+        F.when(no_key, junk_key).otherwise(F.col("__canon"))
+    ).orderBy(F.col(url_col).asc(), row_key.asc())
+    url_obs = Observation()
+    docs = (
+        docs.withColumn(
+            "__url_dup", (~no_key) & (F.row_number().over(w) > 1)
+        )
+        .observe(
+            url_obs,
+            F.sum(F.col("__url_dup").cast("long")).alias("url_dups"),
+        )
+        .filter(~F.col("__url_dup"))
+        .drop("__url_dup")
+    )
+    cap_obs = None
+    if max_docs_per_domain is not None:
+        docs = docs.withColumn("__domain", url_domain(F.col("__canon")))
+        cap_key = F.coalesce(F.col("__domain"), junk_key)
+        # hash order = deterministic uniform sample of each domain,
+        # the mixing.cap_per_group contract (not first-N-by-crawl)
+        w2 = Window.partitionBy(cap_key).orderBy(
+            seeded_md5(F.col(url_col), seed).asc(),
+            F.col(url_col).asc(),
+            row_key.asc(),
+        )
+        cap_obs = Observation()
+        docs = (
+            docs.withColumn(
+                "__domain_capped",
+                F.col("__domain").isNotNull()
+                & (F.row_number().over(w2) > max_docs_per_domain),
+            )
+            .observe(
+                cap_obs,
+                F.sum(F.col("__domain_capped").cast("long")).alias(
+                    "domain_capped"
+                ),
+            )
+            .filter(~F.col("__domain_capped"))
+            .drop("__domain_capped", "__domain")
+        )
+    return docs.drop("__canon"), url_obs, cap_obs
+
+
 @dataclass
 class CurationConfig:
     min_words: int = 20
@@ -119,75 +205,17 @@ def run_curation_pipeline(
     else:
         docs = docs.withColumn("__repaired", F.lit(False))
 
-    # URL dedup + per-domain cap: each is ONE window shuffle keyed on
-    # bytes of URL — strictly cheaper than any content stage, which is
-    # why they run first. Junk rows (NULL/empty canonical key, no
-    # registered domain) get synthetic per-row keys so they pass
-    # through unharmed instead of funnelling one NULL-key task
-    # (functions/url.py:url_dedup's contract, restated flag-wise so the
-    # drop counts ride Observations on the single write action).
+    # URL dedup + per-domain cap (url_head_stages — shared with
+    # pipeline.run_corpus_pipeline, round-11 verdict #7): window order,
+    # junk-key contract and drop accounting documented on the helper.
     url_obs = cap_obs = None
     if cfg.url_col:
-        from pyspark.sql import Window
-
-        from nahuatl_data_pipeline_spark.functions.url import (
-            canonicalize_url,
-            url_domain,
+        docs, url_obs, cap_obs = url_head_stages(
+            docs,
+            cfg.url_col,
+            F.col(id_col),
+            max_docs_per_domain=cfg.max_docs_per_domain,
         )
-        from nahuatl_data_pipeline_spark.operators.mixing import seeded_md5
-
-        docs = docs.withColumn(
-            "__canon", canonicalize_url(F.col(cfg.url_col))
-        )
-        no_key = F.col("__canon").isNull() | (F.col("__canon") == "")
-        junk_key = F.concat(
-            F.lit("\u0000junk:"),
-            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
-        )
-        w = Window.partitionBy(
-            F.when(no_key, junk_key).otherwise(F.col("__canon"))
-        ).orderBy(F.col(cfg.url_col).asc(), F.col(id_col).asc())
-        url_obs = Observation()
-        docs = (
-            docs.withColumn(
-                "__url_dup", (~no_key) & (F.row_number().over(w) > 1)
-            )
-            .observe(
-                url_obs,
-                F.sum(F.col("__url_dup").cast("long")).alias("url_dups"),
-            )
-            .filter(~F.col("__url_dup"))
-            .drop("__url_dup")
-        )
-        if cfg.max_docs_per_domain is not None:
-            docs = docs.withColumn(
-                "__domain", url_domain(F.col("__canon"))
-            )
-            cap_key = F.coalesce(F.col("__domain"), junk_key)
-            # hash order = deterministic uniform sample of each domain,
-            # the mixing.cap_per_group contract (not first-N-by-crawl)
-            w2 = Window.partitionBy(cap_key).orderBy(
-                seeded_md5(F.col(cfg.url_col), 42).asc(),
-                F.col(cfg.url_col).asc(),
-                F.col(id_col).asc(),
-            )
-            cap_obs = Observation()
-            docs = (
-                docs.withColumn(
-                    "__domain_capped",
-                    F.col("__domain").isNotNull()
-                    & (F.row_number().over(w2) > cfg.max_docs_per_domain),
-                )
-                .observe(
-                    cap_obs,
-                    F.sum(F.col("__domain_capped").cast("long")).alias(
-                        "domain_capped"
-                    ),
-                )
-                .filter(~F.col("__domain_capped"))
-                .drop("__domain_capped", "__domain")
-            )
-        docs = docs.drop("__canon")
 
     redacted = docs.withColumn(text_col, redact_pii(F.col(text_col)))
 

@@ -82,6 +82,11 @@ LEGACY_INPUT_SCHEMA = StructType(
         StructField("source", StringType(), True),
         StructField("source_file", StringType(), True),
         StructField("category", StringType(), True),
+        # crawl-era provenance (round-11 verdict #7): the reference's
+        # manager.py:17-21 hashes url+ts into record ids, so legacy feeds
+        # CAN carry a url key; surfaced by legacy_coalesce for the
+        # opt-in URL head stages (PipelineConfig.url_col)
+        StructField("url", StringType(), True),
         StructField(
             "original",
             StructType(

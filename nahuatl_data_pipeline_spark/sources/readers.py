@@ -80,6 +80,9 @@ def legacy_coalesce(df: DataFrame, default_source: str = "unknown") -> DataFrame
             maybe("source_file"), F.input_file_name()
         ).alias("origin_file"),
         maybe("category").alias("category"),
+        # crawl-era provenance passthrough (NULL for the curated HF
+        # feeds) — feeds the opt-in URL head stages, PipelineConfig.url_col
+        empty_to_null(maybe("url")).alias("url"),
     )
 
 
@@ -145,7 +148,12 @@ def read_json_dump(
     # a root-list file read under shape A yields real rows; under shape B it
     # yields null items (filtered). A wrapped file under shape A yields one
     # all-null row — drop rows with no usable payload before unioning.
-    payload_cols = [c for c in LEGACY_INPUT_SCHEMA.fieldNames() if c != "_corrupt_record"]
+    # url is provenance, not payload: a url-only row carries no record
+    payload_cols = [
+        c
+        for c in LEGACY_INPUT_SCHEMA.fieldNames()
+        if c not in ("_corrupt_record", "url")
+    ]
     any_payload = F.coalesce(
         *[F.col(c).cast("string") for c in payload_cols if c != "original"],
         F.col("original.es"),

@@ -169,3 +169,49 @@ def test_pipeline_url_stages_match_exact_ground_truth(
     assert stats["domain_capped"] == want["domain_capped"]
     # head-stage drops are part of input, not double-counted in output
     assert stats["output"] <= stats["input"]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver-generated testdata absent"
+)
+def test_pipeline_url_stages_native_url_column(
+    spark, capsys, monkeypatch, tmp_path
+):
+    """A mixed replica carries a NATIVE url column (round-11 verdict
+    #3): bench --pipeline must use it (no synthetic attach) and the
+    head-stage counts must match predict_url_stages' native-formula
+    recomputation."""
+    import sys as _sys
+
+    import bench
+
+    _sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from make_scale_data import make_mixed
+    from predict_url_stages import predict
+
+    clone_dir = str(tmp_path / "clone")
+    os.makedirs(clone_dir)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{clone_dir}/{t}.parquet")
+    out = str(tmp_path / "mixed")
+    make_mixed(SF_SMOKE, clone_dir, out, factor=2)
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", out)
+    monkeypatch.setenv("SPARK_GRAFT_PIPELINE_URL_STAGES", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CALIBRATE", "0")
+    bench.pipeline_main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    stats = json.loads(lines[-1])["stats"]
+    want = predict(out)
+    assert want["url_dups"] > 0  # clone re-crawl variants collapse
+    assert stats["url_dups"] == want["url_dups"]
+    assert stats["domain_capped"] == want["domain_capped"]

@@ -196,3 +196,128 @@ def test_predict_mixed_gates_exact_at_factor_3(tmp_path, spark):
             measured[k],
             predicted["predicted"][k],
         )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver-generated testdata absent"
+)
+def test_mixed_native_url_matches_engine_canonicalization(tmp_path, spark):
+    """Round-11 verdict #3: the mixed replica's native url column must
+    reduce — through the ENGINE's canonicalize_url/url_domain — to
+    exactly the formulas the predictor uses (mixed_canonical_sql /
+    mixed_domain_sql), row for row. This is the one-definition guard:
+    if the URL construction or the canonicalizer changes, this test
+    breaks before the decade ground truth silently drifts."""
+    from pyspark.sql import functions as F
+
+    from make_scale_data import (
+        make_mixed,
+        mixed_canonical_sql,
+        mixed_domain_sql,
+    )
+    from nahuatl_data_pipeline_spark.functions.url import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    clone_dir = str(tmp_path / "clone")
+    os.makedirs(clone_dir)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{clone_dir}/{t}.parquet")
+    out = str(tmp_path / "mixed")
+    make_mixed(SF_SMOKE, clone_dir, out, factor=3)
+
+    engine = {
+        int(r["doc_id"]): (r["canon"], r["dom"])
+        for r in spark.read.parquet(f"{out}/documents.parquet")
+        .select(
+            "doc_id",
+            canonicalize_url(F.col("url")).alias("canon"),
+            url_domain(canonicalize_url(F.col("url"))).alias("dom"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    formula = {
+        int(d): (c, h)
+        for d, c, h in con.sql(
+            f"SELECT doc_id, {mixed_canonical_sql()}, {mixed_domain_sql()} "
+            f"FROM read_parquet('{out}/documents.parquet')"
+        ).fetchall()
+    }
+    assert engine == formula
+    # both flavors and all three decoration branches are present
+    urls = [
+        r["url"]
+        for r in spark.read.parquet(f"{out}/documents.parquet")
+        .select("url")
+        .collect()
+    ]
+    assert any("clone" in u for u in urls)
+    assert any("utm_source=feed" in u for u in urls)
+    assert any("#sec2" in u for u in urls)
+    assert any("www." in u for u in urls)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.01"),
+    reason="driver-generated testdata absent",
+)
+def test_predict_mixed_gates_url_stages_exact(tmp_path, spark):
+    """Full-stack exact ground truth (round-11 verdict #3): with the
+    URL head stages ON (native url column, cap small enough to bite at
+    factor 3), EVERY stat — url_dups, domain_capped, and all content
+    gates computed over the survivor corpus — must match the measured
+    pipeline exactly."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+        CurationConfig,
+        run_curation_pipeline,
+    )
+    from make_scale_data import make_mixed
+    from predict_mixed_gates import predict
+
+    src = "/root/testdata/sf0.01"
+    clone_dir = str(tmp_path / "clone")
+    os.makedirs(clone_dir)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        os.symlink(f"{src}/{t}.parquet", f"{clone_dir}/{t}.parquet")
+    out = str(tmp_path / "mixed")
+    make_mixed(src, clone_dir, out, factor=3)
+
+    train = spark.read.parquet(f"{out}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(".")).alias("text"),
+        "url",
+    )
+    evalset = spark.read.parquet(f"{out}/evalset.parquet").select(
+        "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
+    )
+    cfg = CurationConfig(
+        fix_encoding=True, url_col="url", max_docs_per_domain=2
+    )
+    measured = run_curation_pipeline(
+        spark, train, str(tmp_path / "gold"), evalset=evalset, cfg=cfg
+    )
+    predicted = predict(src, 3, url_stages=True, cap=2)["predicted"]
+    # the cap must actually bite for this test to mean anything
+    assert predicted["domain_capped"] > 0
+    assert predicted["url_dups"] > 0
+    for k in (
+        "input",
+        "url_dups",
+        "domain_capped",
+        "failed_c4",
+        "failed_repetition",
+        "near_dups",
+        "contaminated",
+        "output",
+    ):
+        assert measured[k] == predicted[k], (k, measured[k], predicted[k])

@@ -158,3 +158,59 @@ def test_input_count_includes_invalid_records(spark, tmp_path):
     assert stats["input"] == 4
     assert stats["output"] == 2
     assert stats["filtered"] == 2
+
+
+def test_corpus_pipeline_url_head_stages(spark, tmp_path):
+    """Round-11 verdict #7: the corpus pipeline gains the same opt-in
+    crawl URL head stages the curate pipeline has. Re-crawl/tracking
+    variants of one page collapse BEFORE the pair filter; the per-domain
+    cap bites; drop accounting surfaces url_dups/domain_capped."""
+    recs = [
+        # one page crawled twice (tracking variant) — distinct texts so
+        # content dedup alone would NOT collapse them
+        {"es": "primera frase del sitio", "nah": "achto tlahtolli",
+         "url": "https://site-a.com/page?utm_source=x"},
+        {"es": "segunda frase del sitio", "nah": "ome tlahtolli",
+         "url": "https://site-a.com/page"},
+        # three pages on one domain, cap 2 → one capped
+        {"es": "pagina uno del dominio", "nah": "ce amoxtli",
+         "url": "https://big.com/1"},
+        {"es": "pagina dos del dominio", "nah": "ome amoxtli",
+         "url": "https://big.com/2"},
+        {"es": "pagina tres del dominio", "nah": "yei amoxtli",
+         "url": "https://big.com/3"},
+        # url-less record passes through untouched
+        {"es": "registro sin url", "nah": "amo url"},
+    ]
+    d = tmp_path / "crawl_silver"
+    d.mkdir()
+    with open(d / "a.jsonl", "w", encoding="utf-8") as f:
+        for r in recs:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+    out = str(tmp_path / "gold_url")
+    stats = run_corpus_pipeline(
+        spark,
+        {"silver": str(d)},
+        out,
+        PipelineConfig(url_col="url", max_docs_per_domain=2),
+    )
+    assert stats["input"] == 6
+    assert stats["url_dups"] == 1
+    assert stats["domain_capped"] == 1
+    assert stats["output"] == 4  # 6 - url dup - capped; url-less kept
+    gold = spark.read.parquet(out)
+    assert gold.count() == 4
+    # the canonical-URL survivor is deterministic (raw url asc): the
+    # tracking-variant loser is the ?utm one
+    kept = {r["es"] for r in gold.collect()}
+    assert "segunda frase del sitio" in kept
+    assert "primera frase del sitio" not in kept
+    assert "registro sin url" in kept
+
+    # knobs off → identical corpus passes through with no URL accounting
+    stats_off = run_corpus_pipeline(
+        spark, {"silver": str(d)}, str(tmp_path / "gold_nourl")
+    )
+    assert "url_dups" not in stats_off
+    assert stats_off["output"] == 6

@@ -251,3 +251,100 @@ def test_url_domain_edge_hosts(spark, canon, want):
 
     df = spark.createDataFrame([(canon,)], "c string")
     assert df.select(url_domain(F.col("c")).alias("d")).collect()[0].d == want
+
+
+# ---------------------------------------------------------------------------
+# Pluggable public-suffix list (round-11 verdict #5)
+# ---------------------------------------------------------------------------
+
+_PSL_SAMPLE = """\
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+org.uk
+jp
+// wildcard: every label under ck is a public suffix...
+*.ck
+// ...except www.ck, which is a registrable domain
+!www.ck
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+blogspot.co.uk
+github.io
+"""
+
+
+def test_parse_public_suffix_list():
+    from nahuatl_data_pipeline_spark.functions.url import (
+        parse_public_suffix_list,
+    )
+
+    rules = parse_public_suffix_list(_PSL_SAMPLE)
+    assert "co.uk" in rules["exact"] and "blogspot.co.uk" in rules["exact"]
+    assert rules["wildcard"] == ["ck"]
+    assert rules["exception"] == ["www.ck"]
+    assert "//" not in " ".join(sum(rules.values(), []))
+
+
+def test_url_domain_psl_hand_values(spark):
+    """Full PSL semantics against hand-computed registered domains —
+    including the blogspot.co.uk case the literal 7-tuple default folds
+    wrong (the docstring caveat round-11 verdict #5 closes)."""
+    from nahuatl_data_pipeline_spark.functions.url import (
+        parse_public_suffix_list,
+        url_domain_psl,
+    )
+
+    rules = parse_public_suffix_list(_PSL_SAMPLE)
+    cases = [
+        # (canonical, expected registered domain)
+        ("https://example.com/p", "example.com"),
+        ("https://a.b.example.com/p", "example.com"),
+        ("https://bbc.co.uk/news", "bbc.co.uk"),
+        ("https://media.example.co.uk/x", "example.co.uk"),
+        # PRIVATE-domain rule: each blog is its own registrable domain
+        ("https://myblog.blogspot.co.uk/post", "myblog.blogspot.co.uk"),
+        ("https://pages.github.io/x", "pages.github.io"),
+        # wildcard *.ck: any label under ck is a public suffix
+        ("https://a.b.ck/x", "a.b.ck"),
+        # exception !www.ck: www.ck is itself registrable
+        ("https://www.ck/x", None),  # canonicalize strips www -> bare "ck"
+        ("https://shop.www.ck/x", "www.ck"),
+        # unknown TLD falls to the implicit * rule: last two labels
+        ("https://foo.bar.unknowntld/x", "bar.unknowntld"),
+        # a host that IS a public suffix has no registered domain
+        ("https://co.uk", None),
+        # IP literals and dot-less hosts returned whole
+        ("https://192.168.0.1/x", "192.168.0.1"),
+        ("https://[::1]/x", "[::1]"),
+        ("https://localhost/x", None),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "canon string")
+    got = {
+        r["canon"]: r["domain"]
+        for r in url_domain_psl(df, "canon", rules).collect()
+    }
+    for canon, want in cases:
+        assert got[canon] == want, (canon, got[canon], want)
+
+
+def test_url_domain_psl_is_broadcast_only(spark):
+    """The PSL variant must add ZERO exchanges: every rule join is a
+    broadcast hash join (the corpus never shuffles for domain
+    extraction — the property that lets it ride the crawl head
+    stages)."""
+    from nahuatl_data_pipeline_spark.functions.url import (
+        parse_public_suffix_list,
+        url_domain_psl,
+    )
+
+    rules = parse_public_suffix_list(_PSL_SAMPLE)
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string"),
+                 F.lit(".co.uk/p")).alias("canon")
+    )
+    plan = url_domain_psl(df, "canon", rules)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan

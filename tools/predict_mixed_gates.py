@@ -33,9 +33,12 @@ tokens + ``x{i}`` suffixes + one trailing ``.``) — asserted below over
 the full corpus, so raw text feeds the pair enumeration.
 
 Usage:
-    python tools/predict_mixed_gates.py SRC_SF01 FACTOR
-prints one JSON line {"factor": f, "flags": {...}, "predicted": {...}};
-every ``predicted`` value is exact, no bands.
+    python tools/predict_mixed_gates.py SRC_SF01 FACTOR [--url-stages]
+prints one JSON line {"factor": f, "exact": true, "predicted": {...}};
+every ``predicted`` value is exact, no bands. ``--url-stages`` predicts
+the SPARK_GRAFT_PIPELINE_URL_STAGES=1 configuration: the URL-dedup +
+domain-cap survivor set is enumerated first (the replica's NATIVE url
+column) and every content gate is predicted over it.
 """
 
 from __future__ import annotations
@@ -69,25 +72,88 @@ _PII_PATTERNS = (
 )
 
 
-def _mixed_corpus_sql(src: str, factor: int) -> str:
-    """(doc_id, text) of the full factor-f mixed corpus with the same
-    '.' append bench.py --pipeline applies before curating."""
+def _mixed_corpus_sql(src: str, factor: int, with_url: bool = False) -> str:
+    """(doc_id, text[, url]) of the full factor-f mixed corpus with the
+    same '.' append bench.py --pipeline applies before curating."""
+    u = ", url" if with_url else ""
     union = " UNION ALL ".join(
-        f"SELECT doc_id, text FROM ({mixed_doc_select(src, i)})"
+        f"SELECT doc_id, text{u} FROM ({mixed_doc_select(src, i)})"
         for i in range(factor)
     )
-    return f"SELECT doc_id, text || '.' AS text FROM ({union})"
+    return f"SELECT doc_id, text || '.' AS text{u} FROM ({union})"
+
+
+def _url_stage_survivors(
+    con: duckdb.DuckDBPyConnection, src: str, factor: int, cap: int
+) -> tuple[set[int], int, int]:
+    """(survivor doc_ids, url_dups, domain_capped) of the URL head
+    stages, enumerated exactly as the pipeline's two windows compute
+    them: URL-dedup keeps rank 1 per canonical ordered by (raw url ASC,
+    doc_id ASC); the per-domain cap keeps the first ``cap`` survivors
+    per registered domain ordered by (md5('42:' || url) ASC, url ASC,
+    doc_id ASC) — ``seeded_md5``'s exact expression. Canonical/domain
+    come from the shared mixed_canonical_sql/mixed_domain_sql formulas
+    (engine-asserted in test_make_scale_data.py)."""
+    from make_scale_data import mixed_canonical_sql, mixed_domain_sql
+
+    base = _mixed_corpus_sql(src, factor, with_url=True)
+    rows = con.sql(
+        f"""
+        WITH c AS (
+          SELECT doc_id, url,
+                 {mixed_canonical_sql()} AS canon,
+                 {mixed_domain_sql()} AS dom
+          FROM ({base})
+        ),
+        d AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY canon ORDER BY url ASC, doc_id ASC) AS rn
+          FROM c
+        ),
+        s AS (SELECT doc_id, url, dom FROM d WHERE rn = 1),
+        e AS (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY dom
+            ORDER BY MD5('42:' || url) ASC, url ASC, doc_id ASC) AS rn2
+          FROM s
+        )
+        SELECT (SELECT COUNT(*) FROM c),
+               (SELECT COUNT(*) FROM s),
+               (SELECT LIST(doc_id) FROM e WHERE rn2 <= {cap})
+        """
+    ).fetchone()
+    total, after_dedup, survivor_list = rows
+    survivors = set(survivor_list or [])
+    return survivors, int(total - after_dedup), int(after_dedup - len(survivors))
 
 
 def _exact_dup_sets(
-    con: duckdb.DuckDBPyConnection, src: str, factor: int
+    con: duckdb.DuckDBPyConnection,
+    src: str,
+    factor: int,
+    survivors: set[int] | None = None,
 ) -> tuple[set[int], set[int]]:
-    """(non_canonical_doc_ids, all_clustered_doc_ids) of the full mixed
-    corpus — DuckDB enumerates the banded pairs, Python union-find
-    assigns min-id canonicals (duplicate_clusters' contract)."""
+    """(non_canonical_doc_ids, all_clustered_doc_ids) of the mixed
+    corpus (restricted to the URL-stage ``survivors`` when given —
+    the pipeline runs content dedup AFTER the head stages) — DuckDB
+    enumerates the banded pairs, Python union-find assigns min-id
+    canonicals (duplicate_clusters' contract)."""
     from nahuatl_data_pipeline_spark.registry import banded_pairs_oracle_sql
 
     base = _mixed_corpus_sql(src, factor)
+    if survivors is not None:
+        import pandas as pd
+
+        con.sql("DROP TABLE IF EXISTS __survivors")
+        con.register(
+            "__surv_df",
+            pd.DataFrame({"doc_id": sorted(survivors)}, dtype="int64"),
+        )
+        con.sql("CREATE TEMP TABLE __survivors AS SELECT * FROM __surv_df")
+        base = (
+            f"SELECT t.doc_id, t.text FROM ({base}) t "
+            f"JOIN __survivors USING (doc_id)"
+        )
     # redaction-identity assert (module docstring): zero redactable spans
     pii_or = " OR ".join(
         f"REGEXP_MATCHES(text, '{p}')" for p in _PII_PATTERNS
@@ -175,7 +241,14 @@ def _probe_flags(src: str, tmp: str) -> dict[int, dict[str, bool]]:
     return flags
 
 
-def predict(src: str, factor: int) -> dict:
+def predict(
+    src: str, factor: int, url_stages: bool = False, cap: int = 100
+) -> dict:
+    """Exact predicted stats for ``bench.py --pipeline`` on the factor-f
+    mixed replica; with ``url_stages`` (the SPARK_GRAFT_PIPELINE_URL_
+    STAGES=1 configuration) the URL-dedup/domain-cap survivor set is
+    enumerated FIRST and every content gate is predicted over it —
+    the full-stack ground truth (round-11 verdict #3)."""
     con = duckdb.connect()
     tmp = tempfile.mkdtemp(prefix="mixed_probe_")
     con.sql(
@@ -188,11 +261,21 @@ def predict(src: str, factor: int) -> dict:
     )
 
     flags = _probe_flags(src, tmp)
-    non_canonical, clustered = _exact_dup_sets(con, src, factor)
+    survivors = url_dups = domain_capped = None
+    if url_stages:
+        survivors, url_dups, domain_capped = _url_stage_survivors(
+            con, src, factor, cap
+        )
+    non_canonical, clustered = _exact_dup_sets(
+        con, src, factor, survivors=survivors
+    )
 
     # enumerate every doc of the factor-f corpus: src id s in replica i
     # has doc_id = s + i*OFFSET; flavor split survives the shift because
-    # OFFSET % CLONE_MOD == 0
+    # OFFSET % CLONE_MOD == 0. The pipeline's `input` is the
+    # head-of-pipeline count (URL-dropped rows are added back), so
+    # input counts every doc while the content gates count only docs
+    # that reach the main Observation (the URL-stage survivors).
     assert OFFSET % CLONE_MOD == 0
     counts = {
         "input": 0,
@@ -206,6 +289,8 @@ def predict(src: str, factor: int) -> dict:
         for i in range(factor):
             doc = s + i * OFFSET
             counts["input"] += 1
+            if survivors is not None and doc not in survivors:
+                continue
             counts["failed_c4"] += not fl["c4"]
             counts["failed_repetition"] += not fl["rep"]
             counts["contaminated"] += fl["contam"]
@@ -214,6 +299,9 @@ def predict(src: str, factor: int) -> dict:
             counts["output"] += (
                 fl["c4"] and fl["rep"] and not fl["contam"] and not is_dup
             )
+    if url_stages:
+        counts["url_dups"] = url_dups
+        counts["domain_capped"] = domain_capped
 
     import shutil
 
@@ -221,17 +309,20 @@ def predict(src: str, factor: int) -> dict:
     return {
         "factor": factor,
         "exact": True,
+        "url_stages": url_stages,
         "clustered_docs": len(clustered),
         "predicted": counts,
     }
 
 
 if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--url-stages"]
     print(
         json.dumps(
             predict(
-                sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
-                int(sys.argv[2]) if len(sys.argv) > 2 else 30,
+                args[0] if args else "/root/testdata/sf0.1",
+                int(args[1]) if len(args) > 1 else 30,
+                url_stages="--url-stages" in sys.argv[1:],
             ),
             separators=(",", ":"),
         )
