@@ -677,21 +677,6 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    cal = _merge_calibration(
-        cal_start, _calibration_probe() if _calibration_enabled() else None
-    )
-    if cal is not None:
-        # COMPACT form — the driver records only the LAST 2000 chars of
-        # this line, so the stamp must cost ~30 chars, not ~100:
-        # [mhash_1t_start, mhash_1t_end, mhash_allw_start, mhash_allw_end,
-        #  workers], md5 Mhash/s (see _calibration_probe)
-        out["cal"] = [
-            cal["mhash_1t"][0],
-            cal["mhash_1t"][1],
-            cal["mhash_allw"][0],
-            cal["mhash_allw"][1],
-            cal["workers"],
-        ]
     if repeat > 1:
         out["repeat"] = repeat  # per-query walls are medians of N runs
     if isolate:
@@ -706,6 +691,23 @@ def main() -> None:
         out["skipped"] = skipped
     if errors:
         out["errors"] = errors
+    cal = _merge_calibration(
+        cal_start, _calibration_probe() if _calibration_enabled() else None
+    )
+    if cal is not None:
+        # COMPACT form, and the LAST key on purpose — the driver records
+        # only the LAST 2000 chars of this line, so the ~35-char stamp
+        # must sit at the tail or isolate-mode bands/cal_groups push it
+        # out of the record (self-review r12):
+        # [mhash_1t_start, mhash_1t_end, mhash_allw_start, mhash_allw_end,
+        #  workers], md5 Mhash/s (see _calibration_probe)
+        out["cal"] = [
+            cal["mhash_1t"][0],
+            cal["mhash_1t"][1],
+            cal["mhash_allw"][0],
+            cal["mhash_allw"][1],
+            cal["workers"],
+        ]
     print(json.dumps(out, separators=(",", ":")))
     if errors:
         sys.exit(1)

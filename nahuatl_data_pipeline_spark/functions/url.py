@@ -274,7 +274,7 @@ def url_domain_psl(
     canonical_col: str,
     rules: dict[str, list[str]],
     out_col: str = "domain",
-    max_rule_labels: int = 5,
+    max_rule_labels: int | None = None,
 ) -> DataFrame:
     """Registered domain (eTLD+1) per the FULL public-suffix algorithm,
     as a chain of BROADCAST hash joins — the scale path next to
@@ -301,6 +301,18 @@ def url_domain_psl(
     wildcard, exception, PSL-only (``blogspot.co.uk``) and
     unknown-TLD hosts in tests/test_url.py.
     """
+    longest = max(
+        (r.count(".") + 1 for rs in rules.values() for r in rs),
+        default=1,
+    )
+    if max_rule_labels is None:
+        max_rule_labels = longest  # never silently drop a rule
+    elif longest > max_rule_labels:
+        # an ignored rule would silently mis-fold every host under it
+        raise ValueError(
+            f"rule with {longest} labels exceeds max_rule_labels="
+            f"{max_rule_labels}; raise the bound or prune the rules"
+        )
     spark = df.sparkSession
     host = F.regexp_extract(
         F.col(canonical_col), r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1

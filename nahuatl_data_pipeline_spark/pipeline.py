@@ -106,6 +106,10 @@ def run_corpus_pipeline(
     (unify_v2.py transaction pattern).
     """
     cfg = cfg or PipelineConfig()
+    if cfg.max_docs_per_domain is not None and not cfg.url_col:
+        # same misuse guard as run_curation_pipeline: a cap without a
+        # URL column would otherwise no-op silently
+        raise ValueError("max_docs_per_domain requires url_col")
     run_id = started_at = None
     if metadata_store is not None:
         import datetime
@@ -147,7 +151,7 @@ def run_corpus_pipeline(
             key_cols = [
                 c
                 for c in (*cfg.lang_cols, "source", "source_file",
-                          "layer", "origin_file")
+                          "category", "layer", "origin_file")
                 if c in raw.columns
             ]
             row_key = F.md5(

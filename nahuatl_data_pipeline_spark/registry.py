@@ -997,6 +997,76 @@ def banded_pairs_oracle_sql(
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Shared URL-oracle SQL builders (q164/q171/q172 — one definition of the
+# url_domain mirror and of q164's synthetic URL table; lives here, above
+# the round-module import block, so round modules can import it without
+# a registry_round10 <-> registry_round12 cycle)
+# ---------------------------------------------------------------------------
+
+_Q164_URLS_SQL = """
+    SELECT doc_id, n_chars,
+      CASE WHEN doc_id % 89 = 1 THEN NULL
+           WHEN doc_id % 89 = 0 THEN '   '
+           WHEN doc_id % 89 = 2 THEN 'https://u@cache@localhost/p'
+           WHEN doc_id % 89 = 3
+             THEN 'http://[::ffff:192.168.0.1]:8080/x'
+           ELSE (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN 'WWW.News.Example.COM'
+                      WHEN doc_id % 7 = 1 THEN 'blog.example.com'
+                      WHEN doc_id % 7 = 2
+                        THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
+                      WHEN doc_id % 7 = 3 THEN 'Media.Example.CO.UK'
+                      WHEN doc_id % 7 = 4 THEN 'example.co.uk'
+                      WHEN doc_id % 7 = 5 THEN 'localhost'
+                      ELSE 'cdn.site' || CAST(doc_id % 3 AS VARCHAR)
+                             || '.net' END)
+             || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+             || '/p/' || CAST(doc_id % 13 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '?b=2&utm_source=x&a=1'
+                      WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+                      WHEN doc_id % 4 = 2 THEN '?utm_campaign=z&ref=home'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)
+      END AS url
+    FROM documents
+"""
+
+
+def host_strip_sql(src_expr: str) -> str:
+    """DuckDB mirror of url_domain's host extraction (authority minus
+    userinfo/port/www./FQDN-dot) over ``src_expr`` — ONE definition
+    shared by the q164/q171/q172 oracles (self-review r12: the chain
+    previously existed as three SQL copies that could drift)."""
+    return f"""REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+               REGEXP_EXTRACT({src_expr},
+                              '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1),
+               '^.*@', ''), ':[0-9]*$', ''), '^www\\.', ''),
+               '\\.$', '')"""
+
+
+def domain_case_sql(host: str) -> str:
+    """DuckDB mirror of url_domain's registered-domain CASE over a
+    ``host`` expression (NULL/bracketed-IPv6/IPv4/two-label-suffix/
+    last-two-labels branches) — shared like :func:`host_strip_sql`."""
+    from nahuatl_data_pipeline_spark.functions.url import multi_suffix_regex
+
+    sfx = multi_suffix_regex()
+    return f"""CASE WHEN {host} IS NULL OR {host} = '' THEN NULL
+                  WHEN REGEXP_MATCHES({host}, '^\\[') THEN {host}
+                  WHEN REGEXP_MATCHES({host}, '^[0-9]+(\\.[0-9]+){{3}}$')
+                    THEN {host}
+                  WHEN REGEXP_MATCHES({host}, '{sfx}')
+                       AND REGEXP_EXTRACT({host},
+                             '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                    THEN REGEXP_EXTRACT({host},
+                           '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                  WHEN REGEXP_EXTRACT({host}, '([^.]+\\.[^.]+)$', 1) <> ''
+                    THEN REGEXP_EXTRACT({host}, '([^.]+\\.[^.]+)$', 1)
+                  ELSE {host} END"""
+
+
 # Hot-bucket cap 150 (round 8): the production posture probed at 100x in
 # round 6 (precision 99.996% on the clone replica; the uncapped query was
 # killed >60 min there). Mirrored in the oracle via the shared CTE

@@ -107,68 +107,35 @@ def q163_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (localhost), a default port, tracking-param query variants, fragments,
 # and NULL/whitespace junk rows. Spark twin below is
 # expression-for-expression identical.
-_Q164_URLS_SQL = """
-    SELECT doc_id, n_chars,
-      CASE WHEN doc_id % 89 = 1 THEN NULL
-           WHEN doc_id % 89 = 0 THEN '   '
-           WHEN doc_id % 89 = 2 THEN 'https://u@cache@localhost/p'
-           WHEN doc_id % 89 = 3
-             THEN 'http://[::ffff:192.168.0.1]:8080/x'
-           ELSE (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
-             || (CASE WHEN doc_id % 7 = 0 THEN 'WWW.News.Example.COM'
-                      WHEN doc_id % 7 = 1 THEN 'blog.example.com'
-                      WHEN doc_id % 7 = 2
-                        THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
-                      WHEN doc_id % 7 = 3 THEN 'Media.Example.CO.UK'
-                      WHEN doc_id % 7 = 4 THEN 'example.co.uk'
-                      WHEN doc_id % 7 = 5 THEN 'localhost'
-                      ELSE 'cdn.site' || CAST(doc_id % 3 AS VARCHAR)
-                             || '.net' END)
-             || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
-             || '/p/' || CAST(doc_id % 13 AS VARCHAR)
-             || (CASE WHEN doc_id % 4 = 0 THEN '?b=2&utm_source=x&a=1'
-                      WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
-                      WHEN doc_id % 4 = 2 THEN '?utm_campaign=z&ref=home'
-                      ELSE '' END)
-             || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)
-      END AS url
-    FROM documents
-"""
+
+
 
 
 def _q164_sql() -> str:
-    from nahuatl_data_pipeline_spark.functions.url import multi_suffix_regex
+    from nahuatl_data_pipeline_spark.registry import (
+        _Q164_URLS_SQL,
+        domain_case_sql,
+        host_strip_sql,
+    )
     from nahuatl_data_pipeline_spark.registry_round9 import _CANON_CTES
 
     # DuckDB mirror of functions/url.py:url_domain over canonical_url —
-    # regexes shared verbatim with the Spark expression.
-    sfx = multi_suffix_regex()
+    # regexes shared verbatim with the Spark expression. The r12
+    # refactor to the shared builders emits the same expressions
+    # (whitespace-normalized-identical to the pre-refactor string,
+    # verified at refactor time; q164 hash parity re-asserted on every
+    # pytest run).
     return f"""
     WITH urls AS ({_Q164_URLS_SQL}),
     {_CANON_CTES},
     hosts AS (
       SELECT doc_id, n_chars, canonical_url,
-             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
-               REGEXP_EXTRACT(canonical_url,
-                              '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1),
-               '^.*@', ''), ':[0-9]*$', ''), '^www\\.', ''),
-               '\\.$', '') AS host
+             {host_strip_sql("canonical_url")} AS host
       FROM canon
     ),
     dom AS (
       SELECT h.doc_id, h.n_chars, h.canonical_url, d.lang,
-             CASE WHEN h.host IS NULL OR h.host = '' THEN NULL
-                  WHEN REGEXP_MATCHES(h.host, '^\\[') THEN h.host
-                  WHEN REGEXP_MATCHES(h.host, '^[0-9]+(\\.[0-9]+){{3}}$')
-                    THEN h.host
-                  WHEN REGEXP_MATCHES(h.host, '{sfx}')
-                       AND REGEXP_EXTRACT(h.host,
-                             '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
-                    THEN REGEXP_EXTRACT(h.host,
-                           '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-                  WHEN REGEXP_EXTRACT(h.host, '([^.]+\\.[^.]+)$', 1) <> ''
-                    THEN REGEXP_EXTRACT(h.host, '([^.]+\\.[^.]+)$', 1)
-                  ELSE h.host END AS domain
+             {domain_case_sql("h.host")} AS domain
       FROM hosts h JOIN documents d USING (doc_id)
     ),
     g AS (
@@ -232,7 +199,9 @@ def _q164_url_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 89 == 3, F.lit("http://[::ffff:192.168.0.1]:8080/x"))
         .otherwise(F.concat(scheme, host, port, path, query, frag))
     )
-    return docs.select(url.alias("url"), "n_chars", "lang")
+    # doc_id rides along for q172's deterministic tiebreak (unused by
+    # q164's aggregate — output-identical there)
+    return docs.select("doc_id", url.alias("url"), "n_chars", "lang")
 
 
 @register("q164_domain_stats", _q164_sql())

@@ -14,10 +14,21 @@
   domain. One rule literal drives both engines, so the algorithm (not
   hand-derived answers) is what the hash certifies.
 
-Kept deliberately SMALL (1 entry): round 12 must let the r08-stale
+- q172: URL head-stage survivors (plans/curation_pipeline.py:
+  url_head_stages) — hash-certifies the composed crawl head block's
+  EXACT window semantics (canonical-key dedup rank-1 by (raw url,
+  doc_id); md5-ordered per-domain cap — ``seeded_md5``'s exact
+  expression; per-row junk keys for NULL/empty canonicals) against a
+  DuckDB ROW_NUMBER mirror, over q164's synthetic URL table (which
+  plants the junk/userinfo/IPv6/two-label-suffix branches). Until now
+  the block was certified only transitively (integration tests + the
+  mixed-replica predictor); this pins the row-level semantics in the
+  driver's hash loop.
+
+Kept deliberately SMALL (2 entries): round 12 must let the r08-stale
 block (q60–q80 + q108, 21 queries) rotate through the 50-slot
-certification window (round-11 verdict #4) — 1 new + 21 r08 still
-leaves 28 slots for the oldest-r09 tail, clearing the union staleness
+certification window (round-11 verdict #4) — 2 new + 21 r08 still
+leaves 27 slots for the oldest-r09 tail, clearing the union staleness
 floor to r09.
 """
 
@@ -75,7 +86,11 @@ def _q171_urls_sql() -> str:
 def _q171_sql() -> str:
     """DuckDB mirror of ``url_domain_psl`` over ``_Q171_RULES``: the
     same candidate-slice / longest-match / exception-override /
-    implicit-default algorithm, generated from the same rule literal."""
+    implicit-default algorithm, generated from the same rule literal.
+    Host extraction shares ``registry.host_strip_sql`` (one definition
+    with the q164/q172 mirrors); the registered-domain CASE is PSL-
+    specific by design (that is what q171 certifies)."""
+    from nahuatl_data_pipeline_spark.registry import host_strip_sql
     by_len: dict[tuple[str, int], list[str]] = {}
     for kind, rules in _Q171_RULES.items():
         for r in rules:
@@ -113,10 +128,7 @@ def _q171_sql() -> str:
     WITH urls AS ({_q171_urls_sql()}),
     hosts AS (
       SELECT doc_id, url,
-             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
-               REGEXP_EXTRACT(url, '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1),
-               '^.*@', ''), ':[0-9]*$', ''), '^www\\.', ''),
-               '\\.$', '') AS host
+             {host_strip_sql("url")} AS host
       FROM urls
     ),
     lab AS (
@@ -212,3 +224,84 @@ def q171_psl_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("url").cast("long").alias("n_pages"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172: URL head-stage survivors (oracle twin of url_head_stages)
+# ---------------------------------------------------------------------------
+
+_Q172_CAP = 3  # small enough to bite on q164's ~70-doc domains at sf0.01
+
+
+def _q172_sql() -> str:
+    """DuckDB ROW_NUMBER mirror of url_head_stages over q164's URL
+    table: canonicalization via the shared _CANON_CTES, url_domain via
+    the q164 regex mirror, dedup rank-1 per canonical ordered by (raw
+    url, doc_id), md5('42:' || url)-ordered per-domain cap, per-row
+    CHR(0) junk keys for NULL/empty canonicals (never capped: the cap
+    flag requires a non-NULL domain)."""
+    from nahuatl_data_pipeline_spark.registry import (
+        _Q164_URLS_SQL,
+        domain_case_sql,
+        host_strip_sql,
+    )
+    from nahuatl_data_pipeline_spark.registry_round9 import _CANON_CTES
+    return f"""
+    WITH urls AS ({_Q164_URLS_SQL}),
+    {_CANON_CTES},
+    keyed AS (
+      SELECT doc_id, url, canonical_url,
+             CASE WHEN canonical_url IS NULL OR canonical_url = ''
+                  THEN CHR(0) || 'junk:' || CAST(doc_id AS VARCHAR)
+                  ELSE canonical_url END AS dk
+      FROM canon
+    ),
+    dedup AS (
+      SELECT doc_id, url, canonical_url FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY dk ORDER BY url ASC, doc_id ASC) AS rn
+        FROM keyed
+      ) WHERE rn = 1
+    ),
+    hosts AS (
+      SELECT doc_id, url,
+             {host_strip_sql("canonical_url")} AS host
+      FROM dedup
+    ),
+    dom AS (
+      SELECT doc_id, url,
+             {domain_case_sql("host")} AS domain
+      FROM hosts
+    )
+    SELECT doc_id, url FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY COALESCE(domain,
+                              CHR(0) || 'junk:' || CAST(doc_id AS VARCHAR))
+        ORDER BY MD5('42:' || url) ASC, url ASC, doc_id ASC) AS rn2
+      FROM dom
+    ) WHERE domain IS NULL OR rn2 <= {_Q172_CAP}
+"""
+
+
+@register("q172_url_head_survivors", _q172_sql())
+def q172_url_head_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl head block's surviving rows
+    (plans/curation_pipeline.py:url_head_stages — the block bench's
+    full-stack decade rows and the curate/run CLIs execute), certified
+    row-for-row: URL dedup keeps rank 1 per canonical ordered by (raw
+    url, doc_id); the per-domain cap keeps the first _Q172_CAP
+    survivors per registered domain ordered by seeded_md5(url, 42) —
+    and junk rows (NULL/whitespace urls planted by q164's table) pass
+    through both windows on per-row keys, never funnelling one task.
+    Two window shuffles keyed on bytes of URL, nothing else — the
+    cheap pre-filter posture the 100 TB curation argument rests on."""
+    from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+        url_head_stages,
+    )
+    from nahuatl_data_pipeline_spark.registry_round10 import _q164_url_table
+
+    urls = _q164_url_table(spark, sf_dir).select("doc_id", "url")
+    out, _, _ = url_head_stages(
+        urls, "url", F.col("doc_id"), max_docs_per_domain=_Q172_CAP
+    )
+    return out.select("doc_id", "url")

@@ -214,3 +214,17 @@ def test_corpus_pipeline_url_head_stages(spark, tmp_path):
     )
     assert "url_dups" not in stats_off
     assert stats_off["output"] == 6
+
+
+def test_corpus_pipeline_cap_without_url_col_raises(spark, tmp_path):
+    """Same misuse guard as run_curation_pipeline (self-review r12): a
+    domain cap without a URL column must fail loudly, not no-op."""
+    d = tmp_path / "empty_for_guard"
+    d.mkdir()
+    with pytest.raises(ValueError, match="requires url_col"):
+        run_corpus_pipeline(
+            spark,
+            {"silver": str(d)},
+            str(tmp_path / "gold_guard"),
+            PipelineConfig(max_docs_per_domain=5),
+        )

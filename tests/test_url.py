@@ -348,3 +348,19 @@ def test_url_domain_psl_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_url_domain_psl_never_silently_drops_rules(spark):
+    """A rule longer than the candidate bound must raise, and the
+    default bound derives from the rules (self-review r12)."""
+    from nahuatl_data_pipeline_spark.functions.url import url_domain_psl
+
+    df = spark.createDataFrame([("https://a.b.c.d.e.f.com/x",)],
+                               "canon string")
+    deep = {"exact": ["a.b.c.d.e.f.com"]}  # 7 labels
+    with pytest.raises(ValueError, match="exceeds max_rule_labels"):
+        url_domain_psl(df, "canon", deep, max_rule_labels=5)
+    # default bound adapts: the 7-label rule matches, host IS the
+    # suffix -> no registered domain
+    got = url_domain_psl(df, "canon", deep).collect()[0]["domain"]
+    assert got is None

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 
@@ -142,28 +143,43 @@ def _exact_dup_sets(
 
     base = _mixed_corpus_sql(src, factor)
     if survivors is not None:
-        import pandas as pd
+        import pyarrow as pa
 
         con.sql("DROP TABLE IF EXISTS __survivors")
         con.register(
-            "__surv_df",
-            pd.DataFrame({"doc_id": sorted(survivors)}, dtype="int64"),
+            "__surv_arrow",
+            pa.table({"doc_id": pa.array(sorted(survivors), pa.int64())}),
         )
-        con.sql("CREATE TEMP TABLE __survivors AS SELECT * FROM __surv_df")
+        con.sql(
+            "CREATE TEMP TABLE __survivors AS SELECT * FROM __surv_arrow"
+        )
         base = (
             f"SELECT t.doc_id, t.text FROM ({base}) t "
             f"JOIN __survivors USING (doc_id)"
         )
-    # redaction-identity assert (module docstring): zero redactable spans
+    # Identity asserts (module docstring): the pipeline shingles
+    # REDACTED text, and the predicted configurations run
+    # fix_encoding=True — both transforms must be identity here.
+    # Redaction: zero redactable spans. Encoding repair + invisible
+    # strip: every trigger (mojibake markers, invisible codepoints,
+    # NBSP) is non-ASCII, so pure-ASCII text is untouched by
+    # construction.
     pii_or = " OR ".join(
         f"REGEXP_MATCHES(text, '{p}')" for p in _PII_PATTERNS
     )
-    n_pii = con.sql(
-        f"SELECT COUNT(*) FROM ({base}) WHERE {pii_or}"
-    ).fetchone()[0]
+    n_pii, n_nonascii = con.sql(
+        f"SELECT COUNT(*) FILTER ({pii_or}), "
+        f"COUNT(*) FILTER (REGEXP_MATCHES(text, '[^\\x00-\\x7F]')) "
+        f"FROM ({base})"
+    ).fetchone()
     assert n_pii == 0, (
         f"{n_pii} docs carry redactable spans; pair enumeration must run "
         "on redacted text — pipe the corpus through redact_pii first"
+    )
+    assert n_nonascii == 0, (
+        f"{n_nonascii} docs carry non-ASCII chars; fix_encoding may not "
+        "be identity — pipe the corpus through fix_mojibake + "
+        "clean_invisible first"
     )
     pairs_sql = banded_pairs_oracle_sql(
         base,
@@ -302,8 +318,6 @@ def predict(
     if url_stages:
         counts["url_dups"] = url_dups
         counts["domain_capped"] = domain_capped
-
-    import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
     return {
