@@ -49,6 +49,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="cap docs per registered domain after URL dedup "
         "(requires --url-col)",
     )
+    run.add_argument(
+        "--psl-file", default=None,
+        help="publicsuffix.org data file: the domain-cap key uses full "
+        "PSL semantics instead of the built-in two-label suffix tuple",
+    )
 
     stats = sub.add_parser("stats", help="one-pass corpus stats report")
     stats.add_argument("--input", required=True, help="parquet path")
@@ -124,6 +129,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="cap docs per registered domain after URL dedup "
         "(requires --url-col)",
     )
+    curate.add_argument(
+        "--psl-file", default=None,
+        help="publicsuffix.org data file: the domain-cap key uses full "
+        "PSL semantics instead of the built-in two-label suffix tuple",
+    )
 
     layout = sub.add_parser(
         "layout",
@@ -156,6 +166,17 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_psl(path: str | None) -> dict | None:
+    """Parsed PSL rule groups from ``--psl-file`` (None passthrough)."""
+    if path is None:
+        return None
+    from nahuatl_data_pipeline_spark.functions.url import (
+        load_public_suffix_list,
+    )
+
+    return load_public_suffix_list(path)
+
+
 def main(argv: list[str] | None = None) -> int:
     from nahuatl_data_pipeline_spark.session import get_spark
 
@@ -182,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
                 keep=args.keep,
                 url_col=args.url_col,
                 max_docs_per_domain=args.max_docs_per_domain,
+                psl_rules=_load_psl(args.psl_file),
             ),
             metadata_store=store,
         )
@@ -337,6 +359,7 @@ def main(argv: list[str] | None = None) -> int:
                 fix_encoding=args.fix_encoding,
                 url_col=args.url_col,
                 max_docs_per_domain=args.max_docs_per_domain,
+                psl_rules=_load_psl(args.psl_file),
             ),
             id_col=args.id_col,
             text_col=args.text_col,

@@ -61,6 +61,9 @@ class PipelineConfig:
     # additionally caps each registered domain (requires url_col).
     url_col: str | None = None
     max_docs_per_domain: int | None = None
+    # parsed PSL rule groups (functions/url.py:load_public_suffix_list)
+    # for the cap key; None keeps the literal-tuple url_domain
+    psl_rules: dict | None = None
 
 
 def normalize_records(
@@ -166,6 +169,7 @@ def run_corpus_pipeline(
                 cfg.url_col,
                 row_key,
                 max_docs_per_domain=cfg.max_docs_per_domain,
+                psl_rules=cfg.psl_rules,
             )
 
         normalized = normalize_records(raw, cfg)

@@ -54,6 +54,7 @@ def url_head_stages(
     row_key,
     max_docs_per_domain: int | None = None,
     seed: int = 42,
+    psl_rules: dict[str, list[str]] | None = None,
 ):
     """The crawl-level URL head stages as a reusable block (shared by
     this pipeline and ``pipeline.run_corpus_pipeline`` — round-11
@@ -71,6 +72,13 @@ def url_head_stages(
     instead of funnelling one NULL-key task (functions/url.py:url_dedup
     contract, restated flag-wise so drop counts ride Observations on
     the single downstream write action).
+
+    ``psl_rules`` (parsed publicsuffix.org data,
+    ``functions/url.py:load_public_suffix_list``) switches the cap key
+    from the literal-tuple ``url_domain`` to the full-PSL
+    ``url_domain_psl`` — still broadcast-only, still zero extra
+    exchanges; the default stays the oracle-portable literal tuple
+    (q172 certifies that path).
 
     Returns ``(docs, url_obs, cap_obs)``; read the observations AFTER
     an action has run the plan (``url_dups`` / ``domain_capped``).
@@ -106,7 +114,23 @@ def url_head_stages(
     )
     cap_obs = None
     if max_docs_per_domain is not None:
-        docs = docs.withColumn("__domain", url_domain(F.col("__canon")))
+        if psl_rules is not None:
+            # full public-suffix coverage for the cap key (round-11
+            # verdict item: at open-web scale `blogspot.co.uk` blogs are
+            # distinct registrable domains, not one site) — broadcast-
+            # only joins, adds no exchange (functions/url.py:
+            # url_domain_psl)
+            from nahuatl_data_pipeline_spark.functions.url import (
+                url_domain_psl,
+            )
+
+            docs = url_domain_psl(
+                docs, "__canon", psl_rules, out_col="__domain"
+            )
+        else:
+            docs = docs.withColumn(
+                "__domain", url_domain(F.col("__canon"))
+            )
         cap_key = F.coalesce(F.col("__domain"), junk_key)
         # hash order = deterministic uniform sample of each domain,
         # the mixing.cap_per_group contract (not first-N-by-crawl)
@@ -156,6 +180,9 @@ class CurationConfig:
     fix_encoding: bool = False
     url_col: str | None = None
     max_docs_per_domain: int | None = None
+    # parsed PSL rule groups (load_public_suffix_list) for the cap key;
+    # None keeps the oracle-portable literal-tuple url_domain
+    psl_rules: dict | None = None
 
 
 def run_curation_pipeline(
@@ -215,6 +242,7 @@ def run_curation_pipeline(
             cfg.url_col,
             F.col(id_col),
             max_docs_per_domain=cfg.max_docs_per_domain,
+            psl_rules=cfg.psl_rules,
         )
 
     redacted = docs.withColumn(text_col, redact_pii(F.col(text_col)))

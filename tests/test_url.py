@@ -364,3 +364,50 @@ def test_url_domain_psl_never_silently_drops_rules(spark):
     # suffix -> no registered domain
     got = url_domain_psl(df, "canon", deep).collect()[0]["domain"]
     assert got is None
+
+
+def test_load_public_suffix_list_file(tmp_path):
+    from nahuatl_data_pipeline_spark.functions.url import (
+        load_public_suffix_list,
+    )
+
+    p = tmp_path / "psl.dat"
+    p.write_text(_PSL_SAMPLE, encoding="utf-8")
+    rules = load_public_suffix_list(str(p))
+    assert "blogspot.co.uk" in rules["exact"]
+    assert rules["wildcard"] == ["ck"] and rules["exception"] == ["www.ck"]
+
+
+def test_url_head_stages_cap_key_psl_vs_literal(spark):
+    """The per-domain cap with PSL rules treats each blogspot.co.uk blog
+    as its own registrable domain; the literal-tuple default folds them
+    all under blogspot.co.uk and caps them together (round-11 verdict
+    item closed end-to-end: config knob -> cap key)."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.functions.url import (
+        parse_public_suffix_list,
+    )
+    from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+        url_head_stages,
+    )
+
+    rows = [
+        (i, f"https://blog{i}.blogspot.co.uk/post") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    def capped(psl):
+        out, url_obs, cap_obs = url_head_stages(
+            df, "url", F.col("doc_id"), max_docs_per_domain=1,
+            psl_rules=psl,
+        )
+        n = out.count()
+        return n, int(cap_obs.get["domain_capped"] or 0)
+
+    # literal tuple: all four fold under blogspot.co.uk -> 3 capped
+    n_lit, capped_lit = capped(None)
+    assert (n_lit, capped_lit) == (1, 3)
+    # PSL: four distinct registrable domains -> nothing capped
+    n_psl, capped_psl = capped(parse_public_suffix_list(_PSL_SAMPLE))
+    assert (n_psl, capped_psl) == (4, 0)
