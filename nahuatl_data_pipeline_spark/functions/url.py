@@ -243,7 +243,31 @@ def parse_public_suffix_list(text: str) -> dict[str, list[str]]:
     Comments (``//``), blank lines, and anything after whitespace on a
     rule line are ignored, per the published format. Rules are
     lowercased (hosts are already lowercase post-canonicalization).
+
+    IDN rules: the real publicsuffix.org file carries ~1k Unicode rules
+    (``xn--``-less forms like ``中国``). Canonicalized hosts are
+    ASCII/punycode, so a Unicode rule as-written can never match — each
+    non-ASCII label is therefore punycode-encoded here at parse time via
+    the stdlib ``idna`` codec (IDNA2003; a handful of labels where
+    UTS46 differs — e.g. sharp-s ``ß`` — may encode differently from
+    the registry's own punycode, and labels the codec rejects are kept
+    verbatim, i.e. unmatchable, exactly the pre-encoding behavior).
     """
+
+    def _to_ascii(rule: str) -> str:
+        if rule.isascii():
+            return rule
+        out = []
+        for label in rule.split("."):
+            if label.isascii():
+                out.append(label)
+            else:
+                try:
+                    out.append(label.encode("idna").decode("ascii"))
+                except UnicodeError:
+                    out.append(label)  # unmatchable, documented above
+        return ".".join(out)
+
     exact: list[str] = []
     wildcard: list[str] = []
     exception: list[str] = []
@@ -251,7 +275,7 @@ def parse_public_suffix_list(text: str) -> dict[str, list[str]]:
         line = raw.strip()
         if not line or line.startswith("//"):
             continue
-        rule = line.split()[0].lower()
+        rule = _to_ascii(line.split()[0].lower())
         if rule.startswith("!"):
             exception.append(rule[1:])
         elif rule.startswith("*."):
@@ -294,8 +318,26 @@ def url_domain_psl(
     each BROADCAST left-joined against the host's last-k-labels slice —
     every join is map-side (zero shuffle, no explode/groupBy re-shuffle
     of the corpus), so the operator composes into the crawl head
-    stages without adding an exchange. IPv4/bracketed-IPv6/dot-less
-    hosts short-circuit exactly as in :func:`url_domain`.
+    stages without adding an exchange. IPv4/bracketed-IPv6 literals
+    short-circuit exactly as in :func:`url_domain`; dot-less hosts do
+    NOT — ``url_domain`` returns them whole (``localhost`` →
+    ``localhost``) while here they fall to the implicit ``*`` rule,
+    ARE the one-label public suffix, and yield NULL (PSL-correct;
+    pinned in tests/test_url.py). Consequence for the per-domain cap
+    (``url_head_stages``): a NULL domain gets a per-row junk key and is
+    never capped, so toggling ``psl_rules`` on exempts dot-less hosts
+    from the cap.
+
+    Divergence from strict publicsuffix.org semantics (deliberate —
+    the engine's www-equivalence canonicalization): a leading ``www.``
+    is stripped from the host BEFORE rule matching, so a host that is
+    exactly ``www.<base>`` under a ``!www.<base>`` exception rule
+    reduces to the bare ``<base>`` and the exception can never fire —
+    bare ``www.ck`` yields NULL here where strict PSL would call it a
+    registrable domain. Multi-label hosts under the exception
+    (``shop.www.ck``) are unaffected. No certified dataset plants bare
+    exception hosts, so q171's hash certification is indifferent to
+    this choice; the engine's answer is pinned in tests/test_url.py.
 
     Tested against hand-computed registered domains for exact,
     wildcard, exception, PSL-only (``blogspot.co.uk``) and

@@ -144,7 +144,8 @@ def run_corpus_pipeline(
         # docstring). Records have no id column, so the deterministic
         # tiebreak/junk key is a content hash over the text + provenance
         # columns — identical rows tie harmlessly (any winner is the
-        # same row), differing rows never tie.
+        # same row), and NULL hashes to a marker no string value can
+        # produce, so NULL-vs-'' rows never collide (ADVICE r12).
         url_obs = cap_obs = None
         if cfg.url_col and cfg.url_col in raw.columns:
             from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
@@ -157,11 +158,20 @@ def run_corpus_pipeline(
                           "category", "layer", "origin_file")
                 if c in raw.columns
             ]
+            # per-column isNull bit prefixed to the value: NULL hashes
+            # as "1"+"" and '' as "0"+"" - no real string value can
+            # collide with NULL (a bare coalesce-to-marker could, for
+            # a row whose value IS the marker)
             row_key = F.md5(
                 F.concat_ws(
                     "\u0001",  # separator: column splits cannot alias
-                    *[F.coalesce(F.col(c).cast("string"), F.lit(""))
-                      for c in key_cols],
+                    *[
+                        F.concat(
+                            F.col(c).isNull().cast("int").cast("string"),
+                            F.coalesce(F.col(c).cast("string"), F.lit("")),
+                        )
+                        for c in key_cols
+                    ],
                 )
             )
             raw, url_obs, cap_obs = url_head_stages(

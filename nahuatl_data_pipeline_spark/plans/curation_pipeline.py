@@ -78,7 +78,11 @@ def url_head_stages(
     from the literal-tuple ``url_domain`` to the full-PSL
     ``url_domain_psl`` — still broadcast-only, still zero extra
     exchanges; the default stays the oracle-portable literal tuple
-    (q172 certifies that path).
+    (q172 certifies that path). Behavioral nuance when toggling: under
+    PSL semantics dot-less hosts (``localhost``) and hosts that ARE a
+    public suffix yield a NULL domain → per-row junk key → exempt from
+    the cap, whereas ``url_domain`` returns dot-less hosts whole and
+    caps them as a group (functions/url.py:url_domain_psl docstring).
 
     Returns ``(docs, url_obs, cap_obs)``; read the observations AFTER
     an action has run the plan (``url_dups`` / ``domain_capped``).

@@ -411,3 +411,61 @@ def test_url_head_stages_cap_key_psl_vs_literal(spark):
     # PSL: four distinct registrable domains -> nothing capped
     n_psl, capped_psl = capped(parse_public_suffix_list(_PSL_SAMPLE))
     assert (n_psl, capped_psl) == (4, 0)
+
+
+def test_url_domain_psl_www_strip_vs_exception_divergence(spark):
+    """PIN the deliberate divergence from strict publicsuffix.org
+    semantics (round-12 verdict #3): the engine strips a leading
+    ``www.`` BEFORE rule matching (www-equivalence canonicalization),
+    so a bare ``www.ck`` host reduces to ``ck`` — the ``!www.ck``
+    exception can never fire on it and the engine answers NULL, where
+    strict PSL would answer ``www.ck`` (registrable). Multi-label
+    hosts under the exception are unaffected. No certified dataset
+    plants bare exception hosts, so this choice is invisible to the
+    q171 hash (see functions/url.py:url_domain_psl docstring)."""
+    from nahuatl_data_pipeline_spark.functions.url import (
+        parse_public_suffix_list,
+        url_domain_psl,
+    )
+
+    rules = parse_public_suffix_list(_PSL_SAMPLE)
+    df = spark.createDataFrame(
+        [("https://www.ck/x",), ("https://shop.www.ck/x",)],
+        "canon string",
+    )
+    got = {
+        r["canon"]: r["domain"]
+        for r in url_domain_psl(df, "canon", rules).collect()
+    }
+    assert got["https://www.ck/x"] is None  # strict PSL: 'www.ck'
+    assert got["https://shop.www.ck/x"] == "www.ck"
+
+
+def test_parse_public_suffix_list_punycodes_idn_rules(spark):
+    """IDN rules are punycode-encoded at parse time (ADVICE r12:
+    canonicalized hosts are ASCII/punycode, so a Unicode rule as
+    written could never match). Distinguishing probe: a Unicode
+    WILDCARD rule *.中国 must make a two-label punycoded host its own
+    public suffix (NULL domain) — the implicit * fallback, which is
+    all the pre-encoding behavior amounted to, would have answered
+    the last two labels instead."""
+    from nahuatl_data_pipeline_spark.functions.url import (
+        parse_public_suffix_list,
+        url_domain_psl,
+    )
+
+    rules = parse_public_suffix_list("com\n\u4e2d\u56fd\n*.\u4e2d\u56fd\n")
+    assert "xn--fiqs8s" in rules["exact"]  # punycode of 中国
+    assert "xn--fiqs8s" in rules["wildcard"]
+    df = spark.createDataFrame(
+        [("https://site.xn--fiqs8s/p",), ("https://a.site.xn--fiqs8s/p",)],
+        "canon string",
+    )
+    got = {
+        r["canon"]: r["domain"]
+        for r in url_domain_psl(df, "canon", rules).collect()
+    }
+    # wildcard matched: site.xn--fiqs8s IS a public suffix -> NULL
+    assert got["https://site.xn--fiqs8s/p"] is None
+    # suffix+1 under the wildcard
+    assert got["https://a.site.xn--fiqs8s/p"] == "a.site.xn--fiqs8s"
