@@ -275,8 +275,21 @@ def pipeline_main() -> None:
                     )
                 ),
             )
+        # SPARK_GRAFT_PIPELINE_PSL_FILE switches the per-domain cap key
+        # from the literal-tuple url_domain to full-PSL url_domain_psl
+        # (round-12 verdict #4); ground truth via
+        # tools/predict_mixed_gates.py --url-stages --psl-file PATH.
+        psl_file = os.environ.get("SPARK_GRAFT_PIPELINE_PSL_FILE")
+        psl_rules = None
+        if psl_file:
+            from nahuatl_data_pipeline_spark.functions.url import (
+                load_public_suffix_list,
+            )
+
+            psl_rules = load_public_suffix_list(psl_file)
         cfg = CurationConfig(
-            fix_encoding=True, url_col="url", max_docs_per_domain=100
+            fix_encoding=True, url_col="url", max_docs_per_domain=100,
+            psl_rules=psl_rules,
         )
     n_input = train.count()  # also warms JVM + parquet footers
 
@@ -297,6 +310,8 @@ def pipeline_main() -> None:
         "wall_sec": wall,
         "input_rows": n_input,
         "stats": stats,
+        "url_stages": url_stages,
+        "psl": bool(os.environ.get("SPARK_GRAFT_PIPELINE_PSL_FILE")),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     cal = _merge_calibration(

@@ -1295,3 +1295,4 @@ from nahuatl_data_pipeline_spark import registry_round9  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round10  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round11  # noqa: E402,F401
 from nahuatl_data_pipeline_spark import registry_round12  # noqa: E402,F401
+from nahuatl_data_pipeline_spark import registry_round13  # noqa: E402,F401

@@ -149,6 +149,62 @@ def streaming_dedup(
     )
 
 
+def streaming_url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    canon_col: str = "canonical_url",
+    **canon_kwargs,
+) -> DataFrame:
+    """URL-canonical-key dedup as a STREAM (round-12 verdict #5) — the
+    crawl head stage for incremental crawls. ``canonicalize_url``
+    (functions/url.py, q158-certified) is a pure stateless projection,
+    so it rides the stream unchanged; the canonical-key dedup becomes
+    ``dropDuplicatesWithinWatermark`` on the canonical key, state
+    bounded by the watermark (the same shape as :func:`streaming_dedup`
+    — the reference's forever-growing in-memory index,
+    deduplication.py:19-33, is exactly what the watermark bound fixes).
+
+    Semantics vs batch ``url_dedup``: batch sees the whole corpus and
+    keeps a deterministic rank-1 row per canonical; a stream cannot, so
+    it keeps the FIRST ARRIVAL per canonical within the watermark (the
+    standard incremental-crawl contract: first crawl wins until its
+    state expires; a re-crawl after expiry starts a fresh family).
+    Junk rows (NULL url, or whitespace/fragment-only urls whose
+    canonical is NULL/empty) pass through UNDEDUPLICATED, exactly the
+    ``url_dedup`` contract — they are not one page's crawl variants,
+    and a shared NULL key would both drop documents and funnel all
+    junk through one state partition. Implemented as a filtered-stream
+    union (streaming-legal: both legs are append-mode).
+
+    On a batch DataFrame this degrades to batch ``url_dedup`` (no
+    state to bound; "first arrival" is undefined in batch, so the
+    deterministic batch order applies). Stream-vs-batch key-set
+    equality is asserted in tests/test_streaming.py.
+    """
+    from nahuatl_data_pipeline_spark.functions.url import (
+        canonicalize_url,
+        url_dedup,
+    )
+
+    if not docs.isStreaming:
+        return url_dedup(
+            docs, url_col, canon_col=canon_col, **canon_kwargs
+        )
+    out = docs.withColumn(
+        canon_col, canonicalize_url(F.col(url_col), **canon_kwargs)
+    )
+    no_key = F.col(canon_col).isNull() | (F.col(canon_col) == "")
+    deduped = (
+        out.filter(~no_key)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([canon_col])
+    )
+    return deduped.unionByName(out.filter(no_key))
+
+
 def incremental_batch(
     spark: SparkSession,
     path: str,

@@ -321,3 +321,166 @@ def test_predict_mixed_gates_url_stages_exact(tmp_path, spark):
         "output",
     ):
         assert measured[k] == predicted[k], (k, measured[k], predicted[k])
+
+
+_PSL_SNAPSHOT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "fixtures",
+    "public_suffix_snapshot.dat",
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver-generated testdata absent"
+)
+def test_mixed_native_url_matches_engine_psl_domain(tmp_path, spark):
+    """Round-12 verdict #4, one-definition guard for the PSL cap path:
+    the mixed replica's native url column must reduce — through the
+    ENGINE's url_domain_psl under the committed realistic-scale
+    snapshot — to exactly mixed_domain_sql(psl=True), row for row
+    (blog family split per-blog, everything else as the literal
+    formula), and the blog family must actually differ between the
+    literal and PSL formulas (else the planted truth certifies
+    nothing)."""
+    from pyspark.sql import functions as F
+
+    from make_scale_data import (
+        BLOG_REM,
+        CLONE_MOD,
+        make_mixed,
+        mixed_domain_sql,
+    )
+    from nahuatl_data_pipeline_spark.functions.url import (
+        canonicalize_url,
+        load_public_suffix_list,
+        url_domain_psl,
+    )
+
+    clone_dir = str(tmp_path / "clone")
+    os.makedirs(clone_dir)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{clone_dir}/{t}.parquet")
+    out = str(tmp_path / "mixed")
+    make_mixed(SF_SMOKE, clone_dir, out, factor=3)
+
+    rules = load_public_suffix_list(_PSL_SNAPSHOT)
+    base = spark.read.parquet(f"{out}/documents.parquet").withColumn(
+        "__c", canonicalize_url(F.col("url"))
+    )
+    engine = {
+        int(r["doc_id"]): r["dom"]
+        for r in url_domain_psl(base, "__c", rules, out_col="dom")
+        .select("doc_id", "dom")
+        .collect()
+    }
+    con = duckdb.connect()
+    formula = {
+        int(d): h
+        for d, h in con.sql(
+            f"SELECT doc_id, {mixed_domain_sql(psl=True)} "
+            f"FROM read_parquet('{out}/documents.parquet')"
+        ).fetchall()
+    }
+    assert engine == formula
+    # the literal and PSL formulas genuinely diverge on the blog slice
+    n_blog, n_diverge = con.sql(
+        f"""SELECT COUNT(*) FILTER (doc_id % {CLONE_MOD} = {BLOG_REM}),
+               COUNT(*) FILTER ({mixed_domain_sql(psl=True)}
+                                <> {mixed_domain_sql(psl=False)})
+        FROM read_parquet('{out}/documents.parquet')"""
+    ).fetchone()
+    assert n_blog > 0 and n_diverge == n_blog
+
+
+def test_assert_psl_closed_form_rejects_interfering_rules():
+    from predict_mixed_gates import assert_psl_closed_form
+
+    ok = {"exact": ["com", "blogspot.co.uk", "co.uk"],
+          "wildcard": ["ck"], "exception": ["www.ck"]}
+    assert_psl_closed_form(ok)  # no raise
+    import copy
+
+    for mutate in (
+        lambda r: r["exact"].remove("com"),
+        lambda r: r["exact"].remove("blogspot.co.uk"),
+        lambda r: r["wildcard"].append("com"),
+        lambda r: r["wildcard"].append("blogspot.co.uk"),
+        lambda r: r["exact"].append("ex42.com"),
+        lambda r: r["exception"].append("blog3.blogspot.co.uk"),
+    ):
+        bad = copy.deepcopy(ok)
+        mutate(bad)
+        with pytest.raises(AssertionError):
+            assert_psl_closed_form(bad)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.01"),
+    reason="driver-generated testdata absent",
+)
+def test_predict_mixed_gates_url_stages_psl_exact(tmp_path, spark):
+    """Full-stack exact ground truth for the PSL cap path (round-12
+    verdict #4): with the URL head stages ON and the cap keyed by
+    url_domain_psl under the committed snapshot, EVERY stat must match
+    the measured pipeline exactly — and the PSL run must cap LESS than
+    the literal run at the same cap (each blog is its own domain
+    instead of one folded pseudo-domain), so the path being certified
+    is demonstrably the PSL one."""
+    from pyspark.sql import functions as F
+
+    from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+        CurationConfig,
+        run_curation_pipeline,
+    )
+    from nahuatl_data_pipeline_spark.functions.url import (
+        load_public_suffix_list,
+    )
+    from make_scale_data import make_mixed
+    from predict_mixed_gates import predict
+
+    src = "/root/testdata/sf0.01"
+    clone_dir = str(tmp_path / "clone")
+    os.makedirs(clone_dir)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        os.symlink(f"{src}/{t}.parquet", f"{clone_dir}/{t}.parquet")
+    out = str(tmp_path / "mixed")
+    make_mixed(src, clone_dir, out, factor=3)
+
+    train = spark.read.parquet(f"{out}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(".")).alias("text"),
+        "url",
+    )
+    evalset = spark.read.parquet(f"{out}/evalset.parquet").select(
+        "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
+    )
+    cfg = CurationConfig(
+        fix_encoding=True, url_col="url", max_docs_per_domain=2,
+        psl_rules=load_public_suffix_list(_PSL_SNAPSHOT),
+    )
+    measured = run_curation_pipeline(
+        spark, train, str(tmp_path / "gold"), evalset=evalset, cfg=cfg
+    )
+    predicted = predict(
+        src, 3, url_stages=True, cap=2, psl_file=_PSL_SNAPSHOT
+    )["predicted"]
+    assert predicted["domain_capped"] > 0
+    for k in (
+        "input",
+        "url_dups",
+        "domain_capped",
+        "failed_c4",
+        "failed_repetition",
+        "near_dups",
+        "contaminated",
+        "output",
+    ):
+        assert measured[k] == predicted[k], (k, measured[k], predicted[k])
+    literal = predict(src, 3, url_stages=True, cap=2)["predicted"]
+    assert literal["domain_capped"] > predicted["domain_capped"]

@@ -418,3 +418,136 @@ def test_dedup_within_watermark_expires_state(spark, tmp_path):
     assert out.filter(F.col("event_id") == 99).count() == 1
     assert out.filter(F.col("event_id") == 98).count() == 1
     assert out.count() == 4
+
+
+def test_streaming_url_dedup_stream_equals_batch_keysets(spark, tmp_path):
+    """streaming_url_dedup (round-12 verdict #5): the canonical-key
+    dedup as a stream. First-arrival-wins means the surviving ROW per
+    family is arrival-order-dependent, but the surviving KEY SET is
+    not — assert (a) exactly one survivor per canonical family, (b)
+    the canonical key set equals the batch url_dedup's, (c) junk rows
+    (NULL / whitespace-only urls) all pass through undeduplicated,
+    (d) the batch degradation IS url_dedup (deterministic winner)."""
+    from nahuatl_data_pipeline_spark.functions.url import url_dedup
+    from nahuatl_data_pipeline_spark.streaming.incremental import (
+        run_stream_to_memory,
+        streaming_url_dedup,
+    )
+
+    rows = [
+        # one page, three crawl variants (tracking param / fragment)
+        (1, "2024-01-01 10:00:00", "https://ex.com/p?utm_source=a"),
+        (2, "2024-01-01 10:05:00", "https://ex.com/p#top"),
+        (3, "2024-01-01 10:10:00", "https://www.ex.com/p"),
+        # a second page, two variants
+        (4, "2024-01-01 10:00:00", "https://other.com/q?b=2&a=1"),
+        (5, "2024-01-01 10:01:00", "https://other.com/q?a=1&b=2"),
+        # a singleton
+        (6, "2024-01-01 10:02:00", "https://solo.com/x"),
+        # junk: NULL and whitespace-only — must pass through
+        (7, "2024-01-01 10:03:00", None),
+        (8, "2024-01-01 10:04:00", "   "),
+    ]
+    schema = "doc_id long, ts string, url string"
+    path = str(tmp_path / "crawl")
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.parquet(path)
+    read_schema = "doc_id long, ts timestamp, url string"
+
+    stream = streaming_url_dedup(
+        spark.readStream.schema(read_schema).parquet(path),
+        "url",
+        watermark="1 hour",
+    )
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "url_dedup_stream")
+    got = spark.table("url_dedup_stream")
+
+    batch = url_dedup(
+        spark.read.schema(read_schema).parquet(path), "url"
+    )
+    key = lambda frame: sorted(
+        r["canonical_url"]
+        for r in frame.select("canonical_url").collect()
+        if r["canonical_url"]
+    )
+    assert key(got) == key(batch) == sorted(
+        ["https://ex.com/p", "https://other.com/q?a=1&b=2",
+         "https://solo.com/x"]
+    )
+    # junk passes through on both legs
+    junk_ids = sorted(
+        r["doc_id"]
+        for r in got.filter(
+            F.col("canonical_url").isNull()
+            | (F.col("canonical_url") == "")
+        ).collect()
+    )
+    assert junk_ids == [7, 8]
+    assert got.count() == 5  # 3 survivors + 2 junk
+    # batch degradation: plain url_dedup, deterministic winners
+    deg = streaming_url_dedup(
+        spark.read.schema(read_schema).parquet(path), "url"
+    )
+    assert not deg.isStreaming
+    assert sorted(map(tuple, deg.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_streaming_url_dedup_first_arrival_within_watermark(spark, tmp_path):
+    """Two micro-batches through one checkpoint: the first crawl of a
+    page wins; a re-crawl arriving in a later batch (state still live
+    under the watermark) is dropped. Parquet sink — the memory sink
+    cannot recover from a checkpoint."""
+    from nahuatl_data_pipeline_spark.streaming.incremental import (
+        streaming_url_dedup,
+    )
+
+    path = str(tmp_path / "crawl2")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, ts timestamp, url string"
+
+    def drain():
+        stream = streaming_url_dedup(
+            spark.readStream.schema(schema).parquet(path),
+            "url",
+            watermark="4 hours",
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "https://a.com/p?utm_source=x")],
+        "doc_id long, ts string, url string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(path)
+    drain()
+    # second file = a re-crawl of the same page + a new page
+    spark.createDataFrame(
+        [
+            (2, "2024-01-01 10:30:00", "https://a.com/p"),
+            (3, "2024-01-01 10:31:00", "https://b.com/q"),
+        ],
+        "doc_id long, ts string, url string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "append"
+    ).parquet(path)
+    drain()
+    out = {
+        int(r["doc_id"]): r["canonical_url"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # doc 1 (first crawl) won; doc 2's re-crawl was dropped by live
+    # state; doc 3 is a new page
+    assert set(out) == {1, 3}
+    assert out[1] == "https://a.com/p"

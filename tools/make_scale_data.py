@@ -121,6 +121,29 @@ def replicate(src: str, out: str, factor: int = 10) -> None:
 HELDOUT_MOD = 101
 CLONE_MOD = 10
 LEAK_MOD, LEAK_REM = 1000, 500  # % CLONE_MOD == 0; leak_where() excludes held-out
+# PSL-differentiated host family (round-12 verdict #4): the unique-
+# flavor slice s % CLONE_MOD == BLOG_REM hosts its pages on
+# blog{s % BLOG_HOSTS}.blogspot.co.uk. Under the literal-tuple
+# url_domain ALL of them fold into ONE pseudo-domain ('blogspot.co.uk'
+# — co.uk is a two-label suffix, so last-3 = blogspot.co.uk) and the
+# per-domain cap treats f×~10% of the corpus as one site; under full
+# PSL semantics (blogspot.co.uk is an exact PRIVATE rule) each blog is
+# its own registrable domain capped individually. Both outcomes are
+# closed-form predictable (mixed_domain_sql(psl=...)). BLOG_REM is odd,
+# so the www. decoration (even s) never lands on this family.
+BLOG_REM = 5
+BLOG_HOSTS = 23
+
+
+def unique_host_sql(s: str) -> str:
+    """Host of a UNIQUE-flavor doc with source id expression ``s`` —
+    shared by the url/canonical/domain formulas below (one definition)."""
+    return (
+        f"CASE WHEN ({s}) % {CLONE_MOD} = {BLOG_REM} "
+        f"THEN 'blog' || CAST(({s}) % {BLOG_HOSTS} AS VARCHAR) "
+        f"|| '.blogspot.co.uk' "
+        f"ELSE 'ex' || CAST(({s}) % 499 AS VARCHAR) || '.com' END"
+    )
 
 
 def leak_where(col: str = "doc_id") -> str:
@@ -157,11 +180,15 @@ def mixed_url_sql(i: int, col: str = "doc_id") -> str:
       whole f-member family to ``https://clone{s}.com/page``, so URL
       dedup removes the re-crawls BEFORE any content stage;
     - UNIQUE flavor: each copy is its OWN page (replica id in the PATH)
-      on host ``ex{s % 499}.com``, decorated with a variant that
+      on host ``ex{s % 499}.com`` — or, for the ``s % 10 == BLOG_REM``
+      slice, ``blog{s % 23}.blogspot.co.uk`` (the PSL-differentiated
+      family, see BLOG_REM above) — decorated with a variant that
       canonicalizes away (utm param / ``#fragment`` / nothing, cycling
       on ``(s + i) % 3``) plus a ``www.`` prefix for even ``s`` — urls
       differ, canonicals stay distinct, and the per-domain cap gets
-      ~f·9 docs per ``ex`` host to bite on at decade factors.
+      ~f·9 docs per ``ex`` host (and f·~2% of the corpus per blog host,
+      or ALL of the blog slice under one key with literal-tuple
+      domains) to bite on at decade factors.
 
     The canonical/domain each URL reduces to is ``mixed_canonical_sql``
     / ``mixed_domain_sql`` — asserted equal to the ENGINE's
@@ -178,7 +205,7 @@ def mixed_url_sql(i: int, col: str = "doc_id") -> str:
     )
     www = f"CASE WHEN {col} % 2 = 0 THEN 'https://www.' ELSE 'https://' END"
     unique = (
-        f"({www}) || 'ex' || CAST({col} % 499 AS VARCHAR) || '.com/p/' || "
+        f"({www}) || ({unique_host_sql(col)}) || '/p/' || "
         f"CAST({col} AS VARCHAR) || '/r{i}' || ({deco})"
     )
     return f"CASE WHEN {col} % {CLONE_MOD} = 0 THEN {clone} ELSE {unique} END"
@@ -192,19 +219,31 @@ def mixed_canonical_sql(col: str = "doc_id") -> str:
     i = f"({col} // {OFFSET})"
     clone = f"'https://clone' || CAST({s} AS VARCHAR) || '.com/page'"
     unique = (
-        f"'https://ex' || CAST({s} % 499 AS VARCHAR) || '.com/p/' || "
+        f"'https://' || ({unique_host_sql(s)}) || '/p/' || "
         f"CAST({s} AS VARCHAR) || '/r' || CAST({i} AS VARCHAR)"
     )
     return f"CASE WHEN {col} % {CLONE_MOD} = 0 THEN {clone} ELSE {unique} END"
 
 
-def mixed_domain_sql(col: str = "doc_id") -> str:
+def mixed_domain_sql(col: str = "doc_id", psl: bool = False) -> str:
     """Registered domain of a SHIFTED mixed doc_id — what ``url_domain``
-    produces on the canonical (engine-asserted alongside the above)."""
+    (``psl=False``) or ``url_domain_psl`` with a PSL file that passes
+    ``predict_mixed_gates.assert_psl_closed_form`` (``psl=True``)
+    produces on the canonical (engine-asserted alongside the above,
+    both variants). The two differ ONLY on the blog family: literal
+    tuple folds every blog under 'blogspot.co.uk'; PSL keeps each
+    blog{k}.blogspot.co.uk its own registrable domain."""
     s = f"({col} % {OFFSET})"
+    blog_domain = (
+        f"'blog' || CAST({s} % {BLOG_HOSTS} AS VARCHAR) "
+        f"|| '.blogspot.co.uk'"
+        if psl
+        else "'blogspot.co.uk'"
+    )
     return (
         f"CASE WHEN {col} % {CLONE_MOD} = 0 "
         f"THEN 'clone' || CAST({s} AS VARCHAR) || '.com' "
+        f"WHEN {col} % {CLONE_MOD} = {BLOG_REM} THEN {blog_domain} "
         f"ELSE 'ex' || CAST({s} % 499 AS VARCHAR) || '.com' END"
     )
 

@@ -34,11 +34,16 @@ the full corpus, so raw text feeds the pair enumeration.
 
 Usage:
     python tools/predict_mixed_gates.py SRC_SF01 FACTOR [--url-stages]
+        [--psl-file PATH]
 prints one JSON line {"factor": f, "exact": true, "predicted": {...}};
 every ``predicted`` value is exact, no bands. ``--url-stages`` predicts
 the SPARK_GRAFT_PIPELINE_URL_STAGES=1 configuration: the URL-dedup +
 domain-cap survivor set is enumerated first (the replica's NATIVE url
-column) and every content gate is predicted over it.
+column) and every content gate is predicted over it. ``--psl-file``
+(with --url-stages) predicts the SPARK_GRAFT_PIPELINE_PSL_FILE
+configuration — the per-domain cap keyed by ``url_domain_psl`` instead
+of the literal tuple — after verifying the file satisfies
+``assert_psl_closed_form`` (round-12 verdict #4).
 """
 
 from __future__ import annotations
@@ -84,8 +89,38 @@ def _mixed_corpus_sql(src: str, factor: int, with_url: bool = False) -> str:
     return f"SELECT doc_id, text || '.' AS text{u} FROM ({union})"
 
 
+def assert_psl_closed_form(rules: dict[str, list[str]]) -> None:
+    """Precondition for using ``mixed_domain_sql(psl=True)`` as the
+    exact domain formula under an ARBITRARY ``--psl-file``: the file
+    must resolve the three planted host families exactly as the closed
+    form says — ``com`` and ``blogspot.co.uk`` present as exact rules,
+    and no other rule that could match a planted host and change its
+    suffix (a ``*.com``/``*.blogspot.co.uk`` wildcard, or an exact/
+    exception rule naming a planted host). Anything else in the file is
+    irrelevant to these hosts by the longest-match algorithm. The real
+    publicsuffix.org file and the committed snapshot both pass."""
+    import re
+
+    exact = set(rules.get("exact", []))
+    wild = set(rules.get("wildcard", []))
+    exc = set(rules.get("exception", []))
+    assert "com" in exact, "psl file lacks the 'com' rule"
+    assert "blogspot.co.uk" in exact, (
+        "psl file lacks the 'blogspot.co.uk' private-domain rule"
+    )
+    assert "com" not in wild and "blogspot.co.uk" not in wild, (
+        "a *.com / *.blogspot.co.uk wildcard would change planted suffixes"
+    )
+    host_pat = re.compile(
+        r"(clone[0-9]+\.com|ex[0-9]+\.com|blog[0-9]+\.blogspot\.co\.uk)$"
+    )
+    bad = [r for r in exact | wild | exc if host_pat.fullmatch(r)]
+    assert not bad, f"psl rules name planted hosts: {bad[:5]}"
+
+
 def _url_stage_survivors(
-    con: duckdb.DuckDBPyConnection, src: str, factor: int, cap: int
+    con: duckdb.DuckDBPyConnection, src: str, factor: int, cap: int,
+    psl: bool = False,
 ) -> tuple[set[int], int, int]:
     """(survivor doc_ids, url_dups, domain_capped) of the URL head
     stages, enumerated exactly as the pipeline's two windows compute
@@ -103,7 +138,7 @@ def _url_stage_survivors(
         WITH c AS (
           SELECT doc_id, url,
                  {mixed_canonical_sql()} AS canon,
-                 {mixed_domain_sql()} AS dom
+                 {mixed_domain_sql(psl=psl)} AS dom
           FROM ({base})
         ),
         d AS (
@@ -258,13 +293,26 @@ def _probe_flags(src: str, tmp: str) -> dict[int, dict[str, bool]]:
 
 
 def predict(
-    src: str, factor: int, url_stages: bool = False, cap: int = 100
+    src: str, factor: int, url_stages: bool = False, cap: int = 100,
+    psl_file: str | None = None,
 ) -> dict:
     """Exact predicted stats for ``bench.py --pipeline`` on the factor-f
     mixed replica; with ``url_stages`` (the SPARK_GRAFT_PIPELINE_URL_
     STAGES=1 configuration) the URL-dedup/domain-cap survivor set is
     enumerated FIRST and every content gate is predicted over it —
-    the full-stack ground truth (round-11 verdict #3)."""
+    the full-stack ground truth (round-11 verdict #3). ``psl_file``
+    (the SPARK_GRAFT_PIPELINE_PSL_FILE configuration, round-12 verdict
+    #4) switches the cap-key formula to the PSL closed form after
+    verifying the file satisfies ``assert_psl_closed_form``."""
+    psl = psl_file is not None
+    if psl and not url_stages:
+        raise ValueError("--psl-file only affects the --url-stages cap key")
+    if psl:
+        from nahuatl_data_pipeline_spark.functions.url import (
+            load_public_suffix_list,
+        )
+
+        assert_psl_closed_form(load_public_suffix_list(psl_file))
     con = duckdb.connect()
     tmp = tempfile.mkdtemp(prefix="mixed_probe_")
     con.sql(
@@ -280,7 +328,7 @@ def predict(
     survivors = url_dups = domain_capped = None
     if url_stages:
         survivors, url_dups, domain_capped = _url_stage_survivors(
-            con, src, factor, cap
+            con, src, factor, cap, psl=psl
         )
     non_canonical, clustered = _exact_dup_sets(
         con, src, factor, survivors=survivors
@@ -324,19 +372,27 @@ def predict(
         "factor": factor,
         "exact": True,
         "url_stages": url_stages,
+        "psl": psl,
         "clustered_docs": len(clustered),
         "predicted": counts,
     }
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--url-stages"]
+    argv = sys.argv[1:]
+    psl_file = None
+    if "--psl-file" in argv:
+        i = argv.index("--psl-file")
+        psl_file = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--url-stages"]
     print(
         json.dumps(
             predict(
                 args[0] if args else "/root/testdata/sf0.1",
                 int(args[1]) if len(args) > 1 else 30,
-                url_stages="--url-stages" in sys.argv[1:],
+                url_stages="--url-stages" in argv,
+                psl_file=psl_file,
             ),
             separators=(",", ":"),
         )

@@ -53,18 +53,35 @@ def _has_url_column(con: duckdb.DuckDBPyConnection, docs: str) -> bool:
     return "url" in cols
 
 
-def predict(sf_dir: str) -> dict[str, int]:
+def predict(sf_dir: str, psl_file: str | None = None) -> dict[str, int]:
     con = duckdb.connect()
     docs = os.path.join(sf_dir, "documents.parquet")
     if _has_url_column(con, docs):
         from make_scale_data import mixed_canonical_sql, mixed_domain_sql
 
+        if psl_file is not None:
+            # PSL cap-key configuration (SPARK_GRAFT_PIPELINE_PSL_FILE):
+            # closed-form valid iff the file resolves the planted host
+            # families as the formula says — verified, not assumed
+            sys.path.insert(
+                0,
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            from nahuatl_data_pipeline_spark.functions.url import (
+                load_public_suffix_list,
+            )
+            from predict_mixed_gates import assert_psl_closed_form
+
+            assert_psl_closed_form(load_public_suffix_list(psl_file))
+
         canon_sql = f"""
         SELECT doc_id,
                {mixed_canonical_sql()} AS c,
-               {mixed_domain_sql()} AS host
+               {mixed_domain_sql(psl=psl_file is not None)} AS host
         FROM read_parquet('{docs}')
         """
+    elif psl_file is not None:
+        raise ValueError("--psl-file requires a native-url replica")
     else:
         train_filter = (
             "TRUE"
@@ -96,4 +113,10 @@ def predict(sf_dir: str) -> dict[str, int]:
 
 
 if __name__ == "__main__":
-    print(json.dumps(predict(sys.argv[1])))
+    argv = sys.argv[1:]
+    psl_file = None
+    if "--psl-file" in argv:
+        i = argv.index("--psl-file")
+        psl_file = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    print(json.dumps(predict(argv[0], psl_file=psl_file)))
