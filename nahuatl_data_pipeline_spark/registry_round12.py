@@ -83,19 +83,23 @@ def _q171_urls_sql() -> str:
 """
 
 
-def _q171_sql() -> str:
-    """DuckDB mirror of ``url_domain_psl`` over ``_Q171_RULES``: the
-    same candidate-slice / longest-match / exception-override /
-    implicit-default algorithm, generated from the same rule literal.
-    Host extraction shares ``registry.host_strip_sql`` (one definition
-    with the q164/q172 mirrors); the registered-domain CASE is PSL-
-    specific by design (that is what q171 certifies)."""
-    from nahuatl_data_pipeline_spark.registry import host_strip_sql
+def psl_oracle_ctes(
+    rules: dict[str, tuple[str, ...]], src_cte: str = "hosts"
+) -> str:
+    """ONE definition of the DuckDB PSL-algorithm mirror (the
+    banded_candidates_ctes pattern, CLAUDE.md rule): given a prior CTE
+    ``src_cte`` exposing a ``host`` column, emit the
+    ``lab``/``suf``/``dom`` CTE chain whose ``dom`` carries every
+    ``src_cte`` column plus ``domain`` — candidate last-k-label slices
+    joined against per-length rule sets, longest-match suffix length,
+    exception override, implicit ``*`` default, suffix+1 registered
+    domain, IPv4/bracketed-IPv6/public-suffix-host short-circuits.
+    Shared by the q171 (stats) and q174 (composed head stages) oracles
+    so the algorithm mirror cannot drift between them."""
     by_len: dict[tuple[str, int], list[str]] = {}
-    for kind, rules in _Q171_RULES.items():
-        for r in rules:
+    for kind, rs in rules.items():
+        for r in rs:
             by_len.setdefault((kind, r.count(".") + 1), []).append(r)
-    max_k = max(k for _, k in by_len)
 
     def in_list(expr: str, vals: list[str]) -> str:
         return f"{expr} IN ({', '.join(repr(v) for v in sorted(set(vals)))})"
@@ -106,35 +110,28 @@ def _q171_sql() -> str:
 
     contribs = ["1"]  # implicit * default rule
     exc_cases = []
-    for (kind, k), rules in sorted(by_len.items()):
+    for (kind, k), rs in sorted(by_len.items()):
         if kind == "exact":
             contribs.append(
-                f"CASE WHEN nl >= {k} AND {in_list(cand(k), rules)} "
+                f"CASE WHEN nl >= {k} AND {in_list(cand(k), rs)} "
                 f"THEN {k} ELSE 1 END"
             )
         elif kind == "wildcard":
             contribs.append(
-                f"CASE WHEN nl >= {k + 1} AND {in_list(cand(k), rules)} "
+                f"CASE WHEN nl >= {k + 1} AND {in_list(cand(k), rs)} "
                 f"THEN {k + 1} ELSE 1 END"
             )
         else:
             exc_cases.append(
-                f"WHEN nl >= {k} AND {in_list(cand(k), rules)} THEN {k - 1}"
+                f"WHEN nl >= {k} AND {in_list(cand(k), rs)} THEN {k - 1}"
             )
     exc_sql = (
         "CASE " + " ".join(exc_cases) + " END" if exc_cases else "NULL"
     )
-    return f"""
-    WITH urls AS ({_q171_urls_sql()}),
-    hosts AS (
-      SELECT doc_id, url,
-             {host_strip_sql("url")} AS host
-      FROM urls
-    ),
-    lab AS (
-      SELECT doc_id, url, host, STRING_SPLIT(host, '.') AS labels,
+    return f"""lab AS (
+      SELECT *, STRING_SPLIT(host, '.') AS labels,
              LEN(STRING_SPLIT(host, '.')) AS nl
-      FROM hosts
+      FROM {src_cte}
     ),
     suf AS (
       SELECT *,
@@ -142,7 +139,7 @@ def _q171_sql() -> str:
       FROM lab
     ),
     dom AS (
-      SELECT doc_id, url,
+      SELECT *,
              CASE WHEN host IS NULL OR host = '' THEN NULL
                   WHEN REGEXP_MATCHES(host, '^\\[') THEN host
                   WHEN REGEXP_MATCHES(host, '^[0-9]+(\\.[0-9]+){{3}}$')
@@ -150,7 +147,29 @@ def _q171_sql() -> str:
                   WHEN nl > s THEN ARRAY_TO_STRING(labels[nl - s:nl], '.')
                   ELSE NULL END AS domain
       FROM suf
-    )
+    )"""
+
+
+def _q171_sql() -> str:
+    """DuckDB mirror of ``url_domain_psl`` over ``_Q171_RULES`` via the
+    shared :func:`psl_oracle_ctes` builder (round-13 refactor — OUTPUT-
+    IDENTICAL: the builder emits the same lab/suf/dom algebra with
+    SELECT * instead of a named projection, and the final aggregate
+    projects the identical (domain, n_docs, n_pages) columns, so the
+    result set is unchanged at any scale and no recertification pin is
+    needed). Host extraction shares ``registry.host_strip_sql`` (one
+    definition with the q164/q172 mirrors); the registered-domain CASE
+    is PSL-specific by design (that is what q171 certifies)."""
+    from nahuatl_data_pipeline_spark.registry import host_strip_sql
+
+    return f"""
+    WITH urls AS ({_q171_urls_sql()}),
+    hosts AS (
+      SELECT doc_id, url,
+             {host_strip_sql("url")} AS host
+      FROM urls
+    ),
+    {psl_oracle_ctes(_Q171_RULES)}
     SELECT domain,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT url) AS BIGINT) AS n_pages
@@ -233,23 +252,12 @@ def q171_psl_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q172_CAP = 3  # small enough to bite on q164's ~70-doc domains at sf0.01
 
 
-def _q172_sql() -> str:
-    """DuckDB ROW_NUMBER mirror of url_head_stages over q164's URL
-    table: canonicalization via the shared _CANON_CTES, url_domain via
-    the q164 regex mirror, dedup rank-1 per canonical ordered by (raw
-    url, doc_id), md5('42:' || url)-ordered per-domain cap, per-row
-    CHR(0) junk keys for NULL/empty canonicals (never capped: the cap
-    flag requires a non-NULL domain)."""
-    from nahuatl_data_pipeline_spark.registry import (
-        _Q164_URLS_SQL,
-        domain_case_sql,
-        host_strip_sql,
-    )
-    from nahuatl_data_pipeline_spark.registry_round9 import _CANON_CTES
-    return f"""
-    WITH urls AS ({_Q164_URLS_SQL}),
-    {_CANON_CTES},
-    keyed AS (
+def url_dedup_ctes() -> str:
+    """``keyed``/``dedup`` CTE pair mirroring ``url_head_stages``' first
+    window over a prior ``canon`` CTE (rank-1 per canonical ordered by
+    raw url then doc_id; per-row CHR(0) junk keys for NULL/empty
+    canonicals) — ONE definition shared by the q172/q174 oracles."""
+    return """keyed AS (
       SELECT doc_id, url, canonical_url,
              CASE WHEN canonical_url IS NULL OR canonical_url = ''
                   THEN CHR(0) || 'junk:' || CAST(doc_id AS VARCHAR)
@@ -262,7 +270,41 @@ def _q172_sql() -> str:
           PARTITION BY dk ORDER BY url ASC, doc_id ASC) AS rn
         FROM keyed
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+def cap_select_sql(cap: int, src: str = "dom") -> str:
+    """Final per-domain-cap SELECT mirroring ``url_head_stages``' second
+    window over a CTE exposing (doc_id, url, domain): keep the first
+    ``cap`` rows per domain ordered by (md5('42:'||url), url, doc_id) —
+    ``seeded_md5``'s exact expression — with NULL-domain rows never
+    capped. ONE definition shared by the q172/q174 oracles."""
+    return f"""SELECT doc_id, url FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY COALESCE(domain,
+                              CHR(0) || 'junk:' || CAST(doc_id AS VARCHAR))
+        ORDER BY MD5('42:' || url) ASC, url ASC, doc_id ASC) AS rn2
+      FROM {src}
+    ) WHERE domain IS NULL OR rn2 <= {cap}"""
+
+
+def _q172_sql() -> str:
+    """DuckDB ROW_NUMBER mirror of url_head_stages over q164's URL
+    table: canonicalization via the shared _CANON_CTES, url_domain via
+    the q164 regex mirror, dedup + cap windows via the shared
+    :func:`url_dedup_ctes`/:func:`cap_select_sql` builders (round-13
+    refactor — OUTPUT-IDENTICAL: the builders emit the exact CTE text
+    previously inlined here, so no recertification pin is needed)."""
+    from nahuatl_data_pipeline_spark.registry import (
+        _Q164_URLS_SQL,
+        domain_case_sql,
+        host_strip_sql,
+    )
+    from nahuatl_data_pipeline_spark.registry_round9 import _CANON_CTES
+    return f"""
+    WITH urls AS ({_Q164_URLS_SQL}),
+    {_CANON_CTES},
+    {url_dedup_ctes()},
     hosts AS (
       SELECT doc_id, url,
              {host_strip_sql("canonical_url")} AS host
@@ -273,13 +315,7 @@ def _q172_sql() -> str:
              {domain_case_sql("host")} AS domain
       FROM hosts
     )
-    SELECT doc_id, url FROM (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY COALESCE(domain,
-                              CHR(0) || 'junk:' || CAST(doc_id AS VARCHAR))
-        ORDER BY MD5('42:' || url) ASC, url ASC, doc_id ASC) AS rn2
-      FROM dom
-    ) WHERE domain IS NULL OR rn2 <= {_Q172_CAP}
+    {cap_select_sql(_Q172_CAP)}
 """
 
 

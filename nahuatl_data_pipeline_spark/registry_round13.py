@@ -16,9 +16,18 @@
   WINNER's source, the consolidation-report convention), mean/min/max
   chosen-rejected score delta and mean prompt length.
 
-Kept SMALL (1 entry): round 13 must let the 23-query r09-stale tail
+- q174: the composed URL head stages WITH the PSL cap key — the exact
+  configuration the round-13 decade rows and ``curate --psl-file``
+  execute. q171 certifies ``url_domain_psl`` in isolation, q172 the
+  head windows with the literal-tuple key; q174 closes the composition
+  gap. Its oracle is assembled ENTIRELY from shared builders
+  (``_CANON_CTES``, ``url_dedup_ctes``, ``psl_oracle_ctes``,
+  ``cap_select_sql``, ``host_strip_sql``) so no mirror fragment can
+  drift from the queries that certify the pieces.
+
+Kept SMALL (2 entries): round 13 must let the 23-query r09-stale tail
 (q107, q109–q124, q157–q162) rotate through the 50-slot certification
-window (round-12 verdict #1) — 1 new + 23 stale leaves 26 slots of
+window (round-12 verdict #1) — 2 new + 23 stale leaves 25 slots of
 younger rounds, clearing the union staleness floor to r10.
 """
 
@@ -133,3 +142,82 @@ def q173_dpo_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(delta), 4).alias("max_delta"),
         F.round(F.avg(F.length("prompt")), 4).alias("mean_prompt_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q174: composed URL head stages WITH the PSL cap key (the round-13
+# decade-row configuration, hash-certified)
+# ---------------------------------------------------------------------------
+
+_Q174_CAP = 2  # small enough to bite on q171's per-domain families at sf0.01
+
+
+def _q174_sql() -> str:
+    """DuckDB mirror of url_head_stages(psl_rules=...) over q171's URL
+    table: canonicalization via the shared _CANON_CTES, dedup + cap
+    windows via the shared url_dedup_ctes/cap_select_sql builders (one
+    definition with q172), host extraction via registry.host_strip_sql,
+    and the registered domain via the shared psl_oracle_ctes PSL-
+    algorithm mirror (one definition with q171) — every fragment of
+    this oracle is a shared builder; q174 itself only composes them,
+    which is exactly what it certifies about the engine side."""
+    from nahuatl_data_pipeline_spark.registry import host_strip_sql
+    from nahuatl_data_pipeline_spark.registry_round9 import _CANON_CTES
+    from nahuatl_data_pipeline_spark.registry_round12 import (
+        _Q171_RULES,
+        _q171_urls_sql,
+        cap_select_sql,
+        psl_oracle_ctes,
+        url_dedup_ctes,
+    )
+
+    return f"""
+    WITH urls AS (
+      SELECT doc_id, 0 AS n_chars, url FROM ({_q171_urls_sql()})
+    ),
+    {_CANON_CTES},
+    {url_dedup_ctes()},
+    hosts AS (
+      SELECT doc_id, url,
+             {host_strip_sql("canonical_url")} AS host
+      FROM dedup
+    ),
+    {psl_oracle_ctes(_Q171_RULES)}
+    {cap_select_sql(_Q174_CAP)}
+"""
+
+
+@register("q174_url_head_psl_survivors", _q174_sql())
+def q174_url_head_psl_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl head block WITH the PSL cap key
+    (plans/curation_pipeline.py:url_head_stages(psl_rules=...) — the
+    exact configuration the round-13 PSL decade rows and
+    `curate --psl-file` execute), certified row-for-row. q171 certifies
+    url_domain_psl in isolation and q172 certifies the head windows
+    with the literal-tuple key; this closes the remaining gap — the
+    COMPOSITION: canonical-key dedup feeding broadcast-only PSL domain
+    extraction feeding the md5-ordered per-domain cap, junk rows (NULL
+    urls planted by q171's table) passing both windows on per-row keys,
+    hosts that ARE a public suffix (a.b{k}.ck under *.ck) yielding NULL
+    domains and therefore exempt from the cap (the documented PSL
+    nuance), IPv4 literals capped as their own domains. Still two
+    window shuffles keyed on bytes of URL; the PSL joins add zero
+    exchanges (q171/plan-asserted)."""
+    from nahuatl_data_pipeline_spark.plans.curation_pipeline import (
+        url_head_stages,
+    )
+    from nahuatl_data_pipeline_spark.registry_round12 import (
+        _Q171_RULES,
+        _q171_url_table,
+    )
+
+    urls = _q171_url_table(spark, sf_dir).select("doc_id", "url")
+    rules = {k: list(v) for k, v in _Q171_RULES.items()}
+    out, _, _ = url_head_stages(
+        urls,
+        "url",
+        F.col("doc_id"),
+        max_docs_per_domain=_Q174_CAP,
+        psl_rules=rules,
+    )
+    return out.select("doc_id", "url")
