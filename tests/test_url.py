@@ -564,3 +564,91 @@ def test_url_domain_psl_snapshot_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     # and the result is actually computed through the full table
     assert out.filter(F.col("domain").isNotNull()).count() == 1000
+
+
+def _psl_reference_domain(host, rules):
+    """Independent pure-Python publicsuffix algorithm (longest-match,
+    wildcard +1 label, exception k-1 override, implicit *), matching
+    the engine's documented www-strip divergence by receiving the
+    already-stripped host. A THIRD implementation besides the Spark
+    broadcast-join chain and the DuckDB oracle mirror — all three must
+    agree."""
+    if host is None or host == "":
+        return None
+    if host.startswith("["):
+        return host
+    import re
+
+    if re.fullmatch(r"[0-9]+(\.[0-9]+){3}", host):
+        return host
+    labels = host.split(".")
+    n = len(labels)
+
+    def tail(k):
+        return ".".join(labels[-k:]) if k <= n else None
+
+    suffix = 1  # implicit *
+    for r in rules.get("exact", []):
+        k = r.count(".") + 1
+        if tail(k) == r:
+            suffix = max(suffix, k)
+    for r in rules.get("wildcard", []):
+        k = r.count(".") + 1
+        if tail(k) == r and n >= k + 1:
+            suffix = max(suffix, k + 1)
+    for r in rules.get("exception", []):
+        k = r.count(".") + 1
+        if tail(k) == r:
+            suffix = k - 1
+            break
+    if n > suffix:
+        return ".".join(labels[-(suffix + 1):])
+    return None
+
+
+def test_url_domain_psl_agrees_with_python_reference(spark):
+    """Three-way agreement on a generated host corpus that hits every
+    rule shape in the committed snapshot: the Spark broadcast-join
+    chain must equal the independent pure-Python reference for every
+    host (the DuckDB mirror is the third leg, certified by q171/q174)."""
+    from nahuatl_data_pipeline_spark.functions.url import url_domain_psl
+
+    rules = _snapshot_rules()
+    hosts = []
+    # one host family per rule shape: below / at / above each rule
+    samples = (
+        [r for r in rules["exact"][:40]]
+        + [r for r in rules["exact"] if r.count(".") >= 3][:20]
+        + rules["wildcard"][:20]
+        + rules["exception"][:14]
+    )
+    for r in samples:
+        hosts += [r, f"site.{r}", f"deep.site.{r}"]
+    hosts += [
+        "plain.unknowntld",
+        "a.b.c.unknowntld",
+        "singleton",
+        "10.0.0.1",
+        "[::1]",
+    ]
+    hosts = sorted(set(hosts))
+    df = spark.createDataFrame(
+        [(f"https://{h}/p",) for h in hosts if not h.startswith("[")]
+        + [("https://[::1]/p",)],
+        "canon string",
+    )
+    got = {
+        r["canon"]: r["domain"]
+        for r in url_domain_psl(df, "canon", rules).collect()
+    }
+    checked = 0
+    for h in hosts:
+        canon = f"https://{h}/p"
+        if canon not in got:
+            continue
+        want = _psl_reference_domain(
+            h[4:] if h.startswith("www.") else h, rules
+        )
+        assert got[canon] == want, (h, got[canon], want)
+        checked += 1
+    assert checked >= 250
