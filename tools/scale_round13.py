@@ -143,8 +143,119 @@ def psl_probe(sf_dir: str, repeat: int = 2) -> None:
     )
 
 
-if __name__ == "__main__":
-    psl_probe(
-        sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf3m",
-        int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+def stream_probe(
+    sf_dir: str, n_files: int = 16, files_per_trigger: int = 2
+) -> None:
+    """Decade throughput/state probe for ``streaming_url_dedup``.
+
+    Stages the replica's documents as ``n_files`` parquet files and
+    replays them as a file-source stream (``maxFilesPerTrigger`` →
+    multiple micro-batches, the incremental-crawl arrival shape), with
+    the q158-canonical dedup as ``dropDuplicatesWithinWatermark``. A
+    deterministic event time is synthesized from doc_id (no wall-clock
+    in the data). The watermark delay (25 h) exceeds the synthesized
+    <24 h ts span, so no state is evicted mid-run and the stream's
+    output must equal batch ``url_dedup`` exactly — counted from the
+    parquet sink, not trusted from progress events. Reports wall,
+    rows/s, micro-batch count, peak state rows/bytes (the 100 TB
+    argument: state = one row per canonical key inside the watermark
+    horizon, never the corpus), plus md5 calibration brackets.
+
+    Usage: python tools/scale_round13.py stream /tmp/scale_sf3m [n_files]
+    """
+    import shutil
+    import tempfile
+
+    from nahuatl_data_pipeline_spark.functions.url import url_dedup
+    from nahuatl_data_pipeline_spark.streaming.incremental import (
+        streaming_url_dedup,
     )
+
+    spark = get_spark(app_name="nahuatl-scale-round13-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stream_url_", dir="/tmp")
+    src, sink, ckpt = (os.path.join(work, d) for d in ("src", "out", "ckpt"))
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if "url" not in docs.columns:
+        # base testdata has no native url column (only --mixed replicas
+        # do) — fall back to the q158 synthetic crawl table so the
+        # probe also runs at smoke scale
+        from nahuatl_data_pipeline_spark.registry_round9 import _url_table
+
+        docs = _url_table(spark, sf_dir)
+    staged = docs.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1735689600) + F.col("doc_id") % 86400  # 2025-01-01 + <24h
+        ),
+    )
+    staged.repartition(n_files).write.mode("overwrite").parquet(src)
+    n_rows = spark.read.parquet(src).count()
+    batch_out = url_dedup(spark.read.parquet(src)).count()
+
+    cal_start = _calibration_probe()
+    t0 = time.perf_counter()
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    q = (
+        streaming_url_dedup(stream, watermark="25 hours")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    cal = _merge_calibration(cal_start, _calibration_probe())
+
+    stream_out = spark.read.parquet(sink).count()
+    state_rows = [
+        s["numRowsTotal"] for p in progress for s in p.get("stateOperators", [])
+    ]
+    state_bytes = [
+        s["memoryUsedBytes"]
+        for p in progress
+        for s in p.get("stateOperators", [])
+    ]
+    print(
+        json.dumps(
+            {
+                "probe": "stream_url_dedup_decade",
+                "sf_dir": sf_dir,
+                "input_rows": n_rows,
+                "batch_out": batch_out,
+                "stream_out": stream_out,
+                "exact_match": stream_out == batch_out,
+                "micro_batches": len(progress),
+                "wall_s": wall,
+                "rows_per_s": round(n_rows / wall, 1),
+                "peak_state_rows": max(state_rows, default=0),
+                "peak_state_bytes": max(state_bytes, default=0),
+                "cal": cal,
+            },
+            separators=(",", ":"),
+            default=str,
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "psl"
+    if mode == "stream":
+        stream_probe(
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf3m",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 16,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 2,
+        )
+    else:
+        psl_probe(
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf3m",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+        )
