@@ -6,6 +6,7 @@ stamp so cross-round ratios can be normalized arithmetically."""
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
@@ -88,3 +89,79 @@ def test_compare_reads_driver_tail_format(tmp_path):
     assert out["raw_ratio"] == 1.444
     assert out["host_ratio"] == round(36.0 / 52.0, 3)
     assert abs(out["normalized_ratio"] - 1.0) < 0.01
+
+
+def test_co_tenants_excludes_self_and_descendants():
+    """The calling process (whose cmdline may contain 'pytest') and its
+    own children must never count — only FOREIGN engine workloads."""
+    import subprocess
+    import sys
+    import time
+
+    child = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(30)",
+         "own-child-shim-bench.py"],
+    )
+    try:
+        time.sleep(0.2)
+        hits = bench._co_tenant_pids()
+        assert os.getpid() not in hits
+        assert child.pid not in hits  # descendant of this process
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_co_tenants_detects_reparented_engine_process():
+    """A bench-shaped process NOT in our process tree (reparented to
+    init after its shell parent exits — how a stray backgrounded bench
+    actually looks) must be counted; round 13's discarded 2.5x-deviation
+    artifact is the motivating incident."""
+    import subprocess
+    import time
+
+    marker = "cotenant-shim-bench.py"
+    subprocess.run(
+        f"nohup python -c 'import time; time.sleep(30)' {marker} "
+        ">/dev/null 2>&1 &",
+        shell=True,
+        check=True,
+    )
+    try:
+        found = False
+        for _ in range(40):  # reparenting to init is fast but not instant
+            hits = bench._co_tenant_pids()
+            if any(
+                marker in _cmdline(pid) for pid in hits
+            ):
+                found = True
+                break
+            time.sleep(0.25)
+        assert found, "reparented decoy bench process was not detected"
+    finally:
+        subprocess.run(["pkill", "-f", marker], check=False)
+
+
+def _cmdline(pid: int) -> str:
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            return f.read().replace(b"\0", b" ").decode("utf-8", "replace")
+    except OSError:
+        return ""
+
+
+def test_compare_warns_on_co_tenant_stamp(tmp_path, capsys):
+    a = {"queries": {"q01": 1.0}}
+    b = {"queries": {"q01": 1.1}, "co": [1, 0]}
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+    bench._compare_benches(str(pa), str(pb))
+    assert "co-tenant" in capsys.readouterr().err
+
+    # and the driver-tail shape carries the stamp through the regex path
+    tail = '"q05":1.0,"co":[0,2],"cal":[1.0,1.0,40.0,40.0,32]}'
+    pc = tmp_path / "c.json"
+    pc.write_text(json.dumps({"n": 1, "rc": 0, "tail": tail}))
+    bench._compare_benches(str(pa), str(pc))
+    assert "co-tenant" in capsys.readouterr().err
