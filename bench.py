@@ -93,47 +93,63 @@ def _co_tenants() -> int:
     SCALE.md round 13). A nonzero stamp says: discard this artifact and
     re-run quiet, no forensics needed.
 
-    Own-process exclusions walk /proc ppid chains: this pid, its
-    ancestors (a `sh -c "python bench.py"` wrapper contains 'bench.py'
-    in its cmdline), and its descendants (our SparkSession's JVM child,
-    its pyspark.daemon workers)."""
+    Own-process exclusions: this pid's /proc subtree (our SparkSession
+    JVM, its pyspark.daemon workers) plus its individual ancestors (a
+    `sh -c "python bench.py"` wrapper contains 'bench.py' in its
+    cmdline). Siblings under a shared supervisor and reparented orphans
+    stay visible — those ARE the strays."""
     return len(_co_tenant_pids())
 
 
-def _co_tenant_pids() -> set[int]:
+def _proc_snapshot() -> tuple[dict[int, int], dict[int, str]]:
+    """(pid→ppid, pid→cmdline) for every live process."""
+    parent: dict[int, int] = {}
+    cmds: dict[int, str] = {}
     try:
         pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
-        parent: dict[int, int] = {}
-        cmds: dict[int, str] = {}
-        for pid in pids:
-            try:
-                with open(f"/proc/{pid}/stat") as f:
-                    stat = f.read()
-                parent[pid] = int(stat.rsplit(")", 1)[1].split()[1])
-                with open(f"/proc/{pid}/cmdline", "rb") as f:
-                    cmds[pid] = (
-                        f.read().replace(b"\0", b" ").decode("utf-8", "replace")
-                    )
-            except (OSError, ValueError, IndexError):
-                continue
     except OSError:
-        return set()
-    me = os.getpid()
+        return parent, cmds
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                stat = f.read()
+            parent[pid] = int(stat.rsplit(")", 1)[1].split()[1])
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmds[pid] = (
+                    f.read().replace(b"\0", b" ").decode("utf-8", "replace")
+                )
+        except (OSError, ValueError, IndexError):
+            continue
+    return parent, cmds
+
+
+def _co_tenant_pids(
+    snapshot: tuple[dict[int, int], dict[int, str]] | None = None,
+    me: int | None = None,
+) -> set[int]:
+    parent, cmds = _proc_snapshot() if snapshot is None else snapshot
+    if me is None:
+        me = os.getpid()
+    # descendants of THIS process only: JVM, pyspark daemons, their
+    # workers. Expanding from the ancestor set instead would absorb
+    # every SIBLING subtree (another bench left running in a different
+    # pane of the same tmux/shell supervisor — the exact stray this
+    # probe exists to catch; self-review r13).
     own = {me}
-    p = parent.get(me)
-    # stop BEFORE init: adding pid 1 to the own-set would make every
-    # reparented orphan on the guest a "descendant" and hide exactly
-    # the stray backgrounded bench this probe exists to catch
-    while p and p > 1 and p not in own and p in parent:
-        own.add(p)
-        p = parent.get(p)
     grew = True
-    while grew:  # descendants: JVM, pyspark daemons, their workers
+    while grew:
         grew = False
         for pid, ppid in parent.items():
             if ppid in own and pid not in own:
                 own.add(pid)
                 grew = True
+    # ancestors excluded individually (a `sh -c "python bench.py"`
+    # wrapper matches the pattern), stopping before init so reparented
+    # orphans stay visible
+    p = parent.get(me)
+    while p and p > 1 and p not in own and p in parent:
+        own.add(p)
+        p = parent.get(p)
     hits: set[int] = set()
     for pid, cmd in cmds.items():
         if pid in own or not cmd.strip():
@@ -287,6 +303,7 @@ def pipeline_main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     cal_start = _calibration_probe() if _calibration_enabled() else None
+    co_start = _co_tenants()
     spark = get_spark(app_name="nahuatl-bench-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -385,9 +402,16 @@ def pipeline_main() -> None:
         "input_rows": n_input,
         "stats": stats,
         "url_stages": url_stages,
-        "psl": bool(os.environ.get("SPARK_GRAFT_PIPELINE_PSL_FILE")),
+        # from the EXECUTED config, not the env var: without
+        # url_stages the PSL file is never read and no PSL cap ran,
+        # so an env-only stamp would mislabel the artifact
+        # (self-review r13)
+        "psl": bool(cfg is not None and cfg.psl_rules is not None),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    co_end = _co_tenants()
+    if co_start or co_end:
+        out["co"] = [co_start, co_end]  # contaminated run — see main()
     cal = _merge_calibration(
         cal_start, _calibration_probe() if _calibration_enabled() else None
     )

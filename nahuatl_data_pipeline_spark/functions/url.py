@@ -275,13 +275,17 @@ def parse_public_suffix_list(text: str) -> dict[str, list[str]]:
         line = raw.strip()
         if not line or line.startswith("//"):
             continue
-        rule = _to_ascii(line.split()[0].lower())
+        # classify BEFORE punycoding: on a Unicode first label the
+        # idna codec would swallow a leading "!" into the encoded
+        # label ("!中国" → "xn--!-…"), silently turning an exception
+        # rule into an unmatchable exact rule
+        rule = line.split()[0].lower()
         if rule.startswith("!"):
-            exception.append(rule[1:])
+            exception.append(_to_ascii(rule[1:]))
         elif rule.startswith("*."):
-            wildcard.append(rule[2:])
+            wildcard.append(_to_ascii(rule[2:]))
         elif rule != "*":  # the implicit default rule is built in
-            exact.append(rule)
+            exact.append(_to_ascii(rule))
     return {"exact": exact, "wildcard": wildcard, "exception": exception}
 
 

@@ -165,3 +165,37 @@ def test_compare_warns_on_co_tenant_stamp(tmp_path, capsys):
     pc.write_text(json.dumps({"n": 1, "rc": 0, "tail": tail}))
     bench._compare_benches(str(pa), str(pc))
     assert "co-tenant" in capsys.readouterr().err
+
+
+def test_co_tenants_synthetic_topology_counts_siblings_not_own_tree():
+    """Injected /proc snapshot: a sibling bench under the same shell
+    supervisor and a reparented orphan MUST count; self, ancestors, and
+    the own JVM/daemon subtree must not (self-review r13 — the first
+    cut expanded descendants from the ancestor set and absorbed every
+    sibling subtree)."""
+    parent = {
+        1: 0,
+        10: 1,    # tmux/supervisor
+        20: 10,   # my shell ancestor: `sh -c "python bench.py"`
+        30: 20,   # me
+        31: 30,   # my Spark JVM
+        32: 31,   # pyspark.daemon worker
+        40: 10,   # SIBLING subtree root: another shell
+        41: 40,   # stray bench in the sibling pane
+        50: 1,    # reparented orphan bench
+        60: 1,    # unrelated process
+    }
+    cmds = {
+        1: "/sbin/init",
+        10: "tmux server",
+        20: 'sh -c "python bench.py"',
+        30: "python bench.py",
+        31: "java org.apache.spark.deploy.SparkSubmit pyspark-shell",
+        32: "python -m pyspark.daemon",
+        40: "bash",
+        41: "python bench.py",
+        50: "python bench.py --isolate",
+        60: "vim notes.txt",
+    }
+    hits = bench._co_tenant_pids(snapshot=(parent, cmds), me=30)
+    assert hits == {41, 50}

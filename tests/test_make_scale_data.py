@@ -410,6 +410,13 @@ def test_assert_psl_closed_form_rejects_interfering_rules():
         lambda r: r["wildcard"].append("blogspot.co.uk"),
         lambda r: r["exact"].append("ex42.com"),
         lambda r: r["exception"].append("blog3.blogspot.co.uk"),
+        # parent-suffix EXCEPTIONS re-resolve planted hosts outright
+        # (exception wins, suffix = rule minus leftmost label) —
+        # self-review r13: these previously slipped through
+        lambda r: r["exception"].append("com"),
+        lambda r: r["exception"].append("blogspot.co.uk"),
+        lambda r: r["exception"].append("co.uk"),
+        lambda r: r["exception"].append("uk"),
     ):
         bad = copy.deepcopy(ok)
         mutate(bad)

@@ -473,6 +473,36 @@ def test_parse_public_suffix_list_punycodes_idn_rules(spark):
     assert got["https://a.site.xn--fiqs8s/p"] == "a.site.xn--fiqs8s"
 
 
+def test_parse_public_suffix_list_idn_exception_keeps_its_bang(spark):
+    """Classification must happen BEFORE punycoding (self-review r13):
+    the idna codec swallows a leading '!' into the encoded label
+    ('!中国' → 'xn--!-…'), which silently reclassified a Unicode
+    exception rule as an unmatchable exact rule. The exception must
+    survive as punycode and actually fire."""
+    from nahuatl_data_pipeline_spark.functions.url import (
+        parse_public_suffix_list,
+        url_domain_psl,
+    )
+
+    rules = parse_public_suffix_list(
+        "com\n中国\n*.中国\n!shop.中国\n"
+    )
+    assert "shop.xn--fiqs8s" in rules["exception"]
+    assert all("!" not in r for rs in rules.values() for r in rs)
+    df = spark.createDataFrame(
+        [("https://shop.xn--fiqs8s/p",), ("https://site.xn--fiqs8s/p",)],
+        "canon string",
+    )
+    got = {
+        r["canon"]: r["domain"]
+        for r in url_domain_psl(df, "canon", rules).collect()
+    }
+    # exception un-suffixes shop.xn--fiqs8s: it is itself registrable
+    assert got["https://shop.xn--fiqs8s/p"] == "shop.xn--fiqs8s"
+    # sibling without the exception stays a wildcard public suffix
+    assert got["https://site.xn--fiqs8s/p"] is None
+
+
 _SNAPSHOT = os.path.join(
     os.path.dirname(__file__), "fixtures", "public_suffix_snapshot.dat"
 )

@@ -111,11 +111,45 @@ def assert_psl_closed_form(rules: dict[str, list[str]]) -> None:
     assert "com" not in wild and "blogspot.co.uk" not in wild, (
         "a *.com / *.blogspot.co.uk wildcard would change planted suffixes"
     )
+    # An EXCEPTION rule on any parent suffix of a planted host re-
+    # resolves it (exception wins outright; suffix becomes the rule
+    # minus its leftmost label): '!com' makes every *.com host's
+    # registrable domain 'com', '!blogspot.co.uk' folds all blogs into
+    # one 'blogspot.co.uk' domain, '!co.uk'/'!uk' likewise
+    # (self-review r13 — previously only host-shaped exceptions were
+    # rejected). Equal-length wildcards like '*.co.uk' are fine: they
+    # resolve to the same suffix as the exact rule they tie with.
+    bad_exc = exc & {"com", "uk", "co.uk", "blogspot.co.uk"}
+    assert not bad_exc, (
+        f"psl exception rules on planted parent suffixes: {sorted(bad_exc)}"
+    )
     host_pat = re.compile(
         r"(clone[0-9]+\.com|ex[0-9]+\.com|blog[0-9]+\.blogspot\.co\.uk)$"
     )
     bad = [r for r in exact | wild | exc if host_pat.fullmatch(r)]
     assert not bad, f"psl rules name planted hosts: {bad[:5]}"
+
+
+def validated_psl_rules(psl_file: str) -> dict[str, list[str]]:
+    """Load + closed-form-validate a PSL file — the ONE definition both
+    predictor CLIs (this module and predict_url_stages.py) go through
+    before trusting the closed-form domain formula."""
+    from nahuatl_data_pipeline_spark.functions.url import (
+        load_public_suffix_list,
+    )
+
+    rules = load_public_suffix_list(psl_file)
+    assert_psl_closed_form(rules)
+    return rules
+
+
+def pop_psl_arg(argv: list[str]) -> tuple[list[str], str | None]:
+    """Split ``--psl-file PATH`` out of an argv list (shared by both
+    predictor CLIs)."""
+    if "--psl-file" not in argv:
+        return list(argv), None
+    i = argv.index("--psl-file")
+    return argv[:i] + argv[i + 2:], argv[i + 1]
 
 
 def _url_stage_survivors(
@@ -308,11 +342,7 @@ def predict(
     if psl and not url_stages:
         raise ValueError("--psl-file only affects the --url-stages cap key")
     if psl:
-        from nahuatl_data_pipeline_spark.functions.url import (
-            load_public_suffix_list,
-        )
-
-        assert_psl_closed_form(load_public_suffix_list(psl_file))
+        validated_psl_rules(psl_file)
     con = duckdb.connect()
     tmp = tempfile.mkdtemp(prefix="mixed_probe_")
     con.sql(
@@ -379,12 +409,7 @@ def predict(
 
 
 if __name__ == "__main__":
-    argv = sys.argv[1:]
-    psl_file = None
-    if "--psl-file" in argv:
-        i = argv.index("--psl-file")
-        psl_file = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
+    argv, psl_file = pop_psl_arg(sys.argv[1:])
     args = [a for a in argv if a != "--url-stages"]
     print(
         json.dumps(

@@ -67,12 +67,9 @@ def predict(sf_dir: str, psl_file: str | None = None) -> dict[str, int]:
                 0,
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
-            from nahuatl_data_pipeline_spark.functions.url import (
-                load_public_suffix_list,
-            )
-            from predict_mixed_gates import assert_psl_closed_form
+            from predict_mixed_gates import validated_psl_rules
 
-            assert_psl_closed_form(load_public_suffix_list(psl_file))
+            validated_psl_rules(psl_file)
 
         canon_sql = f"""
         SELECT doc_id,
@@ -113,10 +110,7 @@ def predict(sf_dir: str, psl_file: str | None = None) -> dict[str, int]:
 
 
 if __name__ == "__main__":
-    argv = sys.argv[1:]
-    psl_file = None
-    if "--psl-file" in argv:
-        i = argv.index("--psl-file")
-        psl_file = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
+    from predict_mixed_gates import pop_psl_arg
+
+    argv, psl_file = pop_psl_arg(sys.argv[1:])
     print(json.dumps(predict(argv[0], psl_file=psl_file)))

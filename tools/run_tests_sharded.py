@@ -114,10 +114,16 @@ def main(argv: list[str]) -> int:
     counts = {"passed": 0, "failed": 0, "skipped": 0}
 
     def parse_counts(out: str) -> None:
+        # take the LAST line carrying any count token — an all-skipped
+        # unit's summary is just "N skipped in …" (no passed/failed),
+        # and error-only collection failures say "N errors"
         for line in reversed(out.splitlines()):
-            if " passed" in line or " failed" in line:
-                for n, key in re.findall(r"(\d+) (passed|failed|skipped)", line):
-                    counts[key] += int(n)
+            found = re.findall(
+                r"(\d+) (passed|failed|skipped|error)", line
+            )
+            if found:
+                for n, key in found:
+                    counts[key if key != "error" else "failed"] += int(n)
                 return
 
     def worker(widx: int) -> None:
