@@ -42,7 +42,9 @@ POISSON1_CUM = [
 def poisson_weight(u: Column) -> Column:
     """Poisson(1) multiplicity from a uniform in [0,1) by inverse-CDF
     table lookup — six branch constants, exact IEEE comparisons, no
-    transcendental calls at runtime."""
+    transcendental calls at runtime. ``u`` is referenced once per
+    branch (6×) and codegen does not CSE across when-branches: pass a
+    materialized column, not an expensive inline expression."""
     expr = F.lit(6)
     for i, c in reversed(list(enumerate(POISSON1_CUM))):
         expr = F.when(u < F.lit(c), F.lit(i)).otherwise(expr)
@@ -69,40 +71,61 @@ def bootstrap_mean_ci(
     (PERCENTILE_CONT semantics, q101 parity). ``mean``/``n`` come from
     a separate plain aggregate of the input — the cheap audit leg.
     Doubles are rounded to ``round_to`` only on emission; summation-
-    order ulps sit far below that at any realistic magnitude."""
+    order ulps sit far below that at any realistic magnitude.
+
+    Codegen shape (round-13 fix): the replicate index is exploded from
+    ``sequence(0, reps-1)`` FIRST and the md5→inverse-CDF weight is
+    computed once AFTER the explode, instead of inlining the hash+CASE
+    expression ``reps`` times into one literal struct array — the
+    inlined form generated >16k lines of Java at reps=64, failed janino
+    compilation (64 KB method limit), and silently dropped the Generate
+    stage out of whole-stage codegen. Output-identical: the post-
+    explode weight is the same ``md5("{seed}:{b}:" || id)`` draw for
+    the same (b, id); only where the expression sits relative to the
+    explode moves."""
     x = value.cast("double")
-    draws = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                poisson_weight(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{seed}:{b}:"),
-                                    F.col(id_col).cast("string"),
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("double")
-                    / F.lit(float(16**8))
-                ).alias("w"),
-            )
-            for b in range(reps)
-        ]
+    b = F.col("__b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        b.cast("string"),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
     )
     rep_means = (
-        df.select(x.alias("__x"), F.explode(draws).alias("__d"))
-        .groupBy(F.col("__d.b").alias("b"))
+        df.select(
+            x.alias("__x"),
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__b"),
+        )
+        # u gets its OWN projection before the inverse-CDF: the when-
+        # chain references its input 6 times and codegen does not
+        # common-subexpression-eliminate across the branches — inlining
+        # u re-ran the md5 up to 6x per draw (measured 16 s -> 8 s at
+        # sf0.1 full-compute)
+        .select(F.col("__x"), b.alias("b"), u.alias("__u"))
+        .select(
+            F.col("__x"),
+            F.col("b"),
+            poisson_weight(F.col("__u")).alias("__w"),
+        )
+        .groupBy("b")
         .agg(
             (
-                F.sum(F.col("__d.w") * F.col("__x"))
-                / F.sum("__d.w").cast("double")
+                F.sum(F.col("__w") * F.col("__x"))
+                / F.sum("__w").cast("double")
             ).alias("m")
         )
     )
