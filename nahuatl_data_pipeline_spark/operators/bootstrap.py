@@ -38,6 +38,19 @@ POISSON1_CUM = [
     _E * sum(1.0 / math.factorial(j) for j in range(i + 1)) for i in range(6)
 ]
 
+# The same cuts as 8-hex-digit thresholds on the RAW hash window: for a
+# 32-bit draw v, v/2^32 < c  ⟺  v ≤ floor(c·2^32) (the products are
+# never integers: the cuts carry full 53-bit mantissas), and fixed-
+# width lowercase hex compares lexicographically exactly like the
+# number — so the inverse-CDF needs NO hex→int parse at all.
+# Fraction keeps the threshold computation exact in the doubles' own
+# values (float multiplication could round across the boundary).
+from fractions import Fraction as _Fr
+
+POISSON1_CUM_HEX = [
+    format(int(_Fr(c) * (1 << 32)), "08x") for c in POISSON1_CUM
+]
+
 
 def poisson_weight(u: Column) -> Column:
     """Poisson(1) multiplicity from a uniform in [0,1) by inverse-CDF
@@ -48,6 +61,20 @@ def poisson_weight(u: Column) -> Column:
     expr = F.lit(6)
     for i, c in reversed(list(enumerate(POISSON1_CUM))):
         expr = F.when(u < F.lit(c), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def poisson_weight_hex(h8: Column) -> Column:
+    """``poisson_weight`` evaluated DIRECTLY on an 8-hex-char hash
+    window (lowercase, as md5 emits): ``h8 <= POISSON1_CUM_HEX[i]`` is
+    bit-for-bit the same predicate as ``u < POISSON1_CUM[i]`` on the
+    parsed uniform, with six 8-byte string compares instead of a
+    conv() parse per draw (conv was the top cost of the bootstrap's
+    hot path once the hashes were 4-way packed — measured at sf0.1).
+    Same caveat as poisson_weight: pass a materialized column."""
+    expr = F.lit(6)
+    for i, t in reversed(list(enumerate(POISSON1_CUM_HEX))):
+        expr = F.when(h8 <= F.lit(t), F.lit(i)).otherwise(expr)
     return expr
 
 
@@ -73,53 +100,62 @@ def bootstrap_mean_ci(
     Doubles are rounded to ``round_to`` only on emission; summation-
     order ulps sit far below that at any realistic magnitude.
 
-    Codegen shape (round-13 fix): the replicate index is exploded from
-    ``sequence(0, reps-1)`` FIRST and the md5→inverse-CDF weight is
-    computed once AFTER the explode, instead of inlining the hash+CASE
-    expression ``reps`` times into one literal struct array — the
-    inlined form generated >16k lines of Java at reps=64, failed janino
-    compilation (64 KB method limit), and silently dropped the Generate
-    stage out of whole-stage codegen. Output-identical: the post-
-    explode weight is the same ``md5("{seed}:{b}:" || id)`` draw for
-    the same (b, id); only where the expression sits relative to the
-    explode moves."""
+    Codegen/cost shape (round-13): the replicate index is exploded
+    FIRST and the hash draw computed after it, instead of inlining the
+    hash+CASE expression ``reps`` times into one literal struct array —
+    the inlined form generated >16k lines of Java at reps=64, failed
+    janino compilation (64 KB method limit), and silently dropped the
+    Generate stage out of whole-stage codegen. The dominant cost is the
+    md5 call itself (~75% of full-compute wall at sf0.1, measured), so
+    each hash is stretched to FOUR draws: md5 yields 32 hex chars and
+    replicate ``b`` reads the 8-char window ``1 + 8*(b%4)`` of
+    ``md5("{seed}:{b//4}:" || id)`` — a quarter of the hash calls, each
+    window an independent uniform (cryptographic bit-independence), the
+    draw still a pure function of (seed, b, id) and mirrored
+    slot-for-slot by the DuckDB oracle. The window and the hash each
+    get their OWN projection: the inverse-CDF when-chain references its
+    input 6 times and codegen does not CSE across branches (inlining
+    re-ran the md5 up to 6x per draw — measured 16 s → 8 s at sf0.1).
+    The inverse-CDF itself runs on the RAW hex window via
+    :func:`poisson_weight_hex` (no conv() parse — conv was the top
+    remaining cost); net: 7.75 s → 3.4 s full-compute at sf0.1,
+    codegen-clean, draws bit-identical between engines."""
+    if reps % 4:
+        raise ValueError(f"reps must be a multiple of 4, got {reps}")
     x = value.cast("double")
-    b = F.col("__b")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{seed}:"),
-                        b.cast("string"),
-                        F.lit(":"),
-                        F.col(id_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(16**8))
+    hash_ = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("__g").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
     )
+    h8 = F.col("__h").substr(F.lit(1) + F.col("__s") * F.lit(8), F.lit(8))
     rep_means = (
         df.select(
             x.alias("__x"),
             F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__b"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(reps // 4 - 1))
+            ).alias("__g"),
         )
-        # u gets its OWN projection before the inverse-CDF: the when-
-        # chain references its input 6 times and codegen does not
-        # common-subexpression-eliminate across the branches — inlining
-        # u re-ran the md5 up to 6x per draw (measured 16 s -> 8 s at
-        # sf0.1 full-compute)
-        .select(F.col("__x"), b.alias("b"), u.alias("__u"))
+        .select(F.col("__x"), F.col("__g"), hash_.alias("__h"))
+        .select(
+            F.col("__x"),
+            F.col("__g"),
+            F.col("__h"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__s"),
+        )
+        .select(
+            F.col("__x"),
+            (F.col("__g") * 4 + F.col("__s")).alias("b"),
+            h8.alias("__h8"),
+        )
         .select(
             F.col("__x"),
             F.col("b"),
-            poisson_weight(F.col("__u")).alias("__w"),
+            poisson_weight_hex(F.col("__h8")).alias("__w"),
         )
         .groupBy("b")
         .agg(

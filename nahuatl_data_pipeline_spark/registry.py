@@ -153,6 +153,10 @@ def register(name: str, sql: str | None):
 _RECERTIFY_IF_BEFORE: dict[str, int] = {
     "q164_domain_stats": 11,
     "q61_decontamination": 11,
+    # r13: bootstrap draws repacked to 4-per-md5 (b reads hex window
+    # 1+8*(b%4) of hash group b//4) — CI values change, both engines
+    # in lockstep
+    "q128_bootstrap_mean_ci": 13,
 }
 
 

@@ -453,20 +453,27 @@ def q127_length_rule_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q128_B = 64
 
 def _q128_sql() -> str:
-    from nahuatl_data_pipeline_spark.operators.bootstrap import POISSON1_CUM
-
-    # inverse-CDF CASE over the same Python floats Spark uses as
-    # literals (repr round-trips doubles exactly)
-    branches = " ".join(
-        f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(POISSON1_CUM)
+    from nahuatl_data_pipeline_spark.operators.bootstrap import (
+        POISSON1_CUM_HEX,
     )
+
+    # inverse-CDF CASE over the same 8-hex thresholds Spark compares
+    # against (fixed-width lowercase hex orders exactly like the
+    # 32-bit draw, so neither engine parses the hex at all)
+    branches = " ".join(
+        f"WHEN h8 <= '{t}' THEN {i}"
+        for i, t in enumerate(POISSON1_CUM_HEX)
+    )
+    # 4 draws per md5 (round-13 scale fix, mirrored from
+    # operators/bootstrap.py): replicate b reads the 8-hex window at
+    # 1 + 8*(b%4) of hash group b//4
     return f"""
         WITH b AS (SELECT UNNEST(RANGE({_Q128_B})) AS b),
         u AS (
           SELECT b.b, o.o_totalprice AS x,
-                 CAST(('0x' || SUBSTRING(MD5('11:' || CAST(b.b AS VARCHAR)
-                        || ':' || CAST(o.o_orderkey AS VARCHAR)), 1, 8))
-                      AS BIGINT) / 4294967296.0 AS u
+                 SUBSTRING(MD5('11:' || CAST(b.b // 4 AS VARCHAR)
+                        || ':' || CAST(o.o_orderkey AS VARCHAR)),
+                        1 + 8 * (b.b % 4), 8) AS h8
           FROM orders o, b
         ),
         pw AS (SELECT b, x, CASE {branches} ELSE 6 END AS w FROM u),
