@@ -58,3 +58,37 @@ def test_bootstrap_shuffle_carries_only_replicate_partials(spark):
     # partial aggregation before the exchange: the b-keyed shuffle
     # moves <= reps rows per task, not the exploded stream
     assert "partial" in plan.lower()
+
+
+def test_poisson_hex_thresholds_equal_float_cuts_at_boundaries():
+    """poisson_weight_hex's string compare must agree with the float
+    inverse-CDF for EVERY 32-bit draw — checked exhaustively at the
+    threshold boundaries (where Fraction-exact derivation matters; a
+    float multiply could round across) plus a random sample."""
+    import random
+
+    from nahuatl_data_pipeline_spark.operators.bootstrap import (
+        POISSON1_CUM_HEX,
+    )
+
+    def w_float(v):
+        u = v / 4294967296.0
+        for i, c in enumerate(POISSON1_CUM):
+            if u < c:
+                return i
+        return 6
+
+    def w_hex(v):
+        h8 = format(v, "08x")
+        for i, t in enumerate(POISSON1_CUM_HEX):
+            if h8 <= t:
+                return i
+        return 6
+
+    vals = {0, 2**32 - 1}
+    for t in POISSON1_CUM_HEX:
+        T = int(t, 16)
+        vals.update({T - 1, T, T + 1})
+    rng = random.Random(7)
+    vals.update(rng.randrange(2**32) for _ in range(20000))
+    assert all(w_float(v) == w_hex(v) for v in vals)
