@@ -158,6 +158,8 @@ def _co_tenant_pids(
         if (
             "bench.py" in cmd
             or "pytest" in cmd
+            or "pyspark.daemon" in cmd  # orphaned worker trees of a
+            # dead foreign driver still burn cores
             or ("java" in low and "spark" in low)
         ):
             hits.add(pid)
@@ -417,7 +419,10 @@ def pipeline_main() -> None:
     )
     if cal is not None:
         out["calibration"] = cal
-    print(json.dumps(out))
+    # compact separators like main(): the driver keeps only the line's
+    # last 2000 chars, and _load_bench's tail-regexes for "co"/"cal"
+    # match the compact form only
+    print(json.dumps(out, separators=(",", ":")))
 
 
 # Query groups that each get a FRESH JVM (subprocess) in --isolate

@@ -10,17 +10,22 @@ needs NO coordination — every row computes its own B weights locally.
 
 This implementation goes one step further than the textbook version:
 the Poisson draw is DETERMINISTIC, inverted from a content-hash
-uniform (``md5("{seed}:{b}:" || id)`` — the repo's engine-portable
-recipe), so the "random" resamples are a pure function of the data.
-Re-runs, repartitionings, and SQL engines reproduce the identical CI —
-the same reproducibility contract as every sampler in mixing.py, and
-what makes an exact cross-engine oracle possible for a *bootstrap*.
+uniform — replicate ``b``'s draw is the 8-hex window at
+``1 + 8*(b%4)`` of ``md5("{seed}:{b//4}:" || id)``, four independent
+32-bit uniforms per hash call (the repo's engine-portable recipe,
+packed 4-per-md5 since round 13) — so the "random" resamples are a
+pure function of the data. Re-runs, repartitionings, and SQL engines
+reproduce the identical CI — the same reproducibility contract as
+every sampler in mixing.py, and what makes an exact cross-engine
+oracle possible for a *bootstrap*. The inverse-CDF compares the raw
+hex window against fixed thresholds (``POISSON1_CUM_HEX``); nothing
+parses the hex.
 
-Scale shape: explode B weight structs per row (a narrow projection —
-no input column is duplicated B times except through the aggregate),
-then one map-side-combined groupBy(b) — the shuffle carries ≤ B rows
-per task. The replicate-statistic table is B rows; everything after
-is constant-size.
+Scale shape: explode B/4 hash groups then 4 window slots per row (a
+narrow projection — no input column is duplicated B times except
+through the aggregate), then one map-side-combined groupBy(b) — the
+shuffle carries ≤ B rows per task. The replicate-statistic table is B
+rows; everything after is constant-size.
 """
 
 from __future__ import annotations

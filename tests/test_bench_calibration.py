@@ -137,6 +137,27 @@ def test_co_tenants_detects_reparented_engine_process():
                 found = True
                 break
             time.sleep(0.25)
+        if not found:
+            # In environments where THIS process is the nearest reaper
+            # (PID 1 in a container, or a PR_SET_CHILD_SUBREAPER test
+            # harness), the orphan lands back inside our own subtree
+            # and is excluded BY DESIGN — not a detection failure.
+            import pytest
+
+            parent, cmds = bench._proc_snapshot()
+            decoys = [p for p, c in cmds.items() if marker in c]
+            me = os.getpid()
+            for d in decoys:
+                chain = set()
+                p = d
+                while p and p in parent and p not in chain:
+                    chain.add(p)
+                    p = parent[p]
+                if me in chain:
+                    pytest.skip(
+                        "test process is the orphan reaper here; the "
+                        "decoy cannot leave our own subtree"
+                    )
         assert found, "reparented decoy bench process was not detected"
     finally:
         subprocess.run(["pkill", "-f", marker], check=False)
@@ -183,6 +204,7 @@ def test_co_tenants_synthetic_topology_counts_siblings_not_own_tree():
         40: 10,   # SIBLING subtree root: another shell
         41: 40,   # stray bench in the sibling pane
         50: 1,    # reparented orphan bench
+        51: 1,    # orphaned FOREIGN pyspark.daemon worker (driver died)
         60: 1,    # unrelated process
     }
     cmds = {
@@ -195,7 +217,8 @@ def test_co_tenants_synthetic_topology_counts_siblings_not_own_tree():
         40: "bash",
         41: "python bench.py",
         50: "python bench.py --isolate",
+        51: "python -m pyspark.daemon",
         60: "vim notes.txt",
     }
     hits = bench._co_tenant_pids(snapshot=(parent, cmds), me=30)
-    assert hits == {41, 50}
+    assert hits == {41, 50, 51}

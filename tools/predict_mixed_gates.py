@@ -149,6 +149,8 @@ def pop_psl_arg(argv: list[str]) -> tuple[list[str], str | None]:
     if "--psl-file" not in argv:
         return list(argv), None
     i = argv.index("--psl-file")
+    if i + 1 >= len(argv):
+        raise SystemExit("--psl-file requires a PATH argument")
     return argv[:i] + argv[i + 2:], argv[i + 1]
 
 
