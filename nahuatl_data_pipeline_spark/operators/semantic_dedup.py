@@ -84,17 +84,34 @@ def srp_cell(vec_col, n_bits: int, dim: int, bit_offset: int = 0) -> F.Column:
     (no hyperplane table, no join). ``bit_offset`` selects an
     independent hyperplane set (see srp_signs); 0 = the certified
     q140/q168 planes."""
+    from nahuatl_data_pipeline_spark.functions.fastlit import (
+        double_matrix_lit,
+    )
+
     v = F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: x.cast("double"),
     )
-    cell = F.lit(0).cast("long")
-    for j, row in enumerate(srp_signs(n_bits, dim, bit_offset)):
-        plane = F.array(*[F.lit(s) for s in row])
-        cell = cell + F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        ).cast("long")
-    return cell
+    # The ±1 hyperplane matrix is ONE parsed SQL literal (fastlit.py)
+    # looped with transform-with-index instead of n_bits unrolled
+    # dot-product expressions built element-wise through py4j (~0.25 s
+    # of driver time per call at 8×64, twice per query). The fold is
+    # the same left-to-right Σ_j bit_j·2^j over the same per-plane
+    # sign tests — integer math, value-identical (q140/q168 oracles +
+    # test_semantic_dedup pin it).
+    planes = double_matrix_lit(srp_signs(n_bits, dim, bit_offset))
+    pow2 = F.expr(
+        "array(" + ",".join(f"{1 << j}L" for j in range(n_bits)) + ")"
+    )
+    bits = F.transform(
+        planes,
+        lambda rj, j: F.when(_dot(v, rj) > 0, F.get(pow2, j)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
 
 
 def semantic_dedup(

@@ -1007,23 +1007,38 @@ def ivf_topk_portable(
 
     cnorms = [_fold_norm(cj) for cj in cvecs]
 
+    # Centroid matrix + norms injected as ONE parsed SQL literal each
+    # (functions/fastlit.py): the old per-element F.lit fan cost ~0.45 s
+    # of py4j round-trips per side at 16×64 and left a 1,024-node
+    # CreateArray for the analyzer; ConstantFolding collapses this form
+    # to the same single Literal, and the per-element arithmetic below
+    # (zip_with/aggregate fold, round, struct max) is unchanged — every
+    # score and tiebreak stays bit-identical (pinned by the q169 oracle
+    # and test_fastlit.py).
+    from nahuatl_data_pipeline_spark.functions.fastlit import (
+        double_array_lit,
+        double_matrix_lit,
+    )
+
+    cmat = double_matrix_lit(cvecs)
+    cnorm_arr = double_array_lit(cnorms)
+
     def cent_scores(vcol, nv):
         """array<struct<c: rounded cosine, nj: -centroid index>> — max
         of the struct IS (best cosine, tie → smallest index). ``nv`` is
-        the hoisted |v| column (evaluated once per row)."""
+        the hoisted |v| column (evaluated once per row). One
+        transform-with-index loop over the folded centroid literal
+        replaces the 16 unrolled dot-product expressions — same fold
+        order, same values, ~1/16th the expression tree."""
         ad = F.transform(vcol, lambda x: x.cast("double"))
-        return F.array(
-            *[
-                F.struct(
-                    F.round(
-                        _dot(ad, F.array(*[F.lit(x) for x in cj]))
-                        / (nv * F.lit(cn)),
-                        round_to,
-                    ).alias("c"),
-                    F.lit(-j).alias("nj"),
-                )
-                for j, (cj, cn) in enumerate(zip(cvecs, cnorms))
-            ]
+        return F.transform(
+            cmat,
+            lambda cj, j: F.struct(
+                F.round(
+                    _dot(ad, cj) / (nv * F.get(cnorm_arr, j)), round_to
+                ).alias("c"),
+                (-j).alias("nj"),
+            ),
         )
 
     def with_norm(df: DataFrame) -> DataFrame:
