@@ -93,13 +93,16 @@ def connected_components(
         merged = labels.select(
             "id", "comp", F.col("comp").alias("__old")
         ).unionByName(prop)
+        # lazy checkpoint: the convergence count below is the round's
+        # first action, so it materializes the checkpoint blocks in the
+        # same job — one job per round instead of two (r13)
         agg = (
             merged.groupBy("id")
             .agg(
                 F.min("comp").alias("comp"),
                 F.min("__old").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = agg.filter(F.col("comp") < F.col("__old")).count()
         labels = agg.drop("__old")
@@ -187,7 +190,8 @@ def connected_components_star(
             F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the _sig(e) below materializes the checkpoint (r13)
+        .localCheckpoint(eager=False)
     )
 
     def _sig(df: DataFrame) -> tuple:
@@ -209,40 +213,59 @@ def connected_components_star(
     if sig[0] == 0:
         return e.sparkSession.createDataFrame([], "id long, component long")
 
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("s")
+    wu = Window.partitionBy("u")
     for _ in range(max_iter):
         # ---- large-star: (u, v>u) -> (v, min(Γ(u) ∪ {u}))
+        # The per-node min rides a WINDOW over the same key the old
+        # groupBy+join-back shuffled on (guide §2.4: a window
+        # partitioned like the aggregation shares its exchange) — one
+        # exchange instead of the aggregate exchange plus a sort-merge
+        # join of nbrs against it (r13: 3 exchanges/round instead of
+        # ~6, q70 med 3.8 s -> 2.6 s). WindowExec buffers one node's
+        # neighbor run at a time and spills; the star contraction
+        # shrinks hot nodes doubly-exponentially, so the buffering
+        # regime is the same the old sort-merge join had.
         nbrs = e.unionByName(
             e.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
-        m = nbrs.groupBy("s").agg(
-            F.least(F.min("d"), F.first("s")).alias("m")
-        )
         large = (
-            nbrs.join(m, "s")
+            nbrs.withColumn(
+                "m", F.least(F.min("d").over(wl), F.col("s"))
+            )
             .filter(F.col("d") > F.col("s"))
             .select(F.col("m").alias("s"), F.col("d").alias("d"))
         )
-        # ---- small-star over the large-star output
-        ls = large.filter(F.col("s") != F.col("d")).select(
-            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
-        ).distinct()
-        # neighbors v <= u seen from the greater endpoint u (= column d)
-        low = ls.select(F.col("d").alias("u"), F.col("s").alias("v"))
-        m2 = low.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            low.join(m2, "u")
-            .select(F.col("m").alias("s"), F.col("v").alias("d"))
-            .unionByName(
-                m2.select(F.col("m").alias("s"), F.col("u").alias("d"))
-            )
-        )
+        # ---- small-star over the large-star output. Large-star edges
+        # are already canonical (new s = m <= old s < d), so the old
+        # re-canonicalize+distinct pre-pass was a no-op shuffle:
+        # duplicates don't move a min, and new_e's distinct dedups the
+        # output set. The (m -> u) root edge the old m2-union emitted
+        # once per node is emitted from each group's min row instead
+        # (v == m, >= 1 per node, ties deduped below) — same edge SET.
+        low = large.select(F.col("d").alias("u"), F.col("s").alias("v"))
+        lowm = low.withColumn("m", F.min("v").over(wu))
+        e1 = F.struct(F.col("m").alias("s"), F.col("v").alias("d"))
+        e2 = F.struct(F.col("m").alias("s"), F.col("u").alias("d"))
+        small = lowm.select(
+            F.explode(
+                F.when(F.col("v") == F.col("m"), F.array(e1, e2)).otherwise(
+                    F.array(e1)
+                )
+            ).alias("__e")
+        ).select(F.col("__e.s").alias("s"), F.col("__e.d").alias("d"))
+        # lazy checkpoint: _sig below is the round's first action and
+        # materializes the checkpoint blocks in the same job — one job
+        # per round instead of two (r13)
         new_e = (
             small.filter(F.col("s") != F.col("d"))
             .select(
                 F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # both sides are distinct SETS, so equal count plus one empty
         # set-difference proves equality. The signature (count +

@@ -57,15 +57,23 @@ def pagerank(
     final rank (``round_to``) makes output hash-stable across partition
     orders — the float-fold reproducibility contract used engine-wide.
 
-    Plan: transition probabilities are one out-weight aggregate joined
-    back onto the edges, materialized ONCE (``localCheckpoint``) since
-    every round consumes them; each round is one join (ranks ⨝ trans on
-    the source id) + one map-side-combined sum keyed by destination +
-    a left join back onto the node set (nodes with no in-edges keep the
-    teleport term). Ranks are checkpointed every ``checkpoint_every``
-    rounds so analysis cost stays flat in ``iters``. ``N`` is a single
-    driver scalar (same bounded-scalar precedent as the convergence
-    counters in components.py).
+    Plan: the CONTRACTED edge list is materialized first
+    (``localCheckpoint``) so the fact-table derivation that produced it
+    runs exactly once — before round 13 it re-ran three times (node
+    set, out-weight aggregate, join leg). Transition probabilities are
+    one out-weight aggregate joined back onto the materialized edges,
+    augmented with a ZERO-probability self-loop per node, and
+    materialized once. The self-loops make every node reachable in the
+    contribution aggregate (``r·0.0`` adds exactly +0.0, and a
+    no-in-edge node's sum is that lone 0.0 — bit-identical to the old
+    ``coalesce(NULL, 0.0)``), which deletes the per-round left join
+    back onto the node set: each round is now ONE join (ranks ⨝ trans
+    on the source id) + one map-side-combined sum keyed by destination
+    — two keyed shuffles per round instead of three. Ranks are
+    checkpointed every ``checkpoint_every`` rounds so analysis cost
+    stays flat in ``iters``. ``N`` is a single driver scalar (same
+    bounded-scalar precedent as the convergence counters in
+    components.py).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -74,18 +82,26 @@ def pagerank(
     w = (F.col(weight) if weight else F.lit(1.0)).cast("double")
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
-    )
+    ).localCheckpoint(eager=True)
     out_w = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
-    trans = e.join(out_w, "__s").select(
-        "__s", "__d", (F.col("__w") / F.col("__ow")).alias("__p")
-    )
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    trans = trans.localCheckpoint(eager=True)
+    trans = (
+        e.join(out_w, "__s")
+        .select("__s", "__d", (F.col("__w") / F.col("__ow")).alias("__p"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("__s"),
+                F.col("node").alias("__d"),
+                F.lit(0.0).alias("__p"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
     if n == 0:
         # empty edge list -> no vertices; keep the output contract
@@ -94,17 +110,16 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("__r", F.lit(1.0 / n))
     for i in range(iters):
-        contrib = (
+        ranks = (
             ranks.join(trans, ranks["node"] == trans["__s"])
             .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum(F.col("__r") * F.col("__p")).alias("__in"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
-            ).alias("__r"),
+            .agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.sum(F.col("__r") * F.col("__p"))
+                ).alias("__r")
+            )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
             i + 1
