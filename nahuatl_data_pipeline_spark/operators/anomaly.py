@@ -258,6 +258,7 @@ def weighted_quantile(
     q: float = 0.5,
     tiebreak: list[str] | None = None,
     bands: int = 32,
+    qs: list[float] | None = None,
 ) -> DataFrame:
     """Per-group weighted q-quantile: the smallest value whose running
     weight reaches q·(total weight) — inf{x : F_w(x) ≥ q}, the
@@ -285,7 +286,14 @@ def weighted_quantile(
     integers for oracle-grade reproducibility. NULL values or weights
     are excluded (no position / no mass); weights must be
     non-negative; supply a unique ``tiebreak`` so equal values order
-    deterministically. Output: group cols + ``wq`` + ``total_w``."""
+    deterministically. Output: group cols + ``wq`` + ``total_w``.
+
+    ``qs`` asks for SEVERAL quantiles of the same distribution in one
+    pass (r13: perplexity tertiles paid the whole banded machinery
+    once per cut): output columns become ``wq_0..wq_{n-1}`` (one per
+    entry of ``qs``, same order) + ``total_w``. Each value equals the
+    single-``q`` result exactly — the per-quantile threshold tests
+    ride the SAME final aggregate as conditional minima."""
     from pyspark.sql import Window
 
     ties = list(tiebreak or [])
@@ -300,18 +308,37 @@ def weighted_quantile(
         # revert to one task per group — never use at scale
         banded = base.withColumn("__band", F.lit(0))
     else:
-        qs = [i / bands for i in range(1, bands)]
+        band_qs = [i / bands for i in range(1, bands)]
         # low-accuracy sketch on purpose: band cuts only load-balance —
         # any monotone partition of the value axis yields the identical
         # result (band-count invariance is unit-tested), so the cheap
-        # sketch beats a tight one scanned at full precision
-        cuts = base.agg(
-            F.percentile_approx("__v", qs, 100).alias("__cuts")
-        )
-        banded = base.crossJoin(F.broadcast(cuts)).withColumn(
-            "__band",
-            F.size(F.filter("__cuts", lambda c: c < F.col("__v"))),
-        )
+        # sketch beats a tight one scanned at full precision. The ≤
+        # bands-1 cut values are COLLECTED (a bounded driver scalar,
+        # the IVF-quantizer precedent) and inlined as comparison
+        # literals: the old broadcast-crossJoin +
+        # size(filter(array, c -> c < v)) ranked each row through an
+        # interpreted per-element lambda (~2·|rows|·bands lambda evals
+        # — the dominant q132 cost at sf0.1), while the indicator sum
+        # below stays in whole-stage codegen. Any float drift in the
+        # literal round-trip only MOVES a cut, which band-invariance
+        # makes output-neutral; equal values still band together
+        # because the band is a pure function of the value.
+        import math
+
+        row = base.agg(
+            F.percentile_approx("__v", band_qs, 100).alias("__cuts")
+        ).first()
+        cuts = list(row["__cuts"] or []) if row is not None else []
+        # a non-finite cut has no SQL double literal; dropping it just
+        # coarsens the banding (output-identical by band invariance)
+        cuts = [c for c in cuts if math.isfinite(float(c))]
+        if not cuts:
+            banded = base.withColumn("__band", F.lit(0))
+        else:
+            band_expr = "+".join(
+                f"CAST({float(c)!r}D < __v AS INT)" for c in cuts
+            )
+            banded = base.withColumn("__band", F.expr(band_expr))
     w_run = (
         Window.partitionBy(*group_cols, "__band")
         .orderBy(F.col("__v"), *[F.col(c) for c in ties])
@@ -340,11 +367,26 @@ def weighted_quantile(
     marked = inner.join(
         F.broadcast(offsets), [*group_cols, "__band"]
     ).withColumn("__cum", F.col("__prefix") + F.col("__inner"))
-    return (
-        marked.where(F.col("__cum") >= F.lit(q) * F.col("__tot"))
-        .groupBy(*group_cols)
-        .agg(
-            F.min("__v").alias("wq"),
-            F.first("__tot").alias("total_w"),
-        )
+    qlist = list(qs) if qs is not None else [q]
+    names = (
+        ["wq"] if qs is None else [f"wq_{i}" for i in range(len(qlist))]
+    )
+    # rows below EVERY threshold can be dropped before the aggregate
+    # (the single-q path's old where-filter, generalized); each
+    # quantile is then a conditional min over the survivors — min over
+    # a filtered set equals min(when(cond, v)), value-identical
+    marked = marked.where(
+        F.col("__cum") >= F.lit(min(qlist)) * F.col("__tot")
+    )
+    return marked.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.lit(qq) * F.col("__tot"),
+                    F.col("__v"),
+                )
+            ).alias(name)
+            for qq, name in zip(qlist, names)
+        ],
+        F.first("__tot").alias("total_w"),
     )

@@ -141,19 +141,17 @@ def perplexity_buckets(
         # stream it truncates)
         .localCheckpoint(eager=True)
     )
-    cuts = (
-        weighted_quantile(
-            scored, [group_col], "avg_logprob", "__one",
-            q=1.0 / 3.0, tiebreak=[id_col], bands=bands,
-        )
-        .select(group_col, F.col("wq").alias("__c1"))
-        .join(
-            weighted_quantile(
-                scored, [group_col], "avg_logprob", "__one",
-                q=2.0 / 3.0, tiebreak=[id_col], bands=bands,
-            ).select(group_col, F.col("wq").alias("__c2")),
-            group_col,
-        )
+    # both tertile cuts from ONE banded-prefix-sum pass (r13:
+    # weighted_quantile qs= multi-quantile mode — the old per-cut call
+    # pair paid the banding, windows and totals twice for the same
+    # distribution and joined the results back together)
+    cuts = weighted_quantile(
+        scored, [group_col], "avg_logprob", "__one",
+        qs=[1.0 / 3.0, 2.0 / 3.0], tiebreak=[id_col], bands=bands,
+    ).select(
+        group_col,
+        F.col("wq_0").alias("__c1"),
+        F.col("wq_1").alias("__c2"),
     )
     s = F.col("avg_logprob")
     bucket = (

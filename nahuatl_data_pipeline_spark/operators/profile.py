@@ -2,14 +2,20 @@
 
 The reference prints pandas ``describe()``-style stats in its notebooks
 (benchmark/generate_stats.py) — driver-side, whole-table-in-memory. Here
-the profile is ONE distributed aggregate producing every column's stats
-in a single scan, then a constant-size unpivot: at 100 TB the cost is
-the scan plus one 1-row shuffle, independent of column count.
+the profile is TWO distributed aggregates over column-pruned scans (one
+hash aggregate for the exact distincts, one grouping-less fold for
+count/min/max/mean), crossJoined as 1-row frames, then a constant-size
+unpivot — at 100 TB the cost is the scans plus 1-row exchanges,
+independent of column count. (A single combined aggregate planned as
+Expand×(cols+1) + SortAggregate — string min/max buffers disqualify
+hash aggregation — and SORTED the expanded row set: measured 2.2 s vs
+0.2 s at sf0.1, r13; the sort's spill dwarfs a pruned re-read at any
+scale.)
 
 ``n_distinct`` uses exact ``count_distinct`` (oracle-checkable; Spark
 plans multi-distinct via one Expand). For 100 TB profiling swap
-``approx=True`` — approx_count_distinct folds into the same single
-aggregate with no Expand, the standard trade.
+``approx=True`` — approx_count_distinct has a fixed-size buffer and
+folds into the min/max aggregate, restoring the one-scan shape.
 """
 
 from __future__ import annotations
@@ -44,10 +50,10 @@ def profile_table(
         # doubled, the Spark escaping rule)
         return F.col("`" + c.replace("`", "``") + "`")
 
+    dis_aggs = []
     for i, c in enumerate(cols):
         aggs += [
             F.count(_src(c)).alias(f"__cnt_{i}"),
-            distinct(_src(c)).alias(f"__nd_{i}"),
             F.min(_src(c)).cast("string").alias(f"__min_{i}"),
             F.max(_src(c)).cast("string").alias(f"__max_{i}"),
             (
@@ -58,7 +64,24 @@ def profile_table(
                 else F.lit(None).cast("double")
             ).alias(f"__mean_{i}"),
         ]
-    one = df.agg(*aggs)
+        dis_aggs.append(distinct(_src(c)).alias(f"__nd_{i}"))
+    if approx:
+        # approx_count_distinct folds into the same single aggregate
+        # with no Expand — keep the one-scan shape
+        one = df.agg(*aggs, *dis_aggs)
+    else:
+        # EXACT distincts ride their own aggregate, joined back as a
+        # 1-row broadcast. Mixing multi-column count_distinct (Expand
+        # ×(cols+1)) with string min/max buffers (HashAggregate-
+        # ineligible) forced ONE SortAggregate that sorted the whole
+        # expanded row set by (gid, value...) — measured 2.2 s at sf0.1
+        # vs 0.2 s for the split (r13). Separated, the distinct
+        # aggregate is a hash aggregate over narrow rows and the
+        # min/max aggregate is a grouping-less fold with no sort; the
+        # second column-pruned scan is far cheaper than sorting
+        # (cols+1)x the table — at any scale the sort's spill alone
+        # dwarfs a re-read.
+        one = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*dis_aggs)))
     # constant-size unpivot of the 1-row aggregate via stack
     stack_args = []
     for i, c in enumerate(cols):

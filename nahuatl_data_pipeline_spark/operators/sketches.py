@@ -178,7 +178,8 @@ def minwise_sketch(
 
 
 def minwise_overlap(
-    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """One-row overlap estimate from two minwise sketches (same k and
     hash family): estimated |A|, |B|, |A∪B| (cell-wise min — the merged
@@ -188,10 +189,21 @@ def minwise_overlap(
     1-row aggregate; the original data is never touched, which is what
     makes "how much do these two 50 TB corpora overlap?" a
     seconds-not-hours question. Estimates are rounded to 4 places so
-    the floating fold is engine-stable."""
+    the floating fold is engine-stable.
+
+    ``carry`` names pass-through columns (constant per sketch, e.g. the
+    ``n_exact`` audit leg replicated on every row by
+    ``minwise_sketch(exact=True)``) appended to the output via MAX over
+    the join — so an audit column rides the SAME one-row aggregate
+    instead of a separate scan-materializing branch per sketch (the
+    r13 q122 fix: two eager localCheckpoints + two audit aggregates
+    collapsed into this single job). Each carried name must exist in
+    exactly one input (rename before calling)."""
     p = float(MINHASH_P)
-    j = sketch_a.select("i", F.col("h").alias("ha")).join(
-        sketch_b.select("i", F.col("h").alias("hb")), "i"
+    a_carry = [c for c in carry if c in sketch_a.columns]
+    b_carry = [c for c in carry if c in sketch_b.columns]
+    j = sketch_a.select("i", F.col("h").alias("ha"), *a_carry).join(
+        sketch_b.select("i", F.col("h").alias("hb"), *b_carry), "i"
     )
 
     def est(c):
@@ -205,8 +217,18 @@ def minwise_overlap(
         F.round(
             F.avg(F.when(F.col("ha") == F.col("hb"), 1.0).otherwise(0.0)), 4
         ).alias("est_jaccard"),
-    ).withColumn(
-        "est_intersect", F.round(F.col("est_jaccard") * F.col("est_union"), 4)
+        *[F.max(c).alias(c) for c in (*a_carry, *b_carry)],
+    ).select(
+        "k",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_jaccard",
+        F.round(F.col("est_jaccard") * F.col("est_union"), 4).alias(
+            "est_intersect"
+        ),
+        *a_carry,
+        *b_carry,
     )
 
 

@@ -91,23 +91,19 @@ def q122_minwise_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    # each sketch feeds the overlap join once but is itself the product
-    # of a full-table aggregate — materialize the k-row results so the
-    # join legs read 64 rows, not re-run the scans (exchange-reuse)
+    # the n_exact audit legs ride the overlap join as carry columns
+    # (max over 64 identical values), so each sketch has exactly ONE
+    # consumer and the whole query is a single job — no per-sketch
+    # localCheckpoint materialization, no separate audit aggregates
+    # (r13: 2.5 s -> ~0.7 s, identical output)
     sk_a = minwise_sketch(
         orders, "o_custkey", k=_Q122_K, exact=True
-    ).localCheckpoint(eager=True)
+    ).withColumnRenamed("n_exact", "exact_a")
     sk_b = minwise_sketch(
         customer, "c_custkey", k=_Q122_K, exact=True
-    ).localCheckpoint(eager=True)
-    exact_a = sk_a.agg(F.max("n_exact").alias("exact_a"))
-    exact_b = sk_b.agg(F.max("n_exact").alias("exact_b"))
-    return (
-        minwise_overlap(
-            sk_a.select("i", "h"), sk_b.select("i", "h"), k=_Q122_K
-        )
-        .crossJoin(F.broadcast(exact_a))
-        .crossJoin(F.broadcast(exact_b))
+    ).withColumnRenamed("n_exact", "exact_b")
+    return minwise_overlap(
+        sk_a, sk_b, k=_Q122_K, carry=("exact_a", "exact_b")
     )
 
 

@@ -298,3 +298,33 @@ def test_weighted_quantile_band_count_invariant(spark):
         }
 
     assert run(1) == run(8) == run(64)
+
+
+def test_weighted_quantile_multi_qs_matches_single_calls(spark):
+    """qs= multi-quantile mode (r13) returns exactly the per-q values
+    of separate single-q calls, from one pass."""
+    from nahuatl_data_pipeline_spark.operators.anomaly import (
+        weighted_quantile,
+    )
+
+    rows = [
+        ("g" + str(v % 2), float((v * 17) % 53), float(1 + v % 5), v)
+        for v in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w", "id"])
+    multi = {
+        r["g"]: r
+        for r in weighted_quantile(
+            df, ["g"], "v", "w", qs=[0.25, 0.5, 0.9], tiebreak=["id"]
+        ).collect()
+    }
+    for i, qq in enumerate([0.25, 0.5, 0.9]):
+        single = {
+            r["g"]: r
+            for r in weighted_quantile(
+                df, ["g"], "v", "w", q=qq, tiebreak=["id"]
+            ).collect()
+        }
+        for g in single:
+            assert multi[g][f"wq_{i}"] == single[g]["wq"]
+            assert multi[g]["total_w"] == single[g]["total_w"]

@@ -63,14 +63,29 @@ def test_profile_counts_nulls_and_types(spark):
     assert [r["column"] for r in profile_table(df).collect()] == ["k", "v", "s"]
 
 
-def test_profile_single_scan(spark, tmp_path):
+def test_profile_scan_and_aggregate_shape(spark, tmp_path):
     path = str(tmp_path / "p.parquet")
     spark.range(100).selectExpr("id", "id * 2.0 AS v").write.parquet(path)
     df = spark.read.parquet(path)
+    # exact mode (r13): the exact-distinct aggregate and the
+    # min/max/mean fold are SEPARATE scans joined as 1-row frames —
+    # the combined form planned Expand + SortAggregate (string min/max
+    # buffers are hash-ineligible) and sorted (cols+1)x the table
     plan = (
         profile_table(df)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("FileScan parquet") == 1
+    assert plan.count("FileScan parquet") == 2
+    assert "SortAggregate" not in plan
+
+    # approx mode keeps the one-scan shape (fixed-size HLL buffers
+    # fold into the same aggregate)
+    aplan = (
+        profile_table(df, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert aplan.count("FileScan parquet") == 1
 
     approx = profile_table(df, approx=True).collect()
     nd = {r["column"]: r["n_distinct"] for r in approx}

@@ -35,14 +35,14 @@ _BNLJ_OK = {
     "q118_token_collocations",
     "q119_negative_samples",
     "q120_hard_negatives",
+    "q99_orders_profile",  # 1-row exact-distinct agg broadcast onto
+    # the 1-row min/max/mean agg (r13 SortAggregate split)
     "q121_bloom_semijoin",  # three 1-row count aggregates crossJoined
-    "q122_minwise_overlap",  # 1-row overlap stats x two 1-row audits
     "q123_token_budget_select",  # 1-row quantile-cuts broadcast (bands)
     "q124_token_topn_other",  # 1-row grand total onto the <=21-row head
     "q125_price_percentile_bands",  # 1-row reference-cuts broadcast
     "q127_length_rule_kappa",  # 1-row marginal product onto 1-row diag
     "q128_bootstrap_mean_ci",  # 1-row CI stats onto the 1-row base agg
-    "q132_weighted_median_price",  # 1-row quantile-cuts broadcast (bands)
     "q138_dsir_importance",  # 1-row corpus totals broadcast crossJoin
     "q139_margin_topk",  # broadcast query side, non-equi (q24's shape)
     "q141_perplexity_buckets",  # q109's 1-row vocab + band-cuts broadcasts
