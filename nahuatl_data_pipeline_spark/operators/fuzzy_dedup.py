@@ -323,40 +323,60 @@ def banded_candidate_pairs(
     shd, bands = _signature_bands(
         df, id_col, text_col, shingle_n, num_hashes, band_size
     )
-    # NOTE: the uncapped bands frame is deliberately NOT persisted.
-    # Both self-join legs do re-derive the signature aggregate, but an
-    # sf10-replica A/B (3 runs each) showed no improvement from caching
-    # it outside the ±2× machine-load band, while adding a full extra
-    # materialization + memory pressure for the pre-cap band set. The
-    # capped SUBSET below is persisted: there the plan-level win is
-    # deterministic (the semi-join subtree — sizes aggregate included —
-    # would otherwise re-run per self-join leg; explode nodes halve).
+    # NOTE: the bands frame is deliberately NOT persisted. In the
+    # uncapped self-join path both legs re-derive the signature
+    # aggregate, but an sf10-replica A/B (3 runs each) showed no
+    # improvement from caching it outside the ±2× machine-load band,
+    # while adding a full extra materialization + memory pressure for
+    # the pre-cap band set. The capped path consumes bands exactly once
+    # (window → filter → collect_list), so there is nothing to share.
     if max_bucket_size is not None:
-        sizes = bands.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("__bc")
+        # Capped path (r13): ONE linear chain instead of the old
+        # sizes-aggregate + left_semi + bands-persist + self-join. A
+        # count window on the band key marks each bucket's size (same
+        # exchange the old semi-join needed anyway), oversized buckets
+        # are dropped, and the survivors — now provably ≤ cap members —
+        # are folded per bucket with collect_list and exploded twice
+        # into ordered pairs. Exploding each ≤cap-sized bucket's id
+        # list into (id_a < id_b, deduped) pairs emits exactly the pair
+        # set of the old band-key self-join restricted to buckets ≤ cap,
+        # so the result is output-identical; what changes is the plan:
+        # the signature aggregate runs ONCE (the semi-join's two legs
+        # each re-derived it — one whole duplicate shuffle gone), the
+        # intermediate bands persist + eager count job disappears, and
+        # the groupBy after the window reuses the window's partitioning
+        # (no extra exchange). collect_list buffers are bounded by the
+        # cap BECAUSE the window filter runs first — never fold an
+        # uncapped bucket into an array (a dense-corpus mega-bucket
+        # would sit in one aggregation buffer; the uncapped path below
+        # keeps the streaming self-join for exactly that reason).
+        from pyspark.sql import Window
+
+        capped = bands.withColumn(
+            "__bc",
+            F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+        ).filter(F.col("__bc") <= max_bucket_size)
+        grouped = capped.groupBy("band_id", "band_key").agg(
+            F.collect_list("__id").alias("__ids")
         )
-        # persist: BOTH self-join legs consume the capped bands, and an
-        # unmaterialized semi-join would re-run the signature aggregate
-        # (the plan's biggest shuffle) plus the sizes aggregate per leg
-        # — confirmed 16 explode nodes vs 8 in the executed plan before
-        # this persist. Registered with the call's cache generation
-        # below, same lifetime as shd/cands.
-        bands = bands.join(
-            sizes.filter(F.col("__bc") <= max_bucket_size),
-            ["band_id", "band_key"],
-            "left_semi",
-        ).persist()
-        bands.count()  # eager: both legs read the cache
-        _register_caches(bands)
-    a = bands.select(F.col("__id").alias("id_a"), "band_id", "band_key")
-    b = bands.select(F.col("__id").alias("id_b"), "band_id", "band_key")
-    cands = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .persist()
-    )
+        cands = (
+            grouped.select(F.explode("__ids").alias("id_a"), "__ids")
+            .select("id_a", F.explode("__ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .persist()
+        )
+    else:
+        a = bands.select(F.col("__id").alias("id_a"), "band_id", "band_key")
+        b = bands.select(F.col("__id").alias("id_b"), "band_id", "band_key")
+        cands = (
+            a.join(b, ["band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .persist()
+        )
     n_cands = cands.count()
     LAST_STATS["banded_candidates"] = n_cands
     _register_caches(shd, cands)
@@ -711,30 +731,39 @@ def simhash_groups(
     (map-side) aggregation, vs the per-row array-aggregate formulation
     (functions/hashing.simhash64) which evaluates 64 interpreted lambda
     folds per document (~25× slower measured).
+
+    The 64 vote aggregates and the 64-way OR fold are built as parsed
+    SQL strings (one ``F.expr`` per aggregate, ONE for the whole fold)
+    rather than Column-method chains: the chain form issued ~900 py4j
+    round-trips per call (~0.7 s of driver time per bench repeat,
+    measured r13 — the fastlit.py lesson applied to expression trees).
+    ``shiftleft(1L, b)`` reproduces the old mask exactly, including
+    b=63 → min-long.
     """
     sh = word_shingles(text_col, n=shingle_n)
     tok = df.select(F.col(id_col), F.explode(sh).alias("__s")).withColumn(
         "__h", F.xxhash64("__s")
     )
 
-    def mask(b: int) -> int:
-        return (1 << b) if b < 63 else -(1 << 63)
+    def mask_sql(b: int) -> str:
+        return f"shiftleft(CAST(1 AS BIGINT), {b})"
 
     votes = tok.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.col("__h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(
+                f"sum(CASE WHEN (__h & {mask_sql(b)}) != 0"
+                f" THEN 1 ELSE -1 END) AS v{b}"
+            )
             for b in range(64)
         ]
     )
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(mask(b))).otherwise(F.lit(0)).cast(
-                "long"
-            )
+    sim = F.expr(
+        " | ".join(
+            f"(CASE WHEN v{b} > 0 THEN {mask_sql(b)}"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for b in range(64)
         )
+    )
     out = votes.select(F.col(id_col), sim.alias("simhash"))
     # docs with no tokens fall out of the groupBy: rejoin with simhash 0
     # (the empty-fold value of the per-row formulation)
@@ -779,23 +808,25 @@ def simhash_groups_portable(
     tok = df.select(F.col(id_col), F.explode(sh).alias("__s")).withColumn(
         "__h", hash60("__s")
     )
+    # Parsed-SQL vote/fold construction, same py4j-round-trip rationale
+    # as simhash_groups above (values bit-identical: shiftright + &1 on
+    # a 60-bit non-negative hash, masks ≤ 1<<59 all fit BIGINT).
     votes = tok.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS v{b}"
+            )
             for b in range(bits)
         ]
     )
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b))
-            .otherwise(F.lit(0))
-            .cast("long")
+    sim = F.expr(
+        " | ".join(
+            f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
         )
+    )
     out = votes.select(F.col(id_col), sim.alias("simhash"))
     out = (
         df.select(id_col)
