@@ -40,16 +40,20 @@ def zscore_outliers(
     NULL group keys are real groups (a broken feed often emits them):
     the stats join is null-safe, so those rows are scored against the
     null-key group instead of silently vanishing. The broadcast of the
-    stats table is size-gated (``broadcast_max_groups``, checked with a
-    bounded ``limit().count()`` probe): a near-unique group column
-    falls back to a shuffle join rather than an unbounded broadcast."""
+    stats table is size-gated (``broadcast_max_groups``): a near-unique
+    group column falls back to a shuffle join rather than an unbounded
+    broadcast."""
     v = F.col(value_col)
     # stats keys live under aliased names so the join back onto the very
     # DataFrame the stats derive from cannot hit ambiguous-lineage
     # column resolution
     # localCheckpoint: the stats table is consumed twice (size probe +
     # scoring join); without materialization each consumer would re-run
-    # the whole upstream aggregate over df
+    # the whole upstream aggregate over df. LAZY + the full-count probe
+    # in _gated_stats_join: the probe materializes the checkpoint in
+    # its own job (r13 — one job instead of eager-materialize + probe),
+    # and the broadcast side stays precomputed blocks, never a big
+    # aggregate inside the broadcast thread (guide §7.4 timeout mode).
     stats = (
         df.groupBy(*keys)
         .agg(
@@ -61,22 +65,13 @@ def zscore_outliers(
             "group_mean",
             "group_std",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    fits = (
-        stats.limit(broadcast_max_groups + 1).count() <= broadcast_max_groups
-    )
-    stats_side = F.broadcast(stats) if fits else stats
-    cond = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"__g_{k}"))
-        cond = c if cond is None else (cond & c)
     z = F.round(
         (v - F.col("group_mean")) / F.col("group_std"), round_stats
     )
     return (
-        df.join(stats_side, cond)
-        .drop(*[f"__g_{k}" for k in keys])
+        _gated_stats_join(df, stats, keys, broadcast_max_groups)
         .withColumn(
             "zscore",
             F.when(
@@ -99,13 +94,14 @@ def _gated_stats_join(
     """Join per-group ``stats`` (key columns pre-aliased ``__g_{k}``)
     back onto ``df`` under the module's shared contract: NULL-safe on
     every key (NULL keys are real groups — zscore_outliers' docstring),
-    broadcast only when a bounded ``limit().count()`` probe says the
-    group count fits (a near-unique key column falls back to a shuffle
-    join instead of an unbounded broadcast). ``stats`` must already be
-    localCheckpoint'ed: it is consumed twice (probe + join)."""
-    fits = (
-        stats.limit(broadcast_max_groups + 1).count() <= broadcast_max_groups
-    )
+    broadcast only when the group count fits (a near-unique key column
+    falls back to a shuffle join instead of an unbounded broadcast).
+    ``stats`` must be LAZILY localCheckpoint'ed: the full count here is
+    the materializing action (the checkpoint blocks already hold every
+    group, so a limit-bounded probe would save nothing — the aggregate
+    is paid either way), and the later join/broadcast leg then reads
+    blocks (r13: one probe+materialize job instead of two)."""
+    fits = stats.count() <= broadcast_max_groups
     side = F.broadcast(stats) if fits else stats
     cond = None
     for k in keys:
@@ -155,7 +151,7 @@ def mad_outliers(
         .select(
             *[F.col(k).alias(f"__g_{k}") for k in keys], "group_median"
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dev = _gated_stats_join(df, med, keys, broadcast_max_groups).withColumn(
         "__absdev", F.abs(v - F.col("group_median"))
@@ -168,7 +164,7 @@ def mad_outliers(
             )
         )
         .select(*[F.col(k).alias(f"__g_{k}") for k in keys], "group_mad")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cut = F.lit(threshold) * F.lit(1.4826) * F.col("group_mad")
     return (
@@ -226,7 +222,7 @@ def winsorized_stats(
             F.round(F.percentile(v, upper_q), round_bounds).alias("hi"),
         )
         .select(*[F.col(k).alias(f"__g_{k}") for k in keys], "lo", "hi")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     clamped = F.when(
         v.isNotNull(), F.least(F.greatest(v, F.col("lo")), F.col("hi"))

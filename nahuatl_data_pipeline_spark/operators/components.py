@@ -213,66 +213,90 @@ def connected_components_star(
     if sig[0] == 0:
         return e.sparkSession.createDataFrame([], "id long, component long")
 
-    from pyspark.sql import Window
+    # One large-star + small-star contraction round as ONE parsed SQL
+    # statement over a temp view (no materialization — the caller
+    # decides where to checkpoint). The Column-API formulation of the
+    # same plan issued ~340 py4j round-trips per round (~0.17 s of
+    # driver time each, measured r13 — the fastlit/simhash lesson);
+    # spark.sql analyzes eagerly, so the view indirection resolves at
+    # call time and re-registering the view for the next round is safe.
+    #
+    # large-star: (u, v>u) -> (v, min(Γ(u) ∪ {u})). The per-node min
+    # rides a WINDOW over the same key the old groupBy+join-back
+    # shuffled on (guide §2.4: a window partitioned like the
+    # aggregation shares its exchange) — one exchange instead of the
+    # aggregate exchange plus a sort-merge join of nbrs against it
+    # (r13: 3 exchanges/round instead of ~6). WindowExec buffers one
+    # node's neighbor run at a time and spills; the star contraction
+    # shrinks hot nodes doubly-exponentially, so the buffering regime
+    # is the same the old sort-merge join had.
+    #
+    # small-star over the large-star output. Large-star edges are
+    # already canonical (new s = m <= old s < d), so the old
+    # re-canonicalize+distinct pre-pass was a no-op shuffle:
+    # duplicates don't move a min, and the final distinct dedups the
+    # output set. The (m -> u) root edge the old m2-union emitted once
+    # per node is emitted from each group's min row instead (v == m,
+    # >= 1 per node, ties deduped by the distinct) — same edge SET.
+    _STAR_ROUND_SQL = """
+        WITH nbrs AS (
+          SELECT s, d FROM __star_round_in
+          UNION ALL
+          SELECT d AS s, s AS d FROM __star_round_in
+        ),
+        withmin AS (
+          SELECT least(min(d) OVER (PARTITION BY s), s) AS m, s, d
+          FROM nbrs
+        ),
+        large AS (
+          SELECT m AS s, d FROM withmin WHERE d > s
+        ),
+        lowm AS (
+          SELECT d AS u, s AS v, min(s) OVER (PARTITION BY d) AS m
+          FROM large
+        ),
+        small AS (
+          SELECT explode(
+                   CASE WHEN v = m
+                        THEN array(struct(m AS s, v AS d),
+                                   struct(m AS s, u AS d))
+                        ELSE array(struct(m AS s, v AS d))
+                   END
+                 ) AS __e
+          FROM lowm
+        ),
+        flat AS (
+          SELECT __e.s AS s, __e.d AS d FROM small WHERE __e.s != __e.d
+        )
+        SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d FROM flat
+    """
 
-    wl = Window.partitionBy("s")
-    wu = Window.partitionBy("u")
-    for _ in range(max_iter):
-        # ---- large-star: (u, v>u) -> (v, min(Γ(u) ∪ {u}))
-        # The per-node min rides a WINDOW over the same key the old
-        # groupBy+join-back shuffled on (guide §2.4: a window
-        # partitioned like the aggregation shares its exchange) — one
-        # exchange instead of the aggregate exchange plus a sort-merge
-        # join of nbrs against it (r13: 3 exchanges/round instead of
-        # ~6, q70 med 3.8 s -> 2.6 s). WindowExec buffers one node's
-        # neighbor run at a time and spills; the star contraction
-        # shrinks hot nodes doubly-exponentially, so the buffering
-        # regime is the same the old sort-merge join had.
-        nbrs = e.unionByName(
-            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        )
-        large = (
-            nbrs.withColumn(
-                "m", F.least(F.min("d").over(wl), F.col("s"))
-            )
-            .filter(F.col("d") > F.col("s"))
-            .select(F.col("m").alias("s"), F.col("d").alias("d"))
-        )
-        # ---- small-star over the large-star output. Large-star edges
-        # are already canonical (new s = m <= old s < d), so the old
-        # re-canonicalize+distinct pre-pass was a no-op shuffle:
-        # duplicates don't move a min, and new_e's distinct dedups the
-        # output set. The (m -> u) root edge the old m2-union emitted
-        # once per node is emitted from each group's min row instead
-        # (v == m, >= 1 per node, ties deduped below) — same edge SET.
-        low = large.select(F.col("d").alias("u"), F.col("s").alias("v"))
-        lowm = low.withColumn("m", F.min("v").over(wu))
-        e1 = F.struct(F.col("m").alias("s"), F.col("v").alias("d"))
-        e2 = F.struct(F.col("m").alias("s"), F.col("u").alias("d"))
-        small = lowm.select(
-            F.explode(
-                F.when(F.col("v") == F.col("m"), F.array(e1, e2)).otherwise(
-                    F.array(e1)
-                )
-            ).alias("__e")
-        ).select(F.col("__e.s").alias("s"), F.col("__e.d").alias("d"))
-        # lazy checkpoint: _sig below is the round's first action and
+    def _star_round(cur: DataFrame) -> DataFrame:
+        cur.createOrReplaceTempView("__star_round_in")
+        return cur.sparkSession.sql(_STAR_ROUND_SQL)
+
+    # TWO contraction rounds per materialization + fixed-point probe
+    # (r13): a converged edge set is a disjoint union of min-rooted
+    # stars, and one more large+small round maps every such star to
+    # itself (large-star keeps (root, leaf); small-star re-emits the
+    # root edges and the root self-pairing falls to the self-loop
+    # filter), so probing only every second round cannot overshoot the
+    # fixed point — it just confirms it one idempotent round later.
+    # Halves the per-round driver tax (physical-plan compile at each
+    # localCheckpoint + one signature job per probe): q70's 9-round
+    # convergence pays 5 probes instead of 9. Total shuffle work per
+    # probed pair of rounds is unchanged.
+    for _ in range((max_iter + 1) // 2):
+        # lazy checkpoint: _sig below is the probe's first action and
         # materializes the checkpoint blocks in the same job — one job
-        # per round instead of two (r13)
-        new_e = (
-            small.filter(F.col("s") != F.col("d"))
-            .select(
-                F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
+        # per probe instead of two (r13)
+        new_e = _star_round(_star_round(e)).localCheckpoint(eager=False)
         # both sides are distinct SETS, so equal count plus one empty
         # set-difference proves equality. The signature (count +
         # order-independent hash-sum, one job) gates the probe: it
-        # differs on every non-converged round in practice, so the
+        # differs on every non-converged probe in practice, so the
         # shuffle-heavy exceptAll runs ~once per call instead of every
-        # round — at corpus scale that probe is a full compare of two
+        # probe — at corpus scale that probe is a full compare of two
         # big edge sets and must not be a per-round tax.
         new_sig = _sig(new_e)
         converged = new_sig == sig and new_e.exceptAll(e).take(1) == []

@@ -204,6 +204,7 @@ def _signature_bands(
     shingle_n: int,
     num_hashes: int,
     band_size: int,
+    persist_shd: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared shingle → minhash signature → exploded band-key legs of
     the banded pipeline. Returns (shd, bands); ``shd`` (the persisted
@@ -218,6 +219,11 @@ def _signature_bands(
     in the same hash aggregate — partial (map-side) agg shrinks the
     shuffle to one row per doc. min() is insensitive to duplicate
     shingles, so this equals the per-row array_min formulation exactly.
+
+    ``persist_shd=False`` skips the persist AND its eager-count job:
+    right for a side known to be small (a broadcast eval suite), where
+    re-running the Arrow shingling per consuming leg costs less than a
+    dedicated materialization job (r13 — the q157 eval side).
     """
     from nahuatl_data_pipeline_spark.functions.hashing import (
         MINHASH_P,
@@ -226,15 +232,13 @@ def _signature_bands(
     )
 
     n_bands = num_hashes // band_size
-    shd = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(text_col, n=shingle_n).alias("__sh"),
-        )
-        .filter(F.size("__sh") > 0)
-        .persist()
-    )
-    shd.count()  # eager: signature leg + both Jaccard sides read the cache
+    shd = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, n=shingle_n).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    if persist_shd:
+        shd = shd.persist()
+        shd.count()  # eager: signature leg + both Jaccard sides read the cache
 
     tok = shd.select("__id", F.explode("__sh").alias("__s")).withColumn(
         "__hv", hash64(F.col("__s"))
@@ -649,11 +653,20 @@ def fuzzy_decontamination_pairs(
         train.select(F.col(id_col), F.col(text_col)),
         id_col, text_col, shingle_n, num_hashes, band_size,
     )
+    # broadcast_eval ⇒ the eval side is small by contract: skip its
+    # persist + eager-count job and let the two consuming legs (bands
+    # + verify shingles) recompute the tiny Arrow shingling inline —
+    # one fewer job barrier per call (r13). The non-broadcast escape
+    # hatch (eval side is another full corpus) keeps the cache.
     ev_shd, ev_bands = _signature_bands(
         evalset.select(F.col(eval_id).alias(id_col), F.col(text_col)),
         id_col, text_col, shingle_n, num_hashes, band_size,
+        persist_shd=not broadcast_eval,
     )
-    _register_caches(tr_shd, ev_shd)
+    if broadcast_eval:
+        _register_caches(tr_shd)
+    else:
+        _register_caches(tr_shd, ev_shd)
     cands = (
         tr_bands.select(
             F.col("__id").alias("train_id"), "band_id", "band_key"

@@ -84,11 +84,15 @@ def pagerank(
         F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
     ).localCheckpoint(eager=True)
     out_w = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
+    # lazy: trans's eager checkpoint below consumes nodes exactly once
+    # (its union leg) and materializes these blocks in the same job —
+    # the nodes.count() after it then reads checkpointed blocks. One
+    # job barrier saved per call (r13).
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     trans = (
         e.join(out_w, "__s")
@@ -124,7 +128,12 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
             i + 1
         ) < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: rounds are strictly sequential, so the final action
+            # materializes every intermediate checkpoint inside ONE job
+            # (each truncation still caps analysis/lineage depth — the
+            # physical plan is compiled at call time either way). Three
+            # mid-loop job barriers removed per call (r13).
+            ranks = ranks.localCheckpoint(eager=False)
     r = F.col("__r")
     if round_to is not None:
         r = F.round(r, round_to)

@@ -133,13 +133,15 @@ def perplexity_buckets(
         bigram_logprob(docs, id_col, text_col, alpha=alpha)
         .join(docs.select(id_col, group_col), id_col)
         .withColumn("__one", F.lit(1))
-        # materialize ONCE: two weighted_quantile calls (each reading
-        # its input several times internally) plus the final join would
+        # materialize ONCE: the weighted_quantile call (reading its
+        # input several times internally) plus the final join would
         # otherwise replay the LM scoring's explode + window shuffles
         # ~7x — the plan's dominant cost (components.py's checkpoint
         # rationale; one row per doc, far smaller than the occurrence
-        # stream it truncates)
-        .localCheckpoint(eager=True)
+        # stream it truncates). LAZY: weighted_quantile's internal
+        # cut-collecting action is the first consumer and materializes
+        # the blocks in its own job — one job fewer per call (r13).
+        .localCheckpoint(eager=False)
     )
     # both tertile cuts from ONE banded-prefix-sum pass (r13:
     # weighted_quantile qs= multi-quantile mode — the old per-cut call

@@ -160,16 +160,26 @@ def minwise_sketch(
     # and ~k× cheaper than k independent md5 evaluations (measured:
     # the md5-per-member build was 54 s at the 100× replica; affine
     # runs the same build in seconds). A_i·h < 2^62 fits int64 in both
-    # engines.
-    h0 = hash64(key.cast("string"))
+    # engines. The k min-aggregates are parsed SQL strings over a
+    # projected base hash, not Column chains: the chain form issued
+    # ~4k py4j round-trips per sketch (~0.56 s driver time each,
+    # measured r13 — the fastlit/simhash lesson). CAST(A AS BIGINT)
+    # reproduces the long promotion F.lit(a) * long-column performed.
+    base = df.where(key.isNotNull()).select(
+        hash64(key.cast("string")).alias("__h0"),
+        *([key.alias("__k")] if exact else []),
+    )
     consts = minhash_constants(k)
     mins = [
-        F.min((F.lit(a) * h0 + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__h{i}")
+        F.expr(
+            f"min((CAST({a} AS BIGINT) * __h0 + {b}) % {MINHASH_P})"
+            f" AS __h{i}"
+        )
         for i, (a, b) in enumerate(consts)
     ]
     if exact:
-        mins.append(F.countDistinct(key).alias("n_exact"))
-    row = df.where(key.isNotNull()).agg(*mins)
+        mins.append(F.expr("count(DISTINCT __k) AS n_exact"))
+    row = base.agg(*mins)
     pairs = ", ".join(f"{i}, __h{i}" for i in range(k))
     cols = [f"stack({k}, {pairs}) as (i, h)"]
     if exact:
