@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import json
 from collections.abc import Callable
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -61,9 +62,40 @@ def embed_text(
     """
 
     @F.pandas_udf(ArrayType(DoubleType()))
-    def _embed(s: pd.Series) -> pd.Series:
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Iterator form (guide: heavyweight init once per task): the
+        # token→(bucket, sign) md5 cache below amortizes over every
+        # batch in the partition. Natural-language corpora repeat
+        # tokens heavily, so most md5 calls become dict hits; the
+        # accumulation order per document is unchanged (token order),
+        # so the vectors are bit-identical to the uncached path.
+        tok_cache: dict[str, tuple[int, float]] = {}
+
+        def _one(t: str | None) -> list[float] | None:
+            if t is None:
+                return None
+            v = np.zeros(dim, dtype=np.float64)
+            for tok in t.lower().split():
+                bs = tok_cache.get(tok)
+                if bs is None:
+                    d = hashlib.md5(tok.encode("utf-8")).digest()
+                    bs = (
+                        int.from_bytes(d[:4], "big") % dim,
+                        1.0 if d[4] & 1 else -1.0,
+                    )
+                    tok_cache[tok] = bs
+                v[bs[0]] += bs[1]
+            n = np.linalg.norm(v)
+            if n == 0:
+                return [0.0] * dim
+            return list(np.round(v / n, 6))
+
+        for s in batches:
+            yield _embed_batch(s, _one)
+
+    def _embed_batch(s: pd.Series, one) -> pd.Series:
         if encode_fn is None:
-            return s.map(lambda t: hashed_embedding(t, dim))
+            return s.map(one)
         mask = s.notna()
         out = pd.Series([None] * len(s), index=s.index, dtype=object)
         if mask.any():

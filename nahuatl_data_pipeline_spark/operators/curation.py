@@ -119,11 +119,18 @@ def contamination_flags(
 
     Output: ``(id, n_shared_ngrams)`` — one row per CONTAMINATED train
     doc (clean docs are absent; anti-join on the result to scrub).
-    Both sides are reduced to distinct md5-hashed shingles; the eval
-    side is broadcast — benchmark suites are a few MB against a 100 TB
-    corpus, so the probe is shuffle-free on the train side and the only
-    shuffle is the per-doc count, keyed by doc id. Docs shorter than
-    ``n`` tokens produce no shingles and cannot be flagged (matches the
+    The eval side is reduced to distinct md5-hashed shingles and
+    broadcast — benchmark suites are a few MB against a 100 TB corpus.
+    The train side's raw gram stream is probed by that broadcast
+    MAP-SIDE (no shuffle), so the only exchange in the whole plan
+    carries the matched grams of contaminated docs — the per-doc
+    distinct count aggregates (id, h) partial-first. (Until round 13
+    the train side was DISTINCTed before the probe, which shuffled
+    every gram of the corpus just to dedupe rows the broadcast was
+    about to discard; COUNT(DISTINCT h) per doc over matched rows is
+    the same number, since the matched rows for a doc are exactly its
+    (id, h) pairs with h in the eval set.) Docs shorter than ``n``
+    tokens produce no shingles and cannot be flagged (matches the
     published 13-gram protocol).
 
     The join key is the UNREDUCED 60-bit md5 hash (``hash60``), not the
@@ -136,10 +143,13 @@ def contamination_flags(
     2× the shuffle width.
     """
     sh = word_shingles(text_col, n=n)
-    tr = (
-        train.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
-        .select("id", hash60(F.col("s")).alias("h"))
-        .distinct()
+    # spread a narrow train input before the shingling pandas_udf (the
+    # _signature_bands pattern; no-op at >= defaultParallelism splits)
+    par = train.sparkSession.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() < par:
+        train = train.repartition(par)
+    tr = train.select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).select(
+        "id", hash60(F.col("s")).alias("h")
     )
     ev = (
         evalset.select(F.explode(sh).alias("s"))
@@ -149,7 +159,7 @@ def contamination_flags(
     return (
         tr.join(F.broadcast(ev), "h")
         .groupBy("id")
-        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+        .agg(F.count_distinct(F.col("h")).alias("n_shared_ngrams"))
         .select(F.col("id").alias(id_col), "n_shared_ngrams")
     )
 

@@ -36,11 +36,22 @@ def _word_ngrams(toks: list[str], n: int) -> Counter:
 
 
 def _chrf_row_stats(hyp: str, ref: str) -> list[int]:
-    """[match_n, hyp_n, ref_n] × CHRF_MAX_N."""
+    """[match_n, hyp_n, ref_n] × CHRF_MAX_N.
+
+    Whitespace is stripped once per side (not once per order), and the
+    per-order totals are closed-form (len - n + 1 n-grams in a string of
+    len chars — identical to summing the Counter); only the clipped
+    match still needs both multisets."""
+    hs, rs = "".join(hyp.split()), "".join(ref.split())
     out: list[int] = []
     for n in range(1, CHRF_MAX_N + 1):
-        h, r = _char_ngrams(hyp, n), _char_ngrams(ref, n)
-        out += [sum((h & r).values()), sum(h.values()), sum(r.values())]
+        h = Counter(hs[i : i + n] for i in range(len(hs) - n + 1))
+        r = Counter(rs[i : i + n] for i in range(len(rs) - n + 1))
+        out += [
+            sum((h & r).values()),
+            max(len(hs) - n + 1, 0),
+            max(len(rs) - n + 1, 0),
+        ]
     return out
 
 
@@ -74,13 +85,26 @@ def _bleu_stats_udf(hyp: pd.Series, ref: pd.Series) -> pd.Series:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow input across the cluster before the row-stats
+    pandas_udf: a small eval set usually arrives as one scan split, which
+    would run every Counter on one core. The exchange carries only
+    (hyp, ref) once; a no-op whenever the input already has >=
+    defaultParallelism partitions (the similarity.py cosine-pairs
+    pattern). Sums are commutative longs, so the result is unchanged."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def corpus_chrf(
     df: DataFrame, hyp_col: str, ref_col: str, beta: float = 2.0
 ) -> float:
     """Corpus chrF (β=2): F-score of char-n-gram precision/recall averaged
     over n=1..6, from corpus-summed counts (sacrebleu-compatible
     definition)."""
-    stats = df.select(
+    stats = _spread(df).select(
         _chrf_stats_udf(F.col(hyp_col), F.col(ref_col)).alias("s")
     ).filter(F.col("s").isNotNull())
     sums = stats.agg(
@@ -106,7 +130,7 @@ def corpus_bleu(df: DataFrame, hyp_col: str, ref_col: str) -> float:
     corpus-summed counts × brevity penalty (Papineni 2002)."""
     import math
 
-    stats = df.select(
+    stats = _spread(df).select(
         _bleu_stats_udf(F.col(hyp_col), F.col(ref_col)).alias("s")
     ).filter(F.col("s").isNotNull())
     width = 2 * BLEU_MAX_N + 2
@@ -138,7 +162,7 @@ def evaluation_report(df: DataFrame, hyp_col: str, ref_col: str) -> DataFrame:
 
     spark = df.sparkSession
     chrf_w, bleu_w = 3 * CHRF_MAX_N, 2 * BLEU_MAX_N + 2
-    stats = df.select(
+    stats = _spread(df).select(
         _chrf_stats_udf(F.col(hyp_col), F.col(ref_col)).alias("c"),
         _bleu_stats_udf(F.col(hyp_col), F.col(ref_col)).alias("b"),
     ).filter(F.col("c").isNotNull() & F.col("b").isNotNull())

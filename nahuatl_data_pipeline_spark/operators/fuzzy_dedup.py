@@ -232,6 +232,18 @@ def _signature_bands(
     )
 
     n_bands = num_hashes // band_size
+    # Spread a narrow input before the Arrow shingling: a corpus that
+    # arrives as a handful of scan splits (small files, a filtered
+    # union) would run the pandas_udf — the family's dominant per-row
+    # cost — on that handful of cores. One narrow (id, text) round-robin
+    # exchange buys full parallelism for the shingling, the signature
+    # aggregate and both verify legs reading the cache; a no-op whenever
+    # the input already has >= defaultParallelism partitions (the
+    # similarity.py cosine-pairs pattern). Everything downstream is
+    # content-keyed, so the result is partition-independent by design.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     shd = df.select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, n=shingle_n).alias("__sh"),
@@ -899,6 +911,11 @@ def prefix_containment_pairs(
     key = F.array_min(
         F.transform(word_shingles(prefix, n=shingle_n), hash64)
     )
+    # spread a narrow input before the two shingling pandas_udfs (the
+    # _signature_bands pattern; no-op at >= defaultParallelism splits)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     docs = (
         df.select(
             F.col(id_col).alias("__id"),

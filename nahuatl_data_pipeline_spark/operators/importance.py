@@ -62,12 +62,13 @@ def ngram_bag(c, n: int = 2, lowercase: bool = True):
 
 def dsir_log_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_n: int = 2,
     n_buckets: int = 1024,
     round_to: int = 4,
+    target_flag=None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight.
 
@@ -76,15 +77,45 @@ def dsir_log_weights(
     Resampling/selection composes downstream with the existing
     deterministic samplers (``mixing.weighted_topk_sample``) —
     selection policy is deliberately not baked in here.
-    """
-    occ = df.select(
-        F.col(id_col), F.explode(ngram_bag(text_col, n=ngram_n)).alias("__g")
-    ).select(id_col, (hash64("__g") % n_buckets).alias("__b"))
-    tocc = target.select(
-        F.explode(ngram_bag(text_col, n=ngram_n)).alias("__g")
-    ).select((hash64("__g") % n_buckets).alias("__b"))
 
-    doc_b = occ.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    Pass the target corpus either as a separate frame (``target``) or,
+    when it is a SUBSET of ``df``, as a boolean Column ``target_flag``
+    evaluated against ``df``'s rows. The flag form rides the n-gram
+    explode as one extra boolean and rolls the target bucket counts up
+    from the per-doc aggregate (a doc's occurrences all carry its flag,
+    so Σ __c over flagged docs is exactly the flagged occurrence
+    count) — the frame form would replay the corpus-sized pandas-UDF
+    explode over the target subset a second time, the operator's
+    dominant cost.
+    """
+    if (target is None) == (target_flag is None):
+        raise ValueError("pass exactly one of `target` or `target_flag`")
+    occ_cols = [
+        F.col(id_col),
+        F.explode(ngram_bag(text_col, n=ngram_n)).alias("__g"),
+    ]
+    if target_flag is not None:
+        occ = df.select(*occ_cols, target_flag.alias("__t")).select(
+            id_col, (hash64("__g") % n_buckets).alias("__b"), "__t"
+        )
+        doc_b = occ.groupBy(id_col, "__b").agg(
+            F.count(F.lit(1)).alias("__c"), F.max("__t").alias("__t")
+        )
+        tgt_b = (
+            doc_b.filter(F.col("__t"))
+            .groupBy("__b")
+            .agg(F.sum("__c").cast("long").alias("__ct"))
+        )
+        doc_b = doc_b.drop("__t")
+    else:
+        occ = df.select(*occ_cols).select(
+            id_col, (hash64("__g") % n_buckets).alias("__b")
+        )
+        doc_b = occ.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+        tocc = target.select(
+            F.explode(ngram_bag(text_col, n=ngram_n)).alias("__g")
+        ).select((hash64("__g") % n_buckets).alias("__b"))
+        tgt_b = tocc.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     # roll raw-corpus bucket counts up from doc_b (Σ per-doc counts is
     # the same integer), NOT from occ: an independent occ aggregate
     # would replay the corpus-sized pandas-UDF n-gram explode — the
@@ -92,7 +123,6 @@ def dsir_log_weights(
     raw_b = doc_b.groupBy("__b").agg(
         F.sum("__c").cast("long").alias("__ca")
     )
-    tgt_b = tocc.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     totals = raw_b.agg(F.sum("__ca").alias("__ta")).crossJoin(
         tgt_b.agg(F.sum("__ct").alias("__tt"))
     )

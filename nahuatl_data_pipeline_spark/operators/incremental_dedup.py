@@ -159,6 +159,23 @@ def dedup_against_snapshot(
     if jaccard_threshold is None:
         return survivors
 
+    # Spread the batch before the Arrow shingling: an incremental batch
+    # is often a handful of scan partitions (one crawl file), which
+    # would run the pandas_udf + bucket aggregation on a few cores of
+    # the whole cluster. One narrow (id, text) round-robin exchange
+    # buys full parallelism for every downstream leg; a no-op whenever
+    # the batch already has >= defaultParallelism partitions (the
+    # similarity.py cosine-pairs pattern).
+    # Spread the batch before the Arrow shingling: an incremental batch
+    # is often a handful of scan partitions (one crawl file), which
+    # would run the pandas_udf + bucket aggregation on a few cores of
+    # the whole cluster. One narrow (id, text) round-robin exchange
+    # buys full parallelism for every downstream leg; a no-op whenever
+    # the batch already has >= defaultParallelism partitions (the
+    # similarity.py cosine-pairs pattern).
+    par = survivors.sparkSession.sparkContext.defaultParallelism
+    if survivors.rdd.getNumPartitions() < par:
+        survivors = survivors.repartition(par)
     # shingles feed both the bucket agg and the verify join — persist so
     # the Arrow shingling pandas_udf runs once per side, not twice
     nsh = _shingles(survivors, id_col, text_col, shingle_n, "__nid", "__nsh").persist()
@@ -188,4 +205,9 @@ def dedup_against_snapshot(
         .select(F.col("__nid").alias(id_col))
         .distinct()
     )
-    return survivors.join(near_ids, id_col, "left_anti")
+    # near_ids is candidate-bounded (far below the batch), but it hangs
+    # off a join chain the planner cannot size — without the hint the
+    # final anti-join plans as SortMergeJoin and SHUFFLES THE WHOLE
+    # BATCH (text payload included) to drop a handful of ids. Broadcast
+    # the id set instead; the batch side never exchanges.
+    return survivors.join(F.broadcast(near_ids), id_col, "left_anti")

@@ -1015,11 +1015,15 @@ def q121_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     # sel feeds BOTH the filter build and the exact-count audit leg —
-    # materialize once (key-set-bounded, the exchange-reuse lesson)
+    # checkpoint once (key-set-bounded, the exchange-reuse lesson). LAZY:
+    # bloom_prefilter eagerly materializes the positions frame derived
+    # from it, which materializes these blocks in the same job — an
+    # eager checkpoint here would pay one extra scan job for nothing
+    # (the r13 gated-stats-join lesson).
     sel = (
         orders.filter(F.col("o_totalprice") > 400000)
         .select("o_orderkey")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pos = bloom_positions(sel, "o_orderkey", width=_Q121_W, depth=3)
     passed = bloom_prefilter(li, "l_orderkey", pos, width=_Q121_W, depth=3)

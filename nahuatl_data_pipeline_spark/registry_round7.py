@@ -88,9 +88,15 @@ def q138_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    target = docs.filter(F.col("source").isin("src0", "src1"))
+    # flag form: the target is a subset of docs, so its bucket counts
+    # roll up from the per-doc aggregate instead of replaying the
+    # n-gram explode over the subset (dsir_log_weights docstring)
     return dsir_log_weights(
-        docs, target, ngram_n=2, n_buckets=1024, round_to=4
+        docs,
+        target_flag=F.col("source").isin("src0", "src1"),
+        ngram_n=2,
+        n_buckets=1024,
+        round_to=4,
     )
 
 
