@@ -144,6 +144,18 @@ def dedup_against_snapshot(
     """
     if (seen is None) == (index is None):
         raise ValueError("pass exactly one of `seen` or `index`")
+    # Spread a narrow batch before anything touches it: an incremental
+    # batch is often a handful of scan partitions (one crawl file),
+    # which would run the Arrow shingling + bucket aggregation on a few
+    # cores of the whole cluster. One narrow (id, text) round-robin
+    # exchange buys full parallelism for every downstream leg; a no-op
+    # whenever the batch already has >= defaultParallelism partitions
+    # (the similarity.py cosine-pairs pattern). The probe reads the RAW
+    # batch's split count — cheap (no AQE stages behind a plain scan
+    # plan, unlike probing the post-join survivors frame).
+    par = new.sparkSession.sparkContext.defaultParallelism
+    if new.rdd.getNumPartitions() < par:
+        new = new.repartition(par)
     release_fuzzy_caches()  # BEFORE persisting (fuzzy_dedup ordering
     # contract: unpersisting an identical canonical plan AFTER creating
     # this call's persist would evict the shared cache entry)
@@ -166,16 +178,6 @@ def dedup_against_snapshot(
     # buys full parallelism for every downstream leg; a no-op whenever
     # the batch already has >= defaultParallelism partitions (the
     # similarity.py cosine-pairs pattern).
-    # Spread the batch before the Arrow shingling: an incremental batch
-    # is often a handful of scan partitions (one crawl file), which
-    # would run the pandas_udf + bucket aggregation on a few cores of
-    # the whole cluster. One narrow (id, text) round-robin exchange
-    # buys full parallelism for every downstream leg; a no-op whenever
-    # the batch already has >= defaultParallelism partitions (the
-    # similarity.py cosine-pairs pattern).
-    par = survivors.sparkSession.sparkContext.defaultParallelism
-    if survivors.rdd.getNumPartitions() < par:
-        survivors = survivors.repartition(par)
     # shingles feed both the bucket agg and the verify join — persist so
     # the Arrow shingling pandas_udf runs once per side, not twice
     nsh = _shingles(survivors, id_col, text_col, shingle_n, "__nid", "__nsh").persist()
