@@ -69,7 +69,13 @@ def embed_text(
         # tokens heavily, so most md5 calls become dict hits; the
         # accumulation order per document is unchanged (token order),
         # so the vectors are bit-identical to the uncached path.
+        # Bounded (ADVICE r13): a high-vocabulary partition (noisy crawl
+        # text) would otherwise grow the dict without limit inside the
+        # Python worker; past the cap new tokens fall back to a direct
+        # md5 (identical value, just uncached) while hits on the hot
+        # head keep amortizing. 4M entries ≈ low hundreds of MB.
         tok_cache: dict[str, tuple[int, float]] = {}
+        cache_cap = 4_000_000
 
         def _one(t: str | None) -> list[float] | None:
             if t is None:
@@ -83,7 +89,8 @@ def embed_text(
                         int.from_bytes(d[:4], "big") % dim,
                         1.0 if d[4] & 1 else -1.0,
                     )
-                    tok_cache[tok] = bs
+                    if len(tok_cache) < cache_cap:
+                        tok_cache[tok] = bs
                 v[bs[0]] += bs[1]
             n = np.linalg.norm(v)
             if n == 0:

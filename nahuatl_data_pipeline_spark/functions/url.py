@@ -375,50 +375,66 @@ def url_domain_psl(
     def last_k(k: int):
         return F.array_join(F.slice(F.col("__labels"), -k, k), ".")
 
-    # one tiny broadcast frame per (rule kind, label count)
-    by_len: dict[tuple[str, int], list[str]] = {}
-    for kind in ("exact", "wildcard", "exception"):
+    # ONE tiny broadcast frame per label count, all three rule kinds
+    # folded in as boolean flag columns (r13 verdict task #7: the old
+    # per-(kind, k) split broadcast up to three frames per k and ran up
+    # to three joins where one suffices — every k's joins share the
+    # identical join key, last_k(k)). Rule strings are distinct per
+    # frame, so each left join still matches at most one row: the join
+    # multiplicity, and therefore the output, is unchanged; only the
+    # number of BroadcastHashJoins drops.
+    by_k: dict[int, dict[str, list[bool]]] = {}
+    for kind_idx, kind in enumerate(("exact", "wildcard", "exception")):
         for r in rules.get(kind, []):
             k = r.count(".") + 1
             if k <= max_rule_labels:
-                by_len.setdefault((kind, k), []).append(r)
+                flags = by_k.setdefault(k, {}).setdefault(
+                    r, [False, False, False]
+                )
+                flags[kind_idx] = True
 
     # suffix length contributed by a match at candidate length k:
     #   exact rule of k labels      -> k
     #   wildcard base of k labels   -> k + 1 (needs one extra label)
-    #   exception rule of k labels  -> k - 1
+    #   exception rule of k labels  -> k - 1 (override, handled below)
     suffix_len = F.lit(1)  # implicit "*" default rule
-    for (kind, k), rs in sorted(by_len.items()):
-        flag = f"__m_{kind}_{k}"
+    exc_len = F.lit(None).cast("int")
+    for k, rulemap in sorted(by_k.items()):
         tiny = spark.createDataFrame(
-            [(r,) for r in sorted(set(rs))], f"__rule_{kind}_{k} string"
+            [
+                (r, fl[0], fl[1], fl[2])
+                for r, fl in sorted(rulemap.items())
+            ],
+            f"__rule_{k} string, __e_{k} boolean, "
+            f"__w_{k} boolean, __x_{k} boolean",
         )
         out = out.join(
-            F.broadcast(tiny),
-            last_k(k) == F.col(f"__rule_{kind}_{k}"),
-            "left",
-        ).withColumn(
-            flag, F.col(f"__rule_{kind}_{k}").isNotNull()
-        ).drop(f"__rule_{kind}_{k}")
-        if kind == "exact":
-            contrib = F.when(F.col(flag), F.lit(k))
-        elif kind == "wildcard":
-            contrib = F.when(
-                F.col(flag) & (n_labels >= k + 1), F.lit(k + 1)
+            F.broadcast(tiny), last_k(k) == F.col(f"__rule_{k}"), "left"
+        ).drop(f"__rule_{k}")
+        # flag columns are NULL on no-match — falsy inside when(), same
+        # decision the old isNotNull() flags produced
+        if any(fl[0] for fl in rulemap.values()):
+            suffix_len = F.greatest(
+                suffix_len,
+                F.coalesce(F.when(F.col(f"__e_{k}"), F.lit(k)), F.lit(1)),
             )
-        else:  # exception — PSL: an exception OVERRIDES all other
-            # matches for that host; handled below with a dedicated max
-            contrib = F.when(F.col(flag), F.lit(None))
-        suffix_len = F.greatest(suffix_len, F.coalesce(contrib, F.lit(1)))
-
-    # exception override: if any exception rule matched, the public
-    # suffix is the exception minus its first label (k - 1)
-    exc_len = F.lit(None).cast("int")
-    for (kind, k), _ in sorted(by_len.items()):
-        if kind == "exception":
+        if any(fl[1] for fl in rulemap.values()):
+            suffix_len = F.greatest(
+                suffix_len,
+                F.coalesce(
+                    F.when(
+                        F.col(f"__w_{k}") & (n_labels >= k + 1),
+                        F.lit(k + 1),
+                    ),
+                    F.lit(1),
+                ),
+            )
+        # exception override: if any exception rule matched, the public
+        # suffix is the exception minus its first label (k - 1); ks
+        # ascend, so the coalesce order matches the old sorted loop
+        if any(fl[2] for fl in rulemap.values()):
             exc_len = F.coalesce(
-                exc_len,
-                F.when(F.col(f"__m_{kind}_{k}"), F.lit(k - 1)),
+                exc_len, F.when(F.col(f"__x_{k}"), F.lit(k - 1))
             )
     s = F.coalesce(exc_len, suffix_len)
 
@@ -433,6 +449,6 @@ def url_domain_psl(
         .otherwise(reg)
     )
     drop_cols = ["__host", "__labels"] + [
-        f"__m_{kind}_{k}" for (kind, k) in by_len
+        f"__{c}_{k}" for k in by_k for c in ("e", "w", "x")
     ]
     return out.withColumn(out_col, domain).drop(*drop_cols)

@@ -54,6 +54,9 @@ def align_sentences(
         r_emb.select(F.col(rid).alias("vec_id"), F.col("__v").alias("embedding")),
         k=1,
         exclude_self=False,
+        # embed_text emits exactly `dim` buckets → the codegen'd unrolled
+        # cosine applies (cosine_cols docstring; bit-identical fold)
+        dim=dim,
     ).filter(F.col("cosine") >= min_score)
     return (
         top1.join(

@@ -240,9 +240,9 @@ def connected_components_star(
     # >= 1 per node, ties deduped by the distinct) — same edge SET.
     _STAR_ROUND_SQL = """
         WITH nbrs AS (
-          SELECT s, d FROM __star_round_in
+          SELECT s, d FROM {star_round_in}
           UNION ALL
-          SELECT d AS s, s AS d FROM __star_round_in
+          SELECT d AS s, s AS d FROM {star_round_in}
         ),
         withmin AS (
           SELECT least(min(d) OVER (PARTITION BY s), s) AS m, s, d
@@ -272,8 +272,14 @@ def connected_components_star(
     """
 
     def _star_round(cur: DataFrame) -> DataFrame:
-        cur.createOrReplaceTempView("__star_round_in")
-        return cur.sparkSession.sql(_STAR_ROUND_SQL)
+        # Parameterized table reference ({star_round_in} resolves to the
+        # DataFrame argument, PySpark >= 3.4) instead of a shared
+        # createOrReplaceTempView: same parsed plan, but no session-global
+        # catalog mutation — concurrent components queries on one
+        # SparkSession (the test suite overlaps independent queries,
+        # guide §2.6) cannot clobber each other's round input. Pure name
+        # binding; output-identical by construction.
+        return cur.sparkSession.sql(_STAR_ROUND_SQL, star_round_in=cur)
 
     # TWO contraction rounds per materialization + fixed-point probe
     # (r13): a converged edge set is a disjoint union of min-rooted
@@ -286,11 +292,21 @@ def connected_components_star(
     # localCheckpoint + one signature job per probe): q70's 9-round
     # convergence pays 5 probes instead of 9. Total shuffle work per
     # probed pair of rounds is unchanged.
+    rounds_left = max_iter
     for _ in range((max_iter + 1) // 2):
         # lazy checkpoint: _sig below is the probe's first action and
         # materializes the checkpoint blocks in the same job — one job
         # per probe instead of two (r13)
-        new_e = _star_round(_star_round(e)).localCheckpoint(eager=False)
+        stepped = _star_round(e)
+        if rounds_left >= 2:
+            # Odd max_iter: the last materialization runs a SINGLE round
+            # so the cap is never exceeded (r13 verdict: (max_iter+1)//2
+            # doubled rounds could run max_iter+1 of them; converged
+            # inputs were unaffected by idempotence, but a non-converged
+            # graph at the cap must stop exactly at max_iter rounds).
+            stepped = _star_round(stepped)
+        rounds_left -= 2
+        new_e = stepped.localCheckpoint(eager=False)
         # both sides are distinct SETS, so equal count plus one empty
         # set-difference proves equality. The signature (count +
         # order-independent hash-sum, one job) gates the probe: it

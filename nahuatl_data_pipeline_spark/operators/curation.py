@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nahuatl_data_pipeline_spark.functions.hashing import hash60, word_shingles
+from nahuatl_data_pipeline_spark.functions.spread import spread_narrow
 
 _WS = r"\s+"
 
@@ -145,9 +146,7 @@ def contamination_flags(
     sh = word_shingles(text_col, n=n)
     # spread a narrow train input before the shingling pandas_udf (the
     # _signature_bands pattern; no-op at >= defaultParallelism splits)
-    par = train.sparkSession.sparkContext.defaultParallelism
-    if train.rdd.getNumPartitions() < par:
-        train = train.repartition(par)
+    train = spread_narrow(train)
     tr = train.select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).select(
         "id", hash60(F.col("s")).alias("h")
     )

@@ -21,14 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from nahuatl_data_pipeline_spark.functions.spread import spread_narrow
+
 CHRF_MAX_N = 6
 BLEU_MAX_N = 4
-
-
-def _char_ngrams(s: str, n: int) -> Counter:
-    # chrF operates on whitespace-stripped character n-grams
-    s = "".join(s.split())
-    return Counter(s[i : i + n] for i in range(len(s) - n + 1))
 
 
 def _word_ngrams(toks: list[str], n: int) -> Counter:
@@ -90,12 +86,10 @@ def _spread(df: DataFrame) -> DataFrame:
     pandas_udf: a small eval set usually arrives as one scan split, which
     would run every Counter on one core. The exchange carries only
     (hyp, ref) once; a no-op whenever the input already has >=
-    defaultParallelism partitions (the similarity.py cosine-pairs
-    pattern). Sums are commutative longs, so the result is unchanged."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    defaultParallelism partitions. Sums are commutative longs, so the
+    result is unchanged. Raises on a non-raw-scan input (spread_narrow's
+    exchange-free contract, r13 verdict #3)."""
+    return spread_narrow(df)
 
 
 def corpus_chrf(

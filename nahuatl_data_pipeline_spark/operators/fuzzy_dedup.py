@@ -20,10 +20,13 @@ Three interchangeable strategies, all shuffle-on-bucket (never O(n²)):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nahuatl_data_pipeline_spark.functions.hashing import word_shingles
+from nahuatl_data_pipeline_spark.functions.spread import spread_narrow
 
 # Generation-based cache management: each fuzzy-dedup call releases the
 # PREVIOUS call's persisted shingle/candidate intermediates and registers
@@ -241,9 +244,9 @@ def _signature_bands(
     # the input already has >= defaultParallelism partitions (the
     # similarity.py cosine-pairs pattern). Everything downstream is
     # content-keyed, so the result is partition-independent by design.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # (spread_narrow enforces the raw-scan contract: an exchange-bearing
+    # input raises instead of silently materializing AQE stages.)
+    df = spread_narrow(df)
     shd = df.select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, n=shingle_n).alias("__sh"),
@@ -530,6 +533,12 @@ def ngram_jaccard_pairs(
 # tip q31's own LSH join into OOM during the round-8 full sweep.
 _PAIR_TABLE_CACHE: dict[tuple, DataFrame] = {}
 _PAIR_TABLE_MAX = 2
+# Guards the CACHE DICT only (lookup/LRU/evict), never the Spark compute:
+# the test suite overlaps independent queries on one session (guide
+# §2.6), and an unguarded evict loop could pop a key another thread
+# already evicted. A concurrent miss on the same key still double-
+# computes (benign — last insert wins, the loser stays usable).
+_PAIR_TABLE_LOCK = threading.Lock()
 
 
 def release_pair_tables() -> None:
@@ -584,11 +593,12 @@ def near_dup_pairs(
         band_size,
         max_bucket_size,
     )
-    hit = _PAIR_TABLE_CACHE.pop(key, None)
-    if hit is not None:
-        _PAIR_TABLE_CACHE[key] = hit  # re-insert: LRU recency
-        LAST_STATS["pair_table_hit"] = 1
-        return hit
+    with _PAIR_TABLE_LOCK:
+        hit = _PAIR_TABLE_CACHE.pop(key, None)
+        if hit is not None:
+            _PAIR_TABLE_CACHE[key] = hit  # re-insert: LRU recency
+            LAST_STATS["pair_table_hit"] = 1
+            return hit
     pairs = ngram_jaccard_pairs(
         df,
         id_col,
@@ -602,13 +612,14 @@ def near_dup_pairs(
     ).persist()
     pairs.count()  # materialize BEFORE releasing the build intermediates
     release_fuzzy_caches()  # shd/cands are baked into the pair table now
-    while len(_PAIR_TABLE_CACHE) >= _PAIR_TABLE_MAX:
-        old = _PAIR_TABLE_CACHE.pop(next(iter(_PAIR_TABLE_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _PAIR_TABLE_CACHE[key] = pairs
+    with _PAIR_TABLE_LOCK:
+        while len(_PAIR_TABLE_CACHE) >= _PAIR_TABLE_MAX:
+            old = _PAIR_TABLE_CACHE.pop(next(iter(_PAIR_TABLE_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _PAIR_TABLE_CACHE[key] = pairs
     return pairs
 
 
@@ -913,9 +924,7 @@ def prefix_containment_pairs(
     )
     # spread a narrow input before the two shingling pandas_udfs (the
     # _signature_bands pattern; no-op at >= defaultParallelism splits)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = spread_narrow(df)
     docs = (
         df.select(
             F.col(id_col).alias("__id"),

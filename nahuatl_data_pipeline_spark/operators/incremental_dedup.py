@@ -43,6 +43,7 @@ from nahuatl_data_pipeline_spark.functions.hashing import (
     word_shingles,
 )
 from nahuatl_data_pipeline_spark.functions.normalize import dedup_key
+from nahuatl_data_pipeline_spark.functions.spread import spread_narrow
 from nahuatl_data_pipeline_spark.operators.fuzzy_dedup import (
     _register_caches,
     release_fuzzy_caches,
@@ -150,12 +151,10 @@ def dedup_against_snapshot(
     # cores of the whole cluster. One narrow (id, text) round-robin
     # exchange buys full parallelism for every downstream leg; a no-op
     # whenever the batch already has >= defaultParallelism partitions
-    # (the similarity.py cosine-pairs pattern). The probe reads the RAW
-    # batch's split count — cheap (no AQE stages behind a plain scan
-    # plan, unlike probing the post-join survivors frame).
-    par = new.sparkSession.sparkContext.defaultParallelism
-    if new.rdd.getNumPartitions() < par:
-        new = new.repartition(par)
+    # (the similarity.py cosine-pairs pattern). spread_narrow probes the
+    # RAW batch's split count and raises on an exchange-bearing input —
+    # probing a post-join frame would materialize its AQE stages.
+    new = spread_narrow(new)
     release_fuzzy_caches()  # BEFORE persisting (fuzzy_dedup ordering
     # contract: unpersisting an identical canonical plan AFTER creating
     # this call's persist would evict the shared cache entry)
@@ -171,13 +170,6 @@ def dedup_against_snapshot(
     if jaccard_threshold is None:
         return survivors
 
-    # Spread the batch before the Arrow shingling: an incremental batch
-    # is often a handful of scan partitions (one crawl file), which
-    # would run the pandas_udf + bucket aggregation on a few cores of
-    # the whole cluster. One narrow (id, text) round-robin exchange
-    # buys full parallelism for every downstream leg; a no-op whenever
-    # the batch already has >= defaultParallelism partitions (the
-    # similarity.py cosine-pairs pattern).
     # shingles feed both the bucket agg and the verify join — persist so
     # the Arrow shingling pandas_udf runs once per side, not twice
     nsh = _shingles(survivors, id_col, text_col, shingle_n, "__nid", "__nsh").persist()

@@ -157,6 +157,14 @@ _RECERTIFY_IF_BEFORE: dict[str, int] = {
     # 1+8*(b%4) of hash group b//4) — CI values change, both engines
     # in lockstep
     "q128_bootstrap_mean_ci": 13,
+    # r14: url_domain_psl's per-(kind, label-count) broadcast fan folded
+    # to ONE rule frame per label count with kind flag columns (VERDICT
+    # r13 task #7). Output-identical (distinct rule keys → same join
+    # multiplicity; contribution/override expressions re-derived from
+    # the flags), but the certified plan's join structure changed —
+    # re-certify rather than argue.
+    "q171_psl_domain_stats": 14,
+    "q174_url_head_psl_survivors": 14,
 }
 
 
@@ -876,10 +884,12 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical."""
     from nahuatl_data_pipeline_spark.operators.similarity import cosine_topk
 
+    from nahuatl_data_pipeline_spark.schemas import EMBEDDING_DIM
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).withColumn(
-        "rank", F.col("rank").cast("int")
-    )
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, dim=EMBEDDING_DIM
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 _PLANT_SUFFIX = " planted near duplicate suffix"

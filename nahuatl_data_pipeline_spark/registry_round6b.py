@@ -951,9 +951,11 @@ def q120_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negatives,
     )
 
+    from nahuatl_data_pipeline_spark.schemas import EMBEDDING_DIM
+
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(
-        emb.filter(F.col("vec_id") < 10), emb, k=5
+        emb.filter(F.col("vec_id") < 10), emb, k=5, dim=EMBEDDING_DIM
     ).withColumn("rank", F.col("rank").cast("int"))
 
 

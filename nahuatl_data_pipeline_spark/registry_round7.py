@@ -90,7 +90,12 @@ def q138_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # flag form: the target is a subset of docs, so its bucket counts
     # roll up from the per-doc aggregate instead of replaying the
-    # n-gram explode over the subset (dsir_log_weights docstring)
+    # n-gram explode over the subset (dsir_log_weights docstring).
+    # Output-identity proof (ADVICE r13, the two-sentence exception):
+    # every exploded n-gram occurrence carries its document's target
+    # flag, so summing the per-doc bucket counts over flagged docs
+    # yields exactly the occurrence count the separate target-side
+    # explode produced — same bucket table, same smoothed weights.
     return dsir_log_weights(
         docs,
         target_flag=F.col("source").isin("src0", "src1"),
@@ -150,9 +155,12 @@ def q139_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining uses instead of raw cosine (operators/similarity.margin_topk)."""
     from nahuatl_data_pipeline_spark.operators.similarity import margin_topk
 
+    from nahuatl_data_pipeline_spark.schemas import EMBEDDING_DIM
+
     emb = load_table(spark, sf_dir, "embeddings")
     return margin_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k_margin=4, k=5
+        emb.filter(F.col("vec_id") < 10), emb, k_margin=4, k=5,
+        dim=EMBEDDING_DIM,
     ).withColumn("rank", F.col("rank").cast("int"))
 
 

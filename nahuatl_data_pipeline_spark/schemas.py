@@ -222,6 +222,13 @@ SOURCES_REGISTRY_SCHEMA = StructType(
 
 # --- driver testdata ------------------------------------------------------
 
+# Dataset contract: the embeddings table's `embedding` column is a
+# fixed-length float array — len(embedding) == EMBEDDING_DIM for every
+# row (verified min=max=64 at sf0.001/sf0.01/sf0.1). Lets similarity
+# operators emit the codegen'd fixed-dim cosine (cosine_cols dim=...);
+# a violating row would surface as a NULL cosine, never a wrong number.
+EMBEDDING_DIM = 64
+
 TESTDATA_TABLES = (
     "region",
     "nation",

@@ -134,6 +134,27 @@ def test_star_handles_long_chain_plain_cannot(spark):
     assert set(labels.values()) == {0}
 
 
+def test_star_max_iter_is_a_hard_cap(spark):
+    """Odd max_iter must run exactly max_iter rounds, never max_iter+1
+    (r13 verdict: the two-rounds-per-materialization loop could
+    overshoot an odd cap by one round). A 300-node path cannot converge
+    in one round, so max_iter=1 must raise rather than sneak in a
+    second round; a sufficient odd cap still converges to the same
+    labels as the default."""
+    import pytest
+
+    from nahuatl_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components_star(df, max_iter=1)
+    labels = _star_labels(spark, chain)
+    assert set(labels.values()) == {0}
+
+
 def test_star_empty_and_self_loops(spark):
     assert _star_labels(spark, [(7, 7)]) == {}
     from nahuatl_data_pipeline_spark.operators.components import (

@@ -107,3 +107,51 @@ def test_margin_topk_suppresses_hub(spark):
     for qid in (0, 1):
         ms = [by_pair[(qid, ranked[(qid, r)])]["margin"] for r in (1, 2, 3)]
         assert ms == sorted(ms, reverse=True)
+
+
+def test_dsir_flag_form_equals_frame_form(spark):
+    """The flag form (target = boolean Column over df) must produce
+    exactly the frame form's weights when the target frame is the
+    flagged subset — the r13 rollup identity (a doc's occurrences all
+    carry its flag, so summed per-doc counts equal flagged occurrence
+    counts). Also: passing both/neither target arguments raises."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta gamma", "t"),
+            (2, "alpha beta delta epsilon", "t"),
+            (3, "zeta eta theta iota kappa", "o"),
+            (4, "beta gamma beta gamma alpha", "o"),
+            (5, "nu xi omicron pi rho sigma", "o"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from pyspark.sql import functions as F
+
+    frame_form = {
+        (r["doc_id"], r["n_grams"], r["log_weight"])
+        for r in dsir_log_weights(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("source") == "t").select("doc_id", "text"),
+            n_buckets=64,
+        ).collect()
+    }
+    flag_form = {
+        (r["doc_id"], r["n_grams"], r["log_weight"])
+        for r in dsir_log_weights(
+            docs,
+            target_flag=F.col("source") == "t",
+            n_buckets=64,
+        ).collect()
+    }
+    assert flag_form == frame_form
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_log_weights(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_log_weights(
+            docs,
+            docs.select("doc_id", "text"),
+            target_flag=F.col("source") == "t",
+        )

@@ -265,3 +265,31 @@ def test_q150_vocab_broadcast_onto_occurrences(spark):
     plan = plan_of(spark, "q150_vocab_oov_audit")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spread_narrow_contract(spark):
+    """spread_narrow (r13 verdict #3): the split-count probe must never
+    run a Spark job. (a) An exchange-bearing input (join/aggregate
+    output) passes through UNPROBED — no AQE stage materialization, no
+    job; (b) on a raw-scan input the probe itself also executes ZERO
+    jobs. Both legs are asserted with a dedicated job group."""
+    from nahuatl_data_pipeline_spark.functions.spread import spread_narrow
+    from nahuatl_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sc = spark.sparkContext
+    group = "spread-probe-test"
+    sc.setJobGroup(group, "spread_narrow must be job-free")
+    try:
+        # (a) aggregate output: returned unchanged, never probed
+        shuffled = docs.groupBy("source").count()
+        assert spread_narrow(shuffled) is shuffled
+        # (b) raw scan: probed (pure metadata), spread applied lazily
+        out = spread_narrow(docs.select("doc_id", "text"))
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = spark.sparkContext.statusTracker()
+    assert tracker.getJobIdsForGroup(group) == [], (
+        "spread_narrow ran a Spark job during its partition-count probe"
+    )
+    assert out.schema.fieldNames() == ["doc_id", "text"]
