@@ -208,11 +208,24 @@ def _signature_bands(
     num_hashes: int,
     band_size: int,
     persist_shd: bool = True,
+    persist_sigs: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared shingle → minhash signature → exploded band-key legs of
     the banded pipeline. Returns (shd, bands); ``shd`` (the persisted
     shingle frame) is eager-cached — the caller owns registering it via
     ``_register_caches`` once its own derived frames exist.
+
+    ``persist_sigs=True`` additionally caches the SIGNATURE frame (one
+    row per doc, ``num_hashes`` longs — the pipeline's narrowest frame,
+    orders smaller than ``shd``'s shingle arrays) and registers it for
+    release. For consumers that read ``bands`` from two places — the
+    uncapped band self-join's legs — this is the r13-verdict task #3
+    fix: AQE does NOT reuse the identical signature-aggregate exchange
+    across the legs (measured ReusedExchange=0 at sf0.1), so without
+    the cache each leg replays the plan's biggest shuffle (shingle
+    explode → hash → min-aggregate). With it, each leg is a narrow
+    band explode over cached rows. Eager (count) per the module's
+    racing-legs contract.
 
     Shingling via nested array lambdas is interpreted (no codegen) and
     costs ~1 ms/doc — computed ONCE and cached; every downstream leg
@@ -244,8 +257,8 @@ def _signature_bands(
     # the input already has >= defaultParallelism partitions (the
     # similarity.py cosine-pairs pattern). Everything downstream is
     # content-keyed, so the result is partition-independent by design.
-    # (spread_narrow enforces the raw-scan contract: an exchange-bearing
-    # input raises instead of silently materializing AQE stages.)
+    # (spread_narrow never probes an exchange-bearing input — it passes
+    # through rather than silently materializing AQE stages.)
     df = spread_narrow(df)
     shd = df.select(
         F.col(id_col).alias("__id"),
@@ -264,6 +277,13 @@ def _signature_bands(
             for i, (a, b) in enumerate(minhash_constants(num_hashes))
         ]
     )
+    if persist_sigs:
+        # bounded: one row per doc × num_hashes longs. Eager count per
+        # the racing-legs contract; registered here (the caller has
+        # already released the previous generation before calling).
+        sigs = sigs.persist()
+        sigs.count()
+        _register_caches(sigs)
 
     bands = sigs.select(
         "__id",
@@ -340,15 +360,19 @@ def banded_candidate_pairs(
     assert num_hashes % band_size == 0
     release_fuzzy_caches()  # BEFORE persisting (see ordering contract)
     shd, bands = _signature_bands(
-        df, id_col, text_col, shingle_n, num_hashes, band_size
+        df, id_col, text_col, shingle_n, num_hashes, band_size,
+        # Uncapped self-join: both legs read `bands`, and AQE does NOT
+        # reuse the identical signature-aggregate exchange across them
+        # (r14 probe: ReusedExchange=0) — so the r13 note ("caching
+        # showed no improvement") measured the wrong frame: persisting
+        # the post-explode BANDS adds n_bands× rows of materialization,
+        # while persisting the pre-explode SIGNATURES (one narrow row
+        # per doc) removes the duplicated explode→hash→min-agg shuffle
+        # for the cost of the smallest frame in the pipeline. The
+        # capped path consumes bands exactly once (window → filter →
+        # collect_list) — nothing to share, keep it cache-free.
+        persist_sigs=max_bucket_size is None,
     )
-    # NOTE: the bands frame is deliberately NOT persisted. In the
-    # uncapped self-join path both legs re-derive the signature
-    # aggregate, but an sf10-replica A/B (3 runs each) showed no
-    # improvement from caching it outside the ±2× machine-load band,
-    # while adding a full extra materialization + memory pressure for
-    # the pre-cap band set. The capped path consumes bands exactly once
-    # (window → filter → collect_list), so there is nothing to share.
     if max_bucket_size is not None:
         # Capped path (r13): ONE linear chain instead of the old
         # sizes-aggregate + left_semi + bands-persist + self-join. A
@@ -925,6 +949,18 @@ def prefix_containment_pairs(
     # spread a narrow input before the two shingling pandas_udfs (the
     # _signature_bands pattern; no-op at >= defaultParallelism splits)
     df = spread_narrow(df)
+    # NOTE (r14, verdict task #4 attempted and REVERTED with plan
+    # evidence): hash-partitioning this frame by __key before the
+    # persist — so the self-join legs could inherit the partitioning
+    # and skip their two payload exchanges — does NOT work on Spark 4:
+    # the persisted subtree is wrapped in its own AdaptiveSparkPlan and
+    # InMemoryTableScan exposes no hashpartitioning to the outer join,
+    # so EnsureRequirements re-adds both leg exchanges ANYWAY (see
+    # plans/r14/q106scale_{before,after-attempt}.txt — identical
+    # Exchange(21)/(26) above both cache reads), while the extra
+    # pre-cache exchange cost +40% local wall. The da46f74 collect_list
+    # fold is also wrong here: q106 has no bucket cap, so folding would
+    # buffer unbounded shingle-array buckets in one aggregation buffer.
     docs = (
         df.select(
             F.col(id_col).alias("__id"),
